@@ -1,0 +1,26 @@
+"""pytest preparse plugin: re-exec with the axon TPU-tunnel plugin disabled.
+
+The container's sitecustomize registers the `axon` PJRT plugin (remote-compile
+relay) in every interpreter, adding ~10s startup + ~20s per XLA compile even
+for CPU work.  Tests are pure-CPU, so we re-exec pytest once with the plugin
+scrubbed and an 8-device virtual CPU mesh.
+
+This must run as a ``-p`` plugin (see pytest.ini): at preparse time pytest's
+output capture has not started yet, so the re-exec'd process inherits the
+real stdout.  Doing this from conftest.py is too late — capture has already
+replaced fd 1 with a temp file and all test output would be discarded.
+"""
+
+import os
+import sys
+
+if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get("TDWSS_TEST_REEXEC") != "1":
+    env = dict(os.environ)
+    env["TDWSS_TEST_REEXEC"] = "1"
+    env["PALLAS_AXON_POOL_IPS"] = ""       # sitecustomize skips axon registration
+    env["PALLAS_AXON_REMOTE_COMPILE"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    os.execvpe(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)

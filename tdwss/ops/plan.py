@@ -1,0 +1,162 @@
+"""Per-level coordinate systems + rulebooks for a whole encoder forward.
+
+SparseConvNet builds a "metadata" object per spatial size — hash tables and
+gather/scatter "rulebooks" shared by every layer operating at that size.
+This module is the TPU-native equivalent: given the input voxel grid and the
+static network geometry (number of levels, downsample factor), it constructs
+once per forward:
+
+- each level's key-sorted :class:`~tdwss.ops.voxelize.SparseGrid`;
+- a submanifold rulebook ``(V, K)`` per level (neighbor index per filter
+  offset, -1 where inactive) via vectorized binary search;
+- fine->coarse ``parent`` / ``child_offset`` maps and the strided-conv
+  rulebook ``(V_coarse, f^3)`` — derived *without any search* when
+  ``filter == stride`` (the only case the reference models use,
+  models/SparseConvNet.py:137-140) by scattering fine indices into their
+  parent's offset slot.
+
+All shapes are static; per-level capacities come from the engine config.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+from tdwss.ops.coords import kernel_offsets, lookup_sorted, make_query_keys
+from tdwss.ops.voxelize import SparseGrid, voxelize
+
+
+@flax.struct.dataclass
+class GridLevel:
+    grid: SparseGrid
+    subm_rb: jnp.ndarray                     # (V, K) neighbor idx or -1
+    parent: Optional[jnp.ndarray]            # (V,) idx into next level (or None at coarsest)
+    child_offset: Optional[jnp.ndarray]      # (V,) linearized offset within parent cell
+    down_rb: Optional[jnp.ndarray]           # (V_next, f^3) idx into THIS level
+
+
+@flax.struct.dataclass
+class LevelPlans:
+    levels: Tuple[GridLevel, ...]
+    downsample: Tuple[int, int] = flax.struct.field(pytree_node=False)
+
+    def __len__(self) -> int:
+        return len(self.levels)
+
+
+def build_subm_rulebook(grid: SparseGrid, kernel_size: int = 3) -> jnp.ndarray:
+    """(V, K) neighbor indices for a centred cubic submanifold kernel."""
+    offsets = kernel_offsets(kernel_size)
+    v = grid.capacity
+    columns = []
+    own = jnp.arange(v, dtype=jnp.int32)
+    for k in range(offsets.shape[0]):
+        off = offsets[k]
+        if not off.any():
+            # centre tap: identity, no search needed
+            columns.append(jnp.where(grid.valid, own, -1))
+            continue
+        q = grid.coords + jnp.asarray(
+            np.concatenate([off, np.zeros(1, np.int32)]), jnp.int32
+        )
+        qh, ql = make_query_keys(q, grid.valid)
+        columns.append(lookup_sorted(grid.key_hi, grid.key_lo, qh, ql))
+    return jnp.stack(columns, axis=1)
+
+
+def _linear_child_offset(coords: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Linearized offset of a fine voxel within its parent cell.
+
+    Ordering matches :func:`tdwss.ops.coords.kernel_offsets` for even sizes:
+    k = ox * f^2 + oy * f + oz.
+    """
+    ox = coords[:, 0] % stride
+    oy = coords[:, 1] % stride
+    oz = coords[:, 2] % stride
+    return (ox * stride * stride + oy * stride + oz).astype(jnp.int32)
+
+
+def downsample_level(
+    grid: SparseGrid,
+    num_voxels: int,
+    filter_size: int,
+    stride: int,
+):
+    """Derive the next-coarser level and the fine<->coarse maps.
+
+    Returns (coarse_grid, parent (Vf,), child_offset (Vf,), down_rb (Vc, f^3)).
+    Requires filter_size == stride (reference encoders only use [2,2]/[4,4]).
+    """
+    if filter_size != stride:
+        raise NotImplementedError(
+            "strided conv with filter != stride is not used by the reference "
+            "models (downsample=[2,2] or [4,4]); general support is a planned "
+            "lookup-based fallback"
+        )
+    coarse_coords = jnp.concatenate(
+        [grid.coords[:, :3] // stride, grid.coords[:, 3:4]], axis=1
+    )
+    coarse_grid, _, parent = voxelize(coarse_coords, None, grid.valid, num_voxels)
+    child_offset = _linear_child_offset(grid.coords, stride)
+    k = filter_size ** 3
+    vf = grid.capacity
+    fine_idx = jnp.arange(vf, dtype=jnp.int32)
+    down_rb = (
+        jnp.full((num_voxels, k), -1, jnp.int32)
+        .at[parent, child_offset]
+        .set(fine_idx, mode="drop")
+    )
+    return coarse_grid, parent, child_offset, down_rb
+
+
+def level_capacities(
+    base_capacity: int,
+    num_levels: int,
+    shrink: int = 2,
+    min_capacity: int = 2048,
+) -> Tuple[int, ...]:
+    """Static voxel capacity per level: shrink each level, floor at min."""
+    caps = []
+    cap = base_capacity
+    for _ in range(num_levels):
+        caps.append(max(int(cap), min(min_capacity, base_capacity)))
+        cap = cap // max(shrink, 1)
+    return tuple(caps)
+
+
+def build_plans(
+    grid0: SparseGrid,
+    num_levels: int,
+    capacities: Sequence[int],
+    downsample: Tuple[int, int] = (2, 2),
+    subm_kernel: int = 3,
+) -> LevelPlans:
+    """Build all coordinate levels + rulebooks for an encoder forward."""
+    f, s = int(downsample[0]), int(downsample[1])
+    levels = []
+    grid = grid0
+    for lvl in range(num_levels):
+        subm_rb = build_subm_rulebook(grid, subm_kernel)
+        if lvl + 1 < num_levels:
+            coarse_grid, parent, child_offset, down_rb = downsample_level(
+                grid, int(capacities[lvl + 1]), f, s
+            )
+        else:
+            coarse_grid = None
+            parent = child_offset = down_rb = None
+        levels.append(
+            GridLevel(
+                grid=grid,
+                subm_rb=subm_rb,
+                parent=parent,
+                child_offset=child_offset,
+                down_rb=down_rb,
+            )
+        )
+        if coarse_grid is not None:
+            grid = coarse_grid
+    return LevelPlans(levels=tuple(levels), downsample=(f, s))
