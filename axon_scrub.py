@@ -23,4 +23,6 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get("TDWSS_TEST_REEXEC"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tdwss_jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     os.execvpe(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)

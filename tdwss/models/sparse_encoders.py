@@ -1,0 +1,290 @@
+"""Sparse-conv point-cloud encoders (flax), reference parity.
+
+Mirrors the encoder zoo of reference ``models/SparseConvNet.py``:
+
+- ``SparseConvUNet``        scn.UNet body, embed = m                 (ref :57-71)
+- ``SparseConvFCNet``       scn.FullyConvolutionalNet, embed = 28m   (ref :73-88)
+- ``SparseConvFCNetNarrow`` FCN with explicit planes                 (ref :90-105)
+- ``SparseConvFCNetDirectUpPool[Light]`` sequential down/up-pool FCN (ref :107-211)
+
+Every encoder follows the scn pipeline
+``InputLayer(mode=4) -> SubmanifoldConvolution(3->m) -> body ->
+BatchNormReLU -> OutputLayer`` and the ``[coords, feats] -> per-point
+features`` contract (reference models/SparseConvNet.py:34-55); with
+``istrain=True`` the per-scene mean pooling of ``postProcessing``
+(ref :20-26) is applied on device via segment_mean.
+
+TPU-native structure: one :class:`~tdwss.ops.plan.LevelPlans` is built per
+forward and shared by all layers (SCN metadata parity); all shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tdwss.models.layers import (
+    BatchNormReLU,
+    Deconv,
+    NetworkInNetwork,
+    StridedConv,
+    SubmConv,
+)
+from tdwss.ops.plan import LevelPlans, build_plans, level_capacities
+from tdwss.ops.segment import segment_mean_by_batch
+from tdwss.ops.voxelize import devoxelize, voxelize
+from tdwss.registry import MODEL_REGISTRY
+
+
+class ConvBlock(nn.Module):
+    """VGG (BNReLU->SubmConv) or ResNet (two-conv + shortcut) block.
+
+    Matches the scn ``block(m, a, b)`` helper used by UNet /
+    FullyConvolutionalNet and the reference's hand-rolled FCNEncoder
+    (models/SparseConvNet.py:112-124).
+    """
+
+    out_channels: int
+    residual: bool = False
+
+    @nn.compact
+    def __call__(self, feats, rulebook, valid, train: bool):
+        a, b = feats.shape[-1], self.out_channels
+        if not self.residual:
+            h = BatchNormReLU(name="bnrelu")(feats, valid, train)
+            return SubmConv(b, rulebook.shape[-1], name="conv")(h, rulebook)
+        shortcut = feats if a == b else NetworkInNetwork(b, name="nin")(feats)
+        h = BatchNormReLU(name="bnrelu1")(feats, valid, train)
+        h = SubmConv(b, rulebook.shape[-1], name="conv1")(h, rulebook)
+        h = BatchNormReLU(name="bnrelu2")(h, valid, train)
+        h = SubmConv(b, rulebook.shape[-1], name="conv2")(h, rulebook)
+        return shortcut + h
+
+
+class UNetBody(nn.Module):
+    """scn.UNet parity: recursive U with concat skip + decoder blocks."""
+
+    n_planes: Tuple[int, ...]
+    reps: int
+    residual: bool
+
+    @nn.compact
+    def __call__(self, feats, plans: LevelPlans, level: int, train: bool):
+        planes = self.n_planes
+        lvl = plans.levels[level]
+        valid = lvl.grid.valid
+        for i in range(self.reps):
+            feats = ConvBlock(planes[0], self.residual, name=f"enc{i}")(
+                feats, lvl.subm_rb, valid, train
+            )
+        if len(planes) > 1:
+            identity = feats
+            h = BatchNormReLU(name="down_bnrelu")(feats, valid, train)
+            h = StridedConv(planes[1], lvl.down_rb.shape[-1], name="down_conv")(
+                h, lvl.down_rb
+            )
+            h = UNetBody(planes[1:], self.reps, self.residual, name="inner")(
+                h, plans, level + 1, train
+            )
+            h = BatchNormReLU(name="up_bnrelu")(
+                h, plans.levels[level + 1].grid.valid, train
+            )
+            h = Deconv(planes[0], lvl.down_rb.shape[-1], name="up_deconv")(
+                h, lvl.parent, lvl.child_offset, valid
+            )
+            feats = jnp.concatenate([identity, h], axis=-1)
+            for i in range(self.reps):
+                feats = ConvBlock(planes[0], self.residual, name=f"dec{i}")(
+                    feats, lvl.subm_rb, valid, train
+                )
+        return feats
+
+
+class FCNBody(nn.Module):
+    """scn.FullyConvolutionalNet parity: concat identity with unpooled deep.
+
+    Output channels at the finest level = sum(n_planes).
+    """
+
+    n_planes: Tuple[int, ...]
+    reps: int
+    residual: bool
+
+    @nn.compact
+    def __call__(self, feats, plans: LevelPlans, level: int, train: bool):
+        planes = self.n_planes
+        lvl = plans.levels[level]
+        valid = lvl.grid.valid
+        for i in range(self.reps):
+            feats = ConvBlock(planes[0], self.residual, name=f"enc{i}")(
+                feats, lvl.subm_rb, valid, train
+            )
+        if len(planes) > 1:
+            identity = feats
+            h = BatchNormReLU(name="down_bnrelu")(feats, valid, train)
+            h = StridedConv(planes[1], lvl.down_rb.shape[-1], name="down_conv")(
+                h, lvl.down_rb
+            )
+            h = FCNBody(planes[1:], self.reps, self.residual, name="inner")(
+                h, plans, level + 1, train
+            )
+            from tdwss.ops.sparse_conv import unpool
+
+            h = unpool(h, lvl.parent, fine_valid=valid)
+            feats = jnp.concatenate([identity, h], axis=-1)
+        return feats
+
+
+class DirectUpPoolBody(nn.Module):
+    """Reference FCNEncoder parity (models/SparseConvNet.py:110-143).
+
+    Sequential (no skip concat): blocks -> BNReLU -> strided conv ->
+    recurse -> unpool.  Output channels = n_planes[-1] at finest level.
+    """
+
+    n_planes: Tuple[int, ...]
+    reps: int
+    residual: bool
+
+    @nn.compact
+    def __call__(self, feats, plans: LevelPlans, level: int, train: bool):
+        planes = self.n_planes
+        lvl = plans.levels[level]
+        valid = lvl.grid.valid
+        for i in range(self.reps):
+            feats = ConvBlock(planes[0], self.residual, name=f"enc{i}")(
+                feats, lvl.subm_rb, valid, train
+            )
+        if len(planes) > 1:
+            h = BatchNormReLU(name="down_bnrelu")(feats, valid, train)
+            h = StridedConv(planes[1], lvl.down_rb.shape[-1], name="down_conv")(
+                h, lvl.down_rb
+            )
+            h = DirectUpPoolBody(planes[1:], self.reps, self.residual, name="inner")(
+                h, plans, level + 1, train
+            )
+            from tdwss.ops.sparse_conv import unpool
+
+            feats = unpool(h, lvl.parent, fine_valid=valid)
+        return feats
+
+
+_BODIES = {"unet": UNetBody, "fcn": FCNBody, "direct_uppool": DirectUpPoolBody}
+
+
+class _SparseEncoderBase(nn.Module):
+    """Shared scn pipeline around a body (SparseConvBase_ parity, ref :10-55).
+
+    Subclasses define ``plane_schedule()`` and ``body_kind``.
+    """
+
+    m: int = 16
+    dimension: int = 3
+    full_scale: int = 4096
+    block_reps: int = 1
+    residual_blocks: bool = False
+    depth: int = 7
+    n_planes: Optional[Sequence[int]] = None
+    downsample: Tuple[int, int] = (2, 2)
+    # engine knobs
+    max_voxels: int = 0                   # 0 => number of input points
+    level_capacity_shrink: int = 2
+    min_level_capacity: int = 2048
+    body_kind: str = "unet"
+
+    def plane_schedule(self) -> Tuple[int, ...]:
+        raise NotImplementedError
+
+    @nn.compact
+    def __call__(self, coords, feats, valid, istrain: bool = False,
+                 train: bool = False, num_scenes: int = 1):
+        """[coords, feats] -> per-point features (or per-scene means if istrain).
+
+        coords (N, 4) int32 [x,y,z,b]; feats (N, C); valid (N,) bool.
+        ``train`` controls BN statistics; ``istrain`` additionally applies
+        the per-scene mean pooling (postProcessing parity).
+        """
+        planes = self.plane_schedule()
+        n = coords.shape[0]
+        cap0 = self.max_voxels or n
+        caps = level_capacities(
+            cap0, len(planes), self.level_capacity_shrink, self.min_level_capacity
+        )
+        f, s = self.downsample
+        # InputLayer(mode=4): dedupe-average points into voxels
+        grid, vfeats, p2v = voxelize(coords, feats, valid, cap0, mode="mean")
+        plans = build_plans(grid, len(planes), caps, (f, s), subm_kernel=3)
+
+        h = SubmConv(self.m, 27, name="stem")(vfeats, plans.levels[0].subm_rb)
+        body = _BODIES[self.body_kind]
+        h = body(tuple(planes), self.block_reps, self.residual_blocks, name="body")(
+            h, plans, 0, train
+        )
+        h = BatchNormReLU(name="final_bnrelu")(h, grid.valid, train)
+        # OutputLayer: voxel -> point readback
+        pts = devoxelize(h, p2v)
+        if istrain:
+            return segment_mean_by_batch(pts, coords[:, 3], num_scenes, valid)
+        return pts
+
+
+@MODEL_REGISTRY.register(embed_length=lambda m: m)
+class SparseConvUNet(_SparseEncoderBase):
+    """scn.UNet encoder, planes [m..7m] (reference models/SparseConvNet.py:57-71)."""
+
+    body_kind: str = "unet"
+
+    def plane_schedule(self):
+        return tuple((i + 1) * self.m for i in range(7))
+
+
+@MODEL_REGISTRY.register(embed_length=lambda m: 7 * (7 + 1) * m // 2)
+class SparseConvFCNet(_SparseEncoderBase):
+    """scn.FullyConvolutionalNet encoder (reference :73-88), embed = 28m."""
+
+    body_kind: str = "fcn"
+
+    def plane_schedule(self):
+        return tuple((i + 1) * self.m for i in range(self.depth))
+
+
+@MODEL_REGISTRY.register(embed_length=lambda m: sum([m, 64, 128, 192, 256]))
+class SparseConvFCNetNarrow(_SparseEncoderBase):
+    """FCN with explicit narrow planes (reference :90-105)."""
+
+    body_kind: str = "fcn"
+
+    def plane_schedule(self):
+        extra = tuple(self.n_planes) if self.n_planes else (64, 128, 192, 256)
+        return (self.m,) + extra
+
+
+@MODEL_REGISTRY.register(embed_length=lambda m: 256)
+class SparseConvFCNetDirectUpPool(_SparseEncoderBase):
+    """Sequential down/up-pool FCN (reference :107-158), embed = planes[-1]."""
+
+    body_kind: str = "direct_uppool"
+
+    def plane_schedule(self):
+        extra = tuple(self.n_planes) if self.n_planes else (64, 128, 192, 256)
+        return (self.m,) + extra
+
+
+@MODEL_REGISTRY.register(embed_length=lambda m: 128)
+class SparseConvFCNetDirectUpPoolLight(_SparseEncoderBase):
+    """Light variant with downsample [4,4] (reference :160-211)."""
+
+    body_kind: str = "direct_uppool"
+    downsample: Tuple[int, int] = (4, 4)
+
+    def plane_schedule(self):
+        extra = tuple(self.n_planes) if self.n_planes else (32, 64, 96, 128)
+        return (self.m,) + extra
+
+
+def embed_length_of(name: str, m: int) -> int:
+    """Resolve an encoder's output width from registry metadata."""
+    _, meta = MODEL_REGISTRY.get(name)
+    return meta.get("embed_length", lambda m_: m_)(m)

@@ -1,0 +1,138 @@
+"""Encoder / meta-architecture forward tests (shapes, finiteness, contracts).
+
+Checks the reference model contracts (SURVEY.md §1 models row): encoder
+``[coords, feats] -> per-point features`` with istrain pooling; meta-arch
+``model(batch, istrain=True) -> (scene_logits, meta)`` and eval per-point
+logits; registry ``embed_length`` metadata parity.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tdwss import NUM_CLASSES
+from tdwss.config import Config, PointcloudModelConfig, TextModelConfig, EngineConfig
+from tdwss.data.batch import PointBatch, TextBatch
+from tdwss.models import build_model
+from tdwss.models.sparse_encoders import SparseConvFCNet, embed_length_of
+from tdwss.registry import MODEL_REGISTRY
+
+
+def _batch(rng, n=2048, b=2, with_text=False, t=2, length=16):
+    coords = np.concatenate(
+        [rng.integers(0, 48, (n, 3)), rng.integers(0, b, (n, 1))], 1
+    ).astype(np.int32)
+    feats = rng.normal(size=(n, 3)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[-100:] = False
+    scene_label = np.zeros((b, NUM_CLASSES), np.float32)
+    scene_label[:, :3] = 1
+    point_label = rng.integers(0, NUM_CLASSES, n).astype(np.int32)
+    text = None
+    if with_text:
+        tokens = rng.integers(1, 1000, (b, t, length)).astype(np.int32)
+        text = TextBatch(
+            tokens=jnp.asarray(tokens),
+            has_text=jnp.arange(b, dtype=jnp.int32),
+            valid=jnp.ones(b, bool),
+        )
+    return PointBatch(
+        coords=jnp.asarray(coords),
+        feats=jnp.asarray(feats),
+        valid=jnp.asarray(valid),
+        scene_label=jnp.asarray(scene_label),
+        scene_mask=jnp.ones(b, bool),
+        point_label=jnp.asarray(point_label),
+        point_ids=jnp.full(n, -1, jnp.int32),
+        text=text,
+    )
+
+
+def test_embed_length_metadata():
+    assert embed_length_of("SparseConvUNet", 16) == 16
+    assert embed_length_of("SparseConvFCNet", 16) == 7 * 8 * 16 // 2
+    assert embed_length_of("SparseConvFCNetNarrow", 16) == 16 + 64 + 128 + 192 + 256
+    assert embed_length_of("SparseConvFCNetDirectUpPool", 16) == 256
+    assert embed_length_of("SparseConvFCNetDirectUpPoolLight", 16) == 128
+
+
+def test_fcnet_encoder_shapes(rng):
+    batch = _batch(rng, n=1024)
+    enc = SparseConvFCNet(m=4, full_scale=64, block_reps=1, residual_blocks=False,
+                          depth=3, min_level_capacity=128)
+    variables = enc.init(jax.random.PRNGKey(0), batch.coords, batch.feats,
+                         batch.valid, istrain=False, train=False)
+    out = enc.apply(variables, batch.coords, batch.feats, batch.valid,
+                    istrain=False, train=False)
+    assert out.shape == (1024, 4 + 8 + 12)  # sum of planes
+    assert bool(jnp.isfinite(out).all())
+    # invalid rows read zeros
+    assert float(jnp.abs(out[-50:]).max()) == 0.0
+
+    pooled = enc.apply(variables, batch.coords, batch.feats, batch.valid,
+                       istrain=True, train=False, num_scenes=2)
+    assert pooled.shape == (2, 24)
+
+
+@pytest.mark.parametrize("model_name,encoder", [
+    ("MultiLabel", "SparseConvFCNet"),
+    ("FullySupervised", "SparseConvFCNet"),
+])
+def test_meta_arch_contract(rng, model_name, encoder):
+    cfg = Config(
+        model_name=model_name,
+        pointcloud_model=PointcloudModelConfig(
+            name=encoder, m=4, full_scale=64, block_reps=1,
+            residual_blocks=True, depth=3,
+        ),
+        engine=EngineConfig(min_level_capacity=128),
+    )
+    batch = _batch(rng, n=1024)
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, istrain=True)
+    (scene_logits, meta), mutated = model.apply(
+        variables, batch, istrain=True, mutable=["batch_stats"]
+    )
+    assert scene_logits.shape == (2, NUM_CLASSES)
+    assert "batch_stats" in mutated
+    if model_name == "FullySupervised":
+        assert meta.shape == (1024, NUM_CLASSES)  # per-point logits
+
+    point_logits = model.apply(variables, batch, istrain=False, train=False)
+    assert point_logits.shape == (1024, NUM_CLASSES)
+
+
+def test_multilabel_contrastive_with_text(rng):
+    cfg = Config(
+        model_name="MultiLabelContrastive",
+        has_text=True,
+        pointcloud_model=PointcloudModelConfig(
+            name="SparseConvUNet", m=4, full_scale=64, block_reps=1,
+        ),
+        text_model=TextModelConfig(
+            name="TextTransformer", context_length=16, width=64, layers=2,
+            vocab_size=1000,
+        ),
+        engine=EngineConfig(min_level_capacity=64),
+    )
+    batch = _batch(rng, n=512, with_text=True, length=16)
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, istrain=True)
+    (scene_logits, (gfeats, tfeats, has_text)), _ = model.apply(
+        variables, batch, istrain=True, mutable=["batch_stats"]
+    )
+    assert scene_logits.shape == (2, NUM_CLASSES)
+    assert gfeats.shape == (2, 4)       # embed = m for UNet
+    assert tfeats.shape == (2, 2, 4)    # projected to embed width
+    assert bool(jnp.isfinite(tfeats).all())
+
+
+def test_registry_names_match_reference():
+    for name in [
+        "SparseConvUNet", "SparseConvFCNet", "SparseConvFCNetNarrow",
+        "SparseConvFCNetDirectUpPool", "SparseConvFCNetDirectUpPoolLight",
+        "TextTransformer", "CLIPTransformer",
+        "MultiLabelContrastive", "MultiLabel", "FullySupervised",
+    ]:
+        assert name in MODEL_REGISTRY, name

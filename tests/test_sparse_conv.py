@@ -1,0 +1,212 @@
+"""Sparse convolution correctness vs dense oracles on tiny grids.
+
+Parity targets (SURVEY.md §4a): scn.SubmanifoldConvolution == dense conv3d
+evaluated at active sites (inactive neighbors contribute zero),
+scn.Convolution (strided), scn.Deconvolution, scn.UnPooling, scn.MaxPooling.
+Also checks autodiff (gather VJP = scatter-add) against the dense gradient.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tdwss.ops import (
+    voxelize,
+    build_plans,
+    subm_conv_apply,
+    strided_conv_apply,
+    deconv_apply,
+    unpool,
+    max_pool,
+)
+from tdwss.ops.coords import kernel_offsets
+
+
+EXTENT = 12
+
+
+def _sparse_scene(rng, n=160, cin=4, batch=2):
+    coords = np.concatenate(
+        [rng.integers(0, EXTENT, (n, 3)), rng.integers(0, batch, (n, 1))], axis=1
+    ).astype(np.int32)
+    feats = rng.normal(size=(n, cin)).astype(np.float32)
+    valid = np.ones(n, bool)
+    return coords, feats, valid
+
+
+def _densify(grid, vox_feats, batch=2, extent=EXTENT):
+    """Scatter sparse voxels into a dense (B, X, Y, Z, C) volume."""
+    c = vox_feats.shape[1]
+    dense = np.zeros((batch, extent, extent, extent, c), np.float32)
+    active = np.zeros((batch, extent, extent, extent), bool)
+    coords = np.asarray(grid.coords)
+    valid = np.asarray(grid.valid)
+    vf = np.asarray(vox_feats)
+    for i in range(coords.shape[0]):
+        if valid[i]:
+            x, y, z, b = coords[i]
+            dense[b, x, y, z] = vf[i]
+            active[b, x, y, z] = True
+    return dense, active
+
+
+def _dense_conv(dense, weight_taps, offsets, stride=1):
+    """Oracle: out[p] = sum_k W[k] @ in[stride*p + offset_k]."""
+    b, ex, ey, ez, cin = dense.shape
+    cout = weight_taps.shape[-1]
+    ox = ex // stride if stride > 1 else ex
+    out = np.zeros((b, ox, ox, ox, cout), np.float32)
+    for k, (dx, dy, dz) in enumerate(offsets):
+        for px in range(ox):
+            for py in range(ox):
+                for pz in range(ox):
+                    qx, qy, qz = stride * px + dx, stride * py + dy, stride * pz + dz
+                    if 0 <= qx < ex and 0 <= qy < ey and 0 <= qz < ez:
+                        out[:, px, py, pz] += dense[:, qx, qy, qz] @ weight_taps[k]
+    return out
+
+
+def test_subm_conv_matches_dense(rng):
+    coords, feats, valid = _sparse_scene(rng)
+    n = coords.shape[0]
+    grid, vfeats, _ = voxelize(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid), n)
+    plans = build_plans(grid, 1, [n])
+
+    w = rng.normal(size=(27, 4, 6)).astype(np.float32)
+    out = np.asarray(subm_conv_apply(vfeats, plans.levels[0].subm_rb, jnp.asarray(w)))
+
+    dense, active = _densify(grid, vfeats)
+    oracle = _dense_conv(dense, w, kernel_offsets(3))
+
+    coords_np = np.asarray(grid.coords)
+    for i in range(n):
+        if np.asarray(grid.valid)[i]:
+            x, y, z, b = coords_np[i]
+            np.testing.assert_allclose(out[i], oracle[b, x, y, z], rtol=1e-4, atol=1e-4)
+
+
+def test_strided_conv_matches_dense(rng):
+    coords, feats, valid = _sparse_scene(rng)
+    n = coords.shape[0]
+    grid, vfeats, _ = voxelize(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid), n)
+    plans = build_plans(grid, 2, [n, n])
+    lvl0, lvl1 = plans.levels
+
+    w = rng.normal(size=(8, 4, 5)).astype(np.float32)
+    out = np.asarray(strided_conv_apply(vfeats, lvl0.down_rb, jnp.asarray(w)))
+
+    dense, _ = _densify(grid, vfeats)
+    oracle = _dense_conv(dense, w, kernel_offsets(2), stride=2)
+
+    ccoords = np.asarray(lvl1.grid.coords)
+    cvalid = np.asarray(lvl1.grid.valid)
+    checked = 0
+    for i in range(ccoords.shape[0]):
+        if cvalid[i]:
+            x, y, z, b = ccoords[i]
+            np.testing.assert_allclose(out[i], oracle[b, x, y, z], rtol=1e-4, atol=1e-4)
+            checked += 1
+    assert checked > 10
+
+
+def test_coarse_coords_are_unique_floor_div(rng):
+    coords, feats, valid = _sparse_scene(rng)
+    n = coords.shape[0]
+    grid, _, _ = voxelize(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid), n)
+    plans = build_plans(grid, 2, [n, n])
+    fine = np.asarray(grid.coords)[np.asarray(grid.valid)]
+    coarse = np.asarray(plans.levels[1].grid.coords)[np.asarray(plans.levels[1].grid.valid)]
+    expect = {(x // 2, y // 2, z // 2, b) for x, y, z, b in fine}
+    got = {tuple(r) for r in coarse}
+    assert got == expect
+
+
+def test_deconv_routes_parent_through_child_tap(rng):
+    coords, feats, valid = _sparse_scene(rng)
+    n = coords.shape[0]
+    grid, vfeats, _ = voxelize(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid), n)
+    plans = build_plans(grid, 2, [n, n])
+    lvl0, lvl1 = plans.levels
+
+    cin, cout = 5, 3
+    coarse_feats = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
+    w = rng.normal(size=(8, cin, cout)).astype(np.float32)
+    out = np.asarray(
+        deconv_apply(coarse_feats, lvl0.parent, lvl0.child_offset, jnp.asarray(w),
+                     fine_valid=lvl0.grid.valid)
+    )
+
+    offsets = kernel_offsets(2)
+    fine = np.asarray(grid.coords)
+    fvalid = np.asarray(grid.valid)
+    parent = np.asarray(lvl0.parent)
+    cf = np.asarray(coarse_feats)
+    for i in range(n):
+        if not fvalid[i]:
+            np.testing.assert_array_equal(out[i], 0)
+            continue
+        ox, oy, oz = fine[i, 0] % 2, fine[i, 1] % 2, fine[i, 2] % 2
+        k = int(np.where((offsets == [ox, oy, oz]).all(axis=1))[0][0])
+        expect = cf[parent[i]] @ w[k]
+        np.testing.assert_allclose(out[i], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_unpool_and_maxpool(rng):
+    coords, feats, valid = _sparse_scene(rng)
+    n = coords.shape[0]
+    grid, vfeats, _ = voxelize(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid), n)
+    plans = build_plans(grid, 2, [n, n])
+    lvl0, lvl1 = plans.levels
+
+    coarse = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    up = np.asarray(unpool(coarse, lvl0.parent, fine_valid=lvl0.grid.valid))
+    parent = np.asarray(lvl0.parent)
+    fvalid = np.asarray(grid.valid)
+    for i in range(n):
+        if fvalid[i]:
+            np.testing.assert_allclose(up[i], np.asarray(coarse)[parent[i]])
+
+    mp = np.asarray(max_pool(vfeats, lvl0.parent, n))
+    # oracle: group fine voxels by parent
+    groups = {}
+    vf = np.asarray(vfeats)
+    for i in range(n):
+        if fvalid[i]:
+            groups.setdefault(parent[i], []).append(vf[i])
+    for p, rows in groups.items():
+        np.testing.assert_allclose(mp[p], np.max(rows, axis=0), rtol=1e-5, atol=1e-5)
+
+
+def test_subm_conv_gradients_match_dense(rng):
+    coords, feats, valid = _sparse_scene(rng, n=60, cin=3)
+    n = coords.shape[0]
+    grid, vfeats, _ = voxelize(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid), n)
+    plans = build_plans(grid, 1, [n])
+    w = jnp.asarray(rng.normal(size=(27, 3, 2)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32))
+
+    def f(feats_, w_):
+        return jnp.sum(subm_conv_apply(feats_, plans.levels[0].subm_rb, w_) * cot)
+
+    gf, gw = jax.grad(f, argnums=(0, 1))(vfeats, w)
+
+    # numerical check on a few entries
+    eps = 1e-3
+    vf = np.asarray(vfeats)
+    for (i, j) in [(0, 0), (5, 1), (17, 2)]:
+        pert = vf.copy()
+        pert[i, j] += eps
+        up = float(f(jnp.asarray(pert), w))
+        pert[i, j] -= 2 * eps
+        dn = float(f(jnp.asarray(pert), w))
+        num = (up - dn) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(gf)[i, j], num, rtol=2e-2, atol=2e-2)
+    wn = np.asarray(w)
+    for (k, a, b) in [(0, 0, 0), (13, 2, 1), (26, 1, 0)]:
+        pert = wn.copy()
+        pert[k, a, b] += eps
+        up = float(f(vfeats, jnp.asarray(pert)))
+        pert[k, a, b] -= 2 * eps
+        dn = float(f(vfeats, jnp.asarray(pert)))
+        num = (up - dn) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(gw)[k, a, b], num, rtol=2e-2, atol=2e-2)
