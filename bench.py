@@ -1,0 +1,102 @@
+"""Throughput benchmark: sparse-UNet fwd+bwd Mpoints/sec on one TPU chip.
+
+Config matches the reference README's 16-GB-GPU capacity anchor
+(m=32, block_reps=2, residual_blocks=True, scale=50 / 2cm voxels,
+batch_size=5 — reference README.md:13-21): one full jitted training step
+(forward + backward + Adam) of the SparseConvUNet MultiLabel model on a
+synthetic 5-scene ScanNet-sized batch.
+
+Baseline: the reference publishes no throughput number (BASELINE.md).  The
+denominator used for ``vs_baseline`` is a documented 2.0 Mpoints/s estimate
+for GPU SparseConvNet fwd+bwd on this config (16 GB-class GPU; ~1M-point
+batch in ~0.5 s).  BASELINE.json's target is >=5x GPU-SCN, i.e.
+``vs_baseline >= 5``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpoints/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+GPU_SCN_BASELINE_MPTS = 2.0  # documented estimate, see module docstring
+
+NUM_SCENES = 5
+POINTS_PER_SCENE = 150_000
+MAX_POINTS = 786_432  # static capacity (> 5 * 150k)
+STEPS = 20
+WARMUP = 3
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tdwss.config import (
+        Config,
+        EngineConfig,
+        LossConfig,
+        PointcloudDataConfig,
+        PointcloudModelConfig,
+    )
+    from tdwss.data.collate import train_collate
+    from tdwss.data.synthetic import make_dataset
+    from tdwss.engine.steps import init_state, make_optimizer, make_train_step
+
+    cfg = Config(
+        training_name="bench",
+        model_name="MultiLabel",
+        label="scene_level",
+        has_text=False,
+        pointcloud_data=PointcloudDataConfig(scale=50, batch_size=NUM_SCENES),
+        pointcloud_model=PointcloudModelConfig(
+            name="SparseConvUNet", m=32, full_scale=4096, block_reps=2,
+            residual_blocks=True,
+        ),
+        loss=LossConfig(Classification=True),
+        engine=EngineConfig(
+            max_points=MAX_POINTS,
+            level_capacity_shrink=2,
+            min_level_capacity=8192,
+        ),
+    )
+
+    rng = np.random.default_rng(0)
+    scenes = make_dataset(NUM_SCENES, num_points=POINTS_PER_SCENE, seed=7,
+                          with_text=False)
+    batch = train_collate(scenes, cfg, rng)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    valid_points = int(np.asarray(batch.valid).sum())
+
+    from tdwss.models import build_model
+
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=100)
+    state = init_state(cfg, model, tx, batch)
+    train_step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
+
+    # compile + warmup
+    for _ in range(WARMUP):
+        state, aux = train_step(state, batch)
+    jax.block_until_ready(state.params)
+
+    start = time.perf_counter()
+    for _ in range(STEPS):
+        state, aux = train_step(state, batch)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - start
+
+    mpts = valid_points * STEPS / elapsed / 1e6
+    print(json.dumps({
+        "metric": "sparse_unet_m32_train_throughput",
+        "value": round(mpts, 3),
+        "unit": "Mpoints/s",
+        "vs_baseline": round(mpts / GPU_SCN_BASELINE_MPTS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

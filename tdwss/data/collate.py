@@ -1,0 +1,192 @@
+"""Fixed-shape batch assembly (trainMerge / valMerge parity).
+
+The reference collate fns (dataset/data.py:135-238, 256-319) emit ragged
+tensors + python ``batch_offsets``.  Here every batch is padded to the
+static ``max_points`` capacity and carries masks (see
+:mod:`tdwss.data.batch`), so one compiled program serves every step.
+
+Overflow policy: if the concatenated scenes exceed capacity, a uniform
+random subset is kept (and the event is visible via ``CollateStats``); the
+reference could not overflow because SCN ran dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from tdwss import NUM_CLASSES
+from tdwss.config import Config
+from tdwss.data.augment import (
+    color_jitter,
+    scene_label_from_points,
+    train_transform,
+    val_transform,
+)
+from tdwss.data.batch import PointBatch, TextBatch
+from tdwss.data.synthetic import Scene
+from tdwss.data.tokenizer import tokenize
+
+
+@dataclass
+class CollateStats:
+    total_points: int = 0
+    dropped_points: int = 0
+
+
+def _pad_points(arrays: dict, n_actual: int, capacity: int,
+                rng: np.random.Generator, stats: Optional[CollateStats]):
+    """Pad (or uniformly subsample) the concatenated point arrays."""
+    if stats is not None:
+        stats.total_points += n_actual
+    if n_actual > capacity:
+        keep = rng.permutation(n_actual)[:capacity]
+        keep.sort()
+        arrays = {k: v[keep] for k, v in arrays.items()}
+        if stats is not None:
+            stats.dropped_points += n_actual - capacity
+        n_actual = capacity
+    out = {}
+    for key, value in arrays.items():
+        pad_shape = (capacity - n_actual,) + value.shape[1:]
+        pad_value = -100 if key == "point_label" else 0
+        out[key] = np.concatenate(
+            [value, np.full(pad_shape, pad_value, value.dtype)], axis=0
+        )
+    valid = np.zeros(capacity, bool)
+    valid[:n_actual] = True
+    return out, valid
+
+
+def train_collate(scenes: Sequence[Scene], cfg: Config,
+                  rng: np.random.Generator,
+                  stats: Optional[CollateStats] = None) -> PointBatch:
+    """trainMerge parity over a list of scenes (+pseudo/text modes)."""
+    pcd = cfg.pointcloud_data
+    full_scale = cfg.pointcloud_model.full_scale
+    use_pseudo = cfg.label == "pseudo"
+
+    coords_l, feats_l, label_l, batch_l = [], [], [], []
+    scene_labels = []
+    token_rows = []
+    text_valid = []
+    for idx, scene in enumerate(scenes):
+        a, keep, _ = train_transform(
+            scene.points, pcd.scale, full_scale, rng,
+            elastic_deformation=pcd.elastic_deformation,
+        )
+        a = a[keep]
+        b = scene.colors[keep]
+        labels = scene.labels[keep]
+        if use_pseudo:
+            if scene.pseudo_labels is None:
+                raise ValueError(f"scene {scene.name} lacks pseudo labels")
+            labels = scene.pseudo_labels[keep]
+        coords_l.append(np.floor(a).astype(np.int32))
+        feats_l.append(color_jitter(b, rng))
+        label_l.append(labels.astype(np.int32))
+        batch_l.append(np.full(a.shape[0], idx, np.int32))
+        scene_labels.append(scene_label_from_points(scene.labels[keep], NUM_CLASSES))
+
+        if cfg.has_text:
+            texts = scene.texts[: cfg.text_data.cropped_texts]
+            row = np.zeros((cfg.text_data.cropped_texts, cfg.text_data.max_seq_len), np.int32)
+            if texts:
+                toks = tokenize(texts, cfg.text_data.max_seq_len,
+                                vocab_size=cfg.text_model.vocab_size)
+                row[: toks.shape[0]] = toks
+            token_rows.append(row)
+            text_valid.append(bool(texts))
+
+    coords3 = np.concatenate(coords_l)
+    arrays = {
+        "coords": np.concatenate(
+            [coords3, np.concatenate(batch_l)[:, None]], axis=1
+        ),
+        "feats": np.concatenate(feats_l).astype(np.float32),
+        "point_label": np.concatenate(label_l),
+    }
+    arrays, valid = _pad_points(
+        arrays, coords3.shape[0], cfg.engine.max_points, rng, stats
+    )
+
+    text = None
+    if cfg.has_text:
+        text = TextBatch(
+            tokens=np.stack(token_rows),
+            has_text=np.arange(len(scenes), dtype=np.int32),
+            valid=np.asarray(text_valid, bool),
+        )
+
+    return PointBatch(
+        coords=arrays["coords"],
+        feats=arrays["feats"],
+        valid=valid,
+        scene_label=np.stack(scene_labels),
+        scene_mask=np.ones(len(scenes), bool),
+        point_label=arrays["point_label"],
+        point_ids=np.full(cfg.engine.max_points, -1, np.int32),
+        text=text,
+    )
+
+
+def val_collate(scenes: Sequence[Scene], cfg: Config,
+                rng: np.random.Generator,
+                scene_offsets: Sequence[int],
+                scene_indices: Sequence[int],
+                stats: Optional[CollateStats] = None,
+                num_scenes: Optional[int] = None) -> PointBatch:
+    """valMerge parity: random view + global point_ids for vote accumulation.
+
+    ``scene_offsets[i]`` is the global offset of dataset scene ``i``'s points
+    (valOffsets parity, data.py:249-254); ``scene_indices`` are the dataset
+    indices of ``scenes``.  ``num_scenes`` pads the scene axis to a static
+    size so a final partial batch reuses the compiled program.
+    """
+    pcd = cfg.pointcloud_data
+    full_scale = cfg.pointcloud_model.full_scale
+
+    coords_l, feats_l, label_l, batch_l, pid_l = [], [], [], [], []
+    scene_labels = []
+    for idx, (scene, ds_idx) in enumerate(zip(scenes, scene_indices)):
+        a, keep = val_transform(scene.points, pcd.scale, full_scale, rng)
+        a = a[keep]
+        coords_l.append(np.floor(a).astype(np.int32))
+        feats_l.append(scene.colors[keep].astype(np.float32))
+        label_l.append(scene.labels[keep].astype(np.int32))
+        batch_l.append(np.full(a.shape[0], idx, np.int32))
+        pid_l.append(np.nonzero(keep)[0].astype(np.int32) + scene_offsets[ds_idx])
+        scene_labels.append(scene_label_from_points(scene.labels[keep], NUM_CLASSES))
+
+    coords3 = np.concatenate(coords_l)
+    arrays = {
+        "coords": np.concatenate(
+            [coords3, np.concatenate(batch_l)[:, None]], axis=1
+        ),
+        "feats": np.concatenate(feats_l),
+        "point_label": np.concatenate(label_l),
+        "point_ids": np.concatenate(pid_l),
+    }
+    arrays, valid = _pad_points(
+        arrays, coords3.shape[0], cfg.engine.max_points, rng, stats
+    )
+    arrays["point_ids"] = np.where(valid, arrays["point_ids"], -1)
+
+    b = num_scenes or len(scenes)
+    scene_label = np.zeros((b, NUM_CLASSES), np.float32)
+    scene_label[: len(scenes)] = np.stack(scene_labels)
+    scene_mask = np.zeros(b, bool)
+    scene_mask[: len(scenes)] = True
+
+    return PointBatch(
+        coords=arrays["coords"],
+        feats=arrays["feats"],
+        valid=valid,
+        scene_label=scene_label,
+        scene_mask=scene_mask,
+        point_label=arrays["point_label"],
+        point_ids=arrays["point_ids"],
+        text=None,
+    )

@@ -1,0 +1,79 @@
+"""Host batch iterators with background prefetch.
+
+Replaces the reference's torch DataLoaders (dataset/data.py:239-247,
+312-319): shuffled train batches with drop_last, val batches carrying global
+point ids.  Augmentation + collation run on host threads so the accelerator
+step overlaps with preparation of the next batch (SURVEY.md §2.5 host data
+parallelism).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from tdwss.config import Config
+from tdwss.data.batch import PointBatch
+from tdwss.data.collate import CollateStats, train_collate, val_collate
+from tdwss.data.synthetic import Scene
+
+
+def _prefetch(gen, depth: int = 2):
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
+
+
+def train_batches(scenes: Sequence[Scene], cfg: Config, epoch: int,
+                  stats: Optional[CollateStats] = None,
+                  prefetch: bool = True) -> Iterator[PointBatch]:
+    """Shuffled, drop_last batches of ``cfg.pointcloud_data.batch_size``."""
+    rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, epoch]))
+    order = rng.permutation(len(scenes))
+    bs = cfg.pointcloud_data.batch_size
+
+    def gen():
+        for start in range(0, len(order) - bs + 1, bs):
+            sel = [scenes[i] for i in order[start: start + bs]]
+            yield train_collate(sel, cfg, rng, stats)
+
+    return _prefetch(gen()) if prefetch else gen()
+
+
+def val_batches(scenes: Sequence[Scene], cfg: Config,
+                scene_offsets: np.ndarray, rep: int,
+                stats: Optional[CollateStats] = None,
+                prefetch: bool = True) -> Iterator[PointBatch]:
+    """Sequential val batches (one random view per rep), with point_ids."""
+    rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, 7777, rep]))
+    bs = cfg.pointcloud_data.batch_size
+
+    def gen():
+        for start in range(0, len(scenes), bs):
+            idx = list(range(start, min(start + bs, len(scenes))))
+            sel = [scenes[i] for i in idx]
+            yield val_collate(sel, cfg, rng, scene_offsets, idx, stats,
+                              num_scenes=bs)
+
+    return _prefetch(gen()) if prefetch else gen()
+
+
+def steps_per_epoch(num_scenes: int, batch_size: int) -> int:
+    return num_scenes // batch_size

@@ -1,0 +1,124 @@
+"""Training driver (reference train.py parity).
+
+Epoch loop: jitted train step (Adam 1e-3, StepLR 100/0.1), per-epoch
+checkpoint with auto-resume, validation at power-of-2 epochs or every 32nd
+(``scn.is_power2(epoch) or epoch % 32 == 0``, train.py:94), TB-style scalar
+logging of train loss and validation mIoU, MegaMulAdd reporting from XLA
+cost analysis, parameter-count printout.
+
+Fixes vs the reference (SURVEY.md §3.6 latent-bug ledger): the loss
+denominator uses a dedicated step counter (ref train.py:60 clobbered ``i``),
+and the text-contrastive loss consumes the model meta tuple (ref
+train.py:76 clobbered it with the registry entry).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdwss.config import Config
+from tdwss.data.collate import CollateStats
+from tdwss.data.dataset import load_train_val
+from tdwss.data.loader import steps_per_epoch, train_batches
+from tdwss.engine.evaluate import validate
+from tdwss.engine.steps import (
+    TrainState,
+    init_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from tdwss.models import build_model
+from tdwss.utils.checkpoint import Checkpointer
+from tdwss.utils.flops import mega_mul_add, param_count
+from tdwss.utils.logging_util import ScalarLogger
+
+
+def is_power2(n: int) -> bool:
+    return n > 0 and (n & (n - 1)) == 0
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_scenes=None, val_scenes=None,
+                 use_checkpoints: bool = True, verbose: bool = True):
+        self.cfg = cfg
+        self.verbose = verbose
+        if train_scenes is None or val_scenes is None:
+            train_scenes, val_scenes = load_train_val(cfg)
+        self.train_scenes = train_scenes
+        self.val_scenes = val_scenes
+        if verbose:
+            print("Training examples:", len(train_scenes))
+            print("Validation examples:", len(val_scenes))
+
+        self.model = build_model(cfg)
+        self.spe = steps_per_epoch(len(train_scenes), cfg.pointcloud_data.batch_size)
+        self.tx = make_optimizer(cfg, self.spe)
+        self.train_step = jax.jit(make_train_step(cfg, self.model, self.tx))
+        self.eval_step = jax.jit(make_eval_step(self.model))
+
+        example = next(iter(train_batches(train_scenes, cfg, epoch=0, prefetch=False)))
+        example = jax.tree_util.tree_map(jnp.asarray, example)
+        self.state = init_state(cfg, self.model, self.tx, example)
+        self._example = example
+        if verbose:
+            print("#classifier parameters", param_count(self.state.params))
+
+        self.ckpt: Optional[Checkpointer] = None
+        self.start_epoch = 1
+        if use_checkpoints:
+            exp_dir = os.path.join("exp", cfg.training_name, "checkpoints")
+            self.ckpt = Checkpointer(exp_dir)
+            self.state, self.start_epoch = self.ckpt.restore_latest(self.state)
+            if verbose:
+                print("Start from epoch", self.start_epoch)
+        self.logger = ScalarLogger(os.path.join("exp", cfg.training_name))
+
+    def run_epoch(self, epoch: int) -> float:
+        stats = CollateStats()
+        train_loss = 0.0
+        num_steps = 0
+        for batch in train_batches(self.train_scenes, self.cfg, epoch, stats):
+            batch = jax.tree_util.tree_map(jnp.asarray, batch)
+            self.state, aux = self.train_step(self.state, batch)
+            train_loss += float(aux["loss"])
+            num_steps += 1
+        return train_loss / max(num_steps, 1)
+
+    def fit(self, epochs: Optional[int] = None) -> List[float]:
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        history = []
+        madds = None
+        for epoch in range(self.start_epoch, epochs + 1):
+            start = time.time()
+            mean_loss = self.run_epoch(epoch)
+            history.append(mean_loss)
+            if madds is None:
+                madds = mega_mul_add(
+                    self.train_step, self.state, self._example,
+                    per=cfg.pointcloud_data.batch_size,
+                )
+            if self.verbose:
+                print(
+                    epoch, "Train loss", mean_loss,
+                    "MegaMulAdd", round(madds, 1),
+                    "time", round(time.time() - start, 2), "s",
+                )
+            self.logger.scalar("Train Loss", mean_loss, epoch)
+            if self.ckpt is not None:
+                self.ckpt.save(epoch, self.state)
+
+            if (is_power2(epoch) or epoch % 32 == 0) and self.val_scenes:
+                ious = validate(
+                    cfg, self.model, self.state.params, self.state.batch_stats,
+                    self.val_scenes, verbose=self.verbose,
+                )
+                self.logger.scalar("Validation accuracy", ious[-1], epoch)
+        return history

@@ -1,0 +1,93 @@
+"""Data parallelism over an ICI device mesh (pjit / shard_map).
+
+The reference has no working distributed mode — one config stub
+(`subcloud_uppool_4gpu.yaml`: ``options: [distributed]``, batch 30, lr 4e-3)
+with no DDP code behind it (SURVEY.md §2.5).  Here DP is first-class and
+TPU-native:
+
+- a 1-D ``Mesh`` over the 'data' axis (chips within a slice, ICI-connected);
+- each device holds an independent fixed-capacity :class:`PointBatch`
+  (leading device axis, sharded with ``P('data')``) — sharding the *point*
+  axis instead would split scenes across chips and break rulebook locality;
+- the single-chip train step body runs under ``shard_map`` with
+  ``lax.pmean`` on gradients and BN batch statistics (sync-BN), so XLA emits
+  ICI all-reduces; optimizer state and params stay replicated.
+
+The `subcloud_uppool_4gpu` experiment becomes a 4-chip mesh run of the same
+program.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+try:
+    from jax import shard_map  # jax >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tdwss.config import Config
+from tdwss.data.batch import PointBatch
+from tdwss.engine.steps import TrainState, make_train_step
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]), (axis,))
+
+
+def stack_batches(batches: Sequence[PointBatch]) -> PointBatch:
+    """Stack per-device batches along a new leading device axis."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+
+def shard_batch(stacked: PointBatch, mesh: Mesh, axis: str = "data") -> PointBatch:
+    """Place a device-stacked batch so axis 0 shards across the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), stacked
+    )
+
+
+def make_dp_train_step(cfg: Config, model, tx, mesh: Mesh, axis: str = "data"):
+    """shard_map'd train step: per-device batch, pmean'd grads/stats.
+
+    Input state is replicated (P()), batch leading axis sharded (P(axis));
+    outputs are replicated again because pmean synchronizes every
+    device-varying quantity before the optimizer update.
+    """
+    step = make_train_step(cfg, model, tx, pmean_axis=axis)
+
+    def per_device(state: TrainState, dev_batch: PointBatch):
+        # strip the leading device axis of size 1 within each shard
+        local = jax.tree_util.tree_map(lambda x: x[0], dev_batch)
+        return step(state, local)
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def dp_train_batches(scenes, cfg: Config, epoch: int, num_devices: int,
+                     stats=None):
+    """Group the host loader's batches into device-stacked super-batches."""
+    from tdwss.data.loader import train_batches
+
+    group: List[PointBatch] = []
+    for batch in train_batches(scenes, cfg, epoch, stats):
+        group.append(batch)
+        if len(group) == num_devices:
+            yield stack_batches(group)
+            group = []

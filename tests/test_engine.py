@@ -1,0 +1,130 @@
+"""End-to-end engine tests on synthetic scenes (SURVEY.md §4e).
+
+One-scene-family overfit check, multi-view voting validation, checkpoint
+resume, and the full weak-supervision loop (sweep -> generate -> retrain
+FullySupervised on pseudo labels).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tdwss.config import (
+    Config,
+    EngineConfig,
+    LossConfig,
+    PointcloudDataConfig,
+    PointcloudModelConfig,
+)
+from tdwss.data.synthetic import make_dataset
+from tdwss.engine.pseudo import generate_pseudo_labels, threshold_sweep
+from tdwss.engine.train import Trainer, is_power2
+
+
+def _cfg(tmp_path=None, label="scene_level", model="MultiLabel"):
+    return Config(
+        training_name="test_run",
+        model_name=model,
+        label=label,
+        pointcloud_data=PointcloudDataConfig(scale=10, val_reps=2, batch_size=2),
+        pointcloud_model=PointcloudModelConfig(
+            name="SparseConvFCNet", m=4, full_scale=64, block_reps=1,
+            residual_blocks=False, depth=3,
+        ),
+        loss=LossConfig(Classification=True, TextContrastive=False),
+        engine=EngineConfig(max_points=4096, min_level_capacity=256),
+        epochs=4,
+        path=str(tmp_path) if tmp_path else "pseudo_out",
+    )
+
+
+@pytest.fixture(scope="module")
+def scenes():
+    train = make_dataset(4, num_points=1500, seed=3, with_text=False)
+    val = make_dataset(2, num_points=1500, seed=103, with_text=False)
+    return train, val
+
+
+def test_is_power2_schedule():
+    assert [e for e in range(1, 40) if is_power2(e) or e % 32 == 0] == [
+        1, 2, 4, 8, 16, 32,
+    ]
+
+
+def test_overfit_loss_decreases(scenes):
+    train, val = scenes
+    cfg = _cfg()
+    trainer = Trainer(cfg, train, val, use_checkpoints=False, verbose=False)
+    history = trainer.fit(epochs=4)
+    assert len(history) == 4
+    assert np.isfinite(history).all()
+    assert history[-1] < history[0], history
+
+
+def test_validate_runs_and_votes(scenes):
+    train, val = scenes
+    cfg = _cfg()
+    trainer = Trainer(cfg, train, val, use_checkpoints=False, verbose=False)
+    from tdwss.engine.evaluate import validate
+
+    ious = validate(cfg, trainer.model, trainer.state.params,
+                    trainer.state.batch_stats, val, reps=2, verbose=False)
+    assert len(ious) == 2
+    assert all(0.0 <= x <= 1.0 for x in ious)
+
+
+def test_checkpoint_resume(tmp_path, scenes, monkeypatch):
+    train, val = scenes
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg()
+    t1 = Trainer(cfg, train, val, use_checkpoints=True, verbose=False)
+    t1.fit(epochs=2)
+    t1.ckpt.close()
+
+    t2 = Trainer(cfg, train, val, use_checkpoints=True, verbose=False)
+    assert t2.start_epoch == 3
+    p1 = jax.tree_util.tree_leaves(t1.state.params)
+    p2 = jax.tree_util.tree_leaves(t2.state.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t2.ckpt.close()
+
+
+def test_pseudo_label_loop(tmp_path, scenes):
+    train, val = scenes
+    cfg = _cfg(tmp_path)
+    trainer = Trainer(cfg, train, val, use_checkpoints=False, verbose=False)
+    trainer.fit(epochs=2)
+
+    sweep = threshold_sweep(
+        cfg, trainer.model, trainer.state.params, trainer.state.batch_stats,
+        train, thresholds=np.linspace(0.6, 0.8, 3),
+        plot_path=os.path.join(tmp_path, "Statistics.jpg"), verbose=False,
+    )
+    assert sweep["labelnum_prop"].shape == (3,)
+    # higher threshold -> fewer labels
+    assert sweep["labelnum_prop"][0] >= sweep["labelnum_prop"][-1]
+
+    generated, correct, total = generate_pseudo_labels(
+        cfg, trainer.model, trainer.state.params, trainer.state.batch_stats,
+        train, threshold=0.6, verbose=False,
+    )
+    assert 0 < generated <= total
+
+    # reload with pseudo labels and retrain FullySupervised
+    saving_path = os.path.join(str(tmp_path), "test_run_thresh0.6")
+    files = os.listdir(saving_path)
+    assert len(files) == len(train)
+    for scene in train:
+        scene.pseudo_labels = np.load(
+            os.path.join(saving_path, scene.name + cfg.suffix)
+        )
+        assert scene.pseudo_labels.shape == scene.labels.shape
+
+    cfg2 = _cfg(tmp_path, label="pseudo", model="FullySupervised")
+    t2 = Trainer(cfg2, train, val, use_checkpoints=False, verbose=False)
+    history = t2.fit(epochs=2)
+    assert np.isfinite(history).all()
