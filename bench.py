@@ -61,6 +61,7 @@ def main() -> None:
             max_points=MAX_POINTS,
             level_capacity_shrink=2,
             min_level_capacity=8192,
+            compute_dtype="bfloat16",
         ),
     )
 
@@ -79,9 +80,13 @@ def main() -> None:
     train_step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
 
     # compile + warmup
-    for _ in range(WARMUP):
+    import sys
+
+    t0 = time.perf_counter()
+    for i in range(WARMUP):
         state, aux = train_step(state, batch)
-    jax.block_until_ready(state.params)
+        jax.block_until_ready(state.params)
+        print(f"warmup {i}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     start = time.perf_counter()
     for _ in range(STEPS):

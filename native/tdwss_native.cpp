@@ -1,0 +1,251 @@
+// tdwss native host-side data ops.
+//
+// TPU-native rebuild of the reference's C++ data-prep components
+// (SURVEY.md §2.2): KPConv grid subsampling
+// (models/KPConv/cpp_wrappers/cpp_subsampling/grid_subsampling.cpp),
+// KPConv radius neighbors (cpp_neighbors/neighbors.cpp + nanoflann), and the
+// CGAL region-growing plane detector
+// (ops/GeometricSelectiveSearch/shape_det/region_growing_on_point_set_3.cpp).
+//
+// Design: all spatial queries use a uniform voxel hash grid (open-addressed
+// robin-hood-ish map) instead of KD-trees — simpler, cache-friendly, and the
+// same machinery the device-side voxelizer uses.  Exposed as a C ABI for
+// ctypes (no pybind11 in this image).
+//
+// Build: make -C native  (g++ -O3 -fPIC -shared)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Key {
+    int32_t x, y, z;
+    bool operator==(const Key& o) const { return x == o.x && y == o.y && z == o.z; }
+};
+
+struct KeyHash {
+    size_t operator()(const Key& k) const {
+        // 3D integer hash (large primes, xor-fold)
+        uint64_t h = static_cast<uint64_t>(k.x) * 73856093ull
+                   ^ static_cast<uint64_t>(k.y) * 19349669ull
+                   ^ static_cast<uint64_t>(k.z) * 83492791ull;
+        return static_cast<size_t>(h);
+    }
+};
+
+inline Key cell_of(const float* p, float inv_dl) {
+    return Key{static_cast<int32_t>(std::floor(p[0] * inv_dl)),
+               static_cast<int32_t>(std::floor(p[1] * inv_dl)),
+               static_cast<int32_t>(std::floor(p[2] * inv_dl))};
+}
+
+}  // namespace
+
+extern "C" {
+
+// Voxel-grid barycenter subsampling (KPConv grid_subsampling parity):
+// pooled point = mean of member points, pooled features = mean, pooled
+// label = majority vote.  Returns the number of output points (<= n).
+// out_* buffers must hold n entries.
+int32_t grid_subsample(const float* points, int64_t n,
+                       const float* features, int32_t fdim,
+                       const int32_t* labels,
+                       float cell_size,
+                       float* out_points, float* out_features,
+                       int32_t* out_labels) {
+    if (n <= 0 || cell_size <= 0) return 0;
+    const float inv_dl = 1.0f / cell_size;
+    std::unordered_map<Key, int32_t, KeyHash> cells;
+    cells.reserve(static_cast<size_t>(n) * 2);
+
+    std::vector<int32_t> counts;
+    std::vector<std::unordered_map<int32_t, int32_t>> label_votes;
+    int32_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        Key key = cell_of(points + 3 * i, inv_dl);
+        auto it = cells.find(key);
+        int32_t idx;
+        if (it == cells.end()) {
+            idx = m++;
+            cells.emplace(key, idx);
+            counts.push_back(0);
+            std::memset(out_points + 3 * idx, 0, 3 * sizeof(float));
+            if (features)
+                std::memset(out_features + fdim * idx, 0, fdim * sizeof(float));
+            if (labels) label_votes.emplace_back();
+        } else {
+            idx = it->second;
+        }
+        counts[idx] += 1;
+        for (int d = 0; d < 3; ++d) out_points[3 * idx + d] += points[3 * i + d];
+        if (features)
+            for (int d = 0; d < fdim; ++d)
+                out_features[fdim * idx + d] += features[fdim * i + d];
+        if (labels) label_votes[idx][labels[i]] += 1;
+    }
+    for (int32_t j = 0; j < m; ++j) {
+        const float inv = 1.0f / counts[j];
+        for (int d = 0; d < 3; ++d) out_points[3 * j + d] *= inv;
+        if (features)
+            for (int d = 0; d < fdim; ++d) out_features[fdim * j + d] *= inv;
+        if (labels) {
+            int32_t best = -100, best_count = -1;
+            for (auto& kv : label_votes[j])
+                if (kv.second > best_count) { best_count = kv.second; best = kv.first; }
+            out_labels[j] = best;
+        }
+    }
+    return m;
+}
+
+// Radius neighbors via hash grid (KPConv batch_neighbors parity):
+// for each query, indices of support points within `radius`, padded with -1
+// to `max_neighbors` (closest kept when overflowing).
+void radius_neighbors(const float* queries, int64_t nq,
+                      const float* supports, int64_t ns,
+                      float radius, int32_t max_neighbors,
+                      int32_t* out_idx) {
+    const float inv_dl = 1.0f / radius;
+    const float r2 = radius * radius;
+    std::unordered_map<Key, std::vector<int32_t>, KeyHash> grid;
+    grid.reserve(static_cast<size_t>(ns) * 2);
+    for (int64_t i = 0; i < ns; ++i)
+        grid[cell_of(supports + 3 * i, inv_dl)].push_back(static_cast<int32_t>(i));
+
+    std::vector<std::pair<float, int32_t>> found;
+    for (int64_t q = 0; q < nq; ++q) {
+        found.clear();
+        const float* qp = queries + 3 * q;
+        Key c = cell_of(qp, inv_dl);
+        for (int dx = -1; dx <= 1; ++dx)
+            for (int dy = -1; dy <= 1; ++dy)
+                for (int dz = -1; dz <= 1; ++dz) {
+                    auto it = grid.find(Key{c.x + dx, c.y + dy, c.z + dz});
+                    if (it == grid.end()) continue;
+                    for (int32_t s : it->second) {
+                        const float* sp = supports + 3 * s;
+                        float d2 = 0;
+                        for (int d = 0; d < 3; ++d) {
+                            float t = qp[d] - sp[d];
+                            d2 += t * t;
+                        }
+                        if (d2 <= r2) found.emplace_back(d2, s);
+                    }
+                }
+        if (static_cast<int32_t>(found.size()) > max_neighbors) {
+            std::partial_sort(found.begin(), found.begin() + max_neighbors,
+                              found.end());
+            found.resize(max_neighbors);
+        }
+        int32_t* row = out_idx + static_cast<int64_t>(max_neighbors) * q;
+        int32_t k = 0;
+        for (auto& pr : found) row[k++] = pr.second;
+        for (; k < max_neighbors; ++k) row[k] = -1;
+    }
+}
+
+// Region growing plane detection (CGAL shape_det parity):
+// greedy BFS growth from unassigned seeds over k-NN graph; a neighbor joins
+// a region if its distance to the region plane < max_dist and its normal is
+// within max_angle_deg of the region normal; regions smaller than min_region
+// are discarded.  Plane is refit (incremental centroid/normal averaging).
+// out_region: per-point region id, -1 = unassigned.  Returns #regions.
+int32_t region_grow(const float* points, const float* normals, int64_t n,
+                    int32_t k, float max_dist, float max_angle_deg,
+                    int32_t min_region, float cell_size,
+                    int32_t* out_region) {
+    if (n == 0) return 0;
+    // kNN via hash grid with expanding ring search
+    const float inv_dl = 1.0f / cell_size;
+    std::unordered_map<Key, std::vector<int32_t>, KeyHash> grid;
+    grid.reserve(static_cast<size_t>(n) * 2);
+    for (int64_t i = 0; i < n; ++i)
+        grid[cell_of(points + 3 * i, inv_dl)].push_back(static_cast<int32_t>(i));
+
+    std::vector<int32_t> knn(static_cast<size_t>(n) * k, -1);
+    std::vector<std::pair<float, int32_t>> cand;
+    for (int64_t i = 0; i < n; ++i) {
+        cand.clear();
+        const float* p = points + 3 * i;
+        Key c = cell_of(p, inv_dl);
+        for (int ring = 1; ring <= 3 && static_cast<int32_t>(cand.size()) < k + 1; ++ring) {
+            cand.clear();
+            for (int dx = -ring; dx <= ring; ++dx)
+                for (int dy = -ring; dy <= ring; ++dy)
+                    for (int dz = -ring; dz <= ring; ++dz) {
+                        auto it = grid.find(Key{c.x + dx, c.y + dy, c.z + dz});
+                        if (it == grid.end()) continue;
+                        for (int32_t s : it->second) {
+                            if (s == i) continue;
+                            const float* sp = points + 3 * s;
+                            float d2 = 0;
+                            for (int d = 0; d < 3; ++d) {
+                                float t = p[d] - sp[d];
+                                d2 += t * t;
+                            }
+                            cand.emplace_back(d2, s);
+                        }
+                    }
+        }
+        int32_t kk = std::min<int32_t>(k, static_cast<int32_t>(cand.size()));
+        std::partial_sort(cand.begin(), cand.begin() + kk, cand.end());
+        for (int32_t j = 0; j < kk; ++j) knn[i * k + j] = cand[j].second;
+    }
+
+    const float cos_thresh = std::cos(max_angle_deg * 3.14159265358979f / 180.0f);
+    std::fill(out_region, out_region + n, -1);
+    int32_t num_regions = 0;
+    std::vector<int32_t> queue;
+    std::vector<int32_t> members;
+    for (int64_t seed = 0; seed < n; ++seed) {
+        if (out_region[seed] != -1) continue;
+        // region state: centroid + averaged normal
+        double cx = 0, cy = 0, cz = 0, nx = normals[3 * seed],
+               ny = normals[3 * seed + 1], nz = normals[3 * seed + 2];
+        members.clear();
+        queue.clear();
+        queue.push_back(static_cast<int32_t>(seed));
+        out_region[seed] = num_regions;
+        members.push_back(static_cast<int32_t>(seed));
+        cx = points[3 * seed]; cy = points[3 * seed + 1]; cz = points[3 * seed + 2];
+        size_t head = 0;
+        while (head < queue.size()) {
+            int32_t cur = queue[head++];
+            for (int32_t j = 0; j < k; ++j) {
+                int32_t nb = knn[static_cast<size_t>(cur) * k + j];
+                if (nb < 0 || out_region[nb] != -1) continue;
+                // normal agreement
+                const float* nn = normals + 3 * nb;
+                double nlen = std::sqrt(nx * nx + ny * ny + nz * nz) + 1e-12;
+                double dot = (nn[0] * nx + nn[1] * ny + nn[2] * nz) / nlen;
+                if (std::fabs(dot) < cos_thresh) continue;
+                // distance to current region plane
+                double mcnt = static_cast<double>(members.size());
+                double px = points[3 * nb] - cx / mcnt;
+                double py = points[3 * nb + 1] - cy / mcnt;
+                double pz = points[3 * nb + 2] - cz / mcnt;
+                double dist = std::fabs((px * nx + py * ny + pz * nz) / nlen);
+                if (dist > max_dist) continue;
+                out_region[nb] = num_regions;
+                queue.push_back(nb);
+                members.push_back(nb);
+                cx += points[3 * nb]; cy += points[3 * nb + 1]; cz += points[3 * nb + 2];
+                double sign = dot >= 0 ? 1.0 : -1.0;
+                nx += sign * nn[0]; ny += sign * nn[1]; nz += sign * nn[2];
+            }
+        }
+        if (static_cast<int32_t>(members.size()) < min_region) {
+            for (int32_t mIdx : members) out_region[mIdx] = -1;
+        } else {
+            ++num_regions;
+        }
+    }
+    return num_regions;
+}
+
+}  // extern "C"

@@ -49,6 +49,8 @@ def _build_encoder(pc_config: PointcloudModelConfig, engine: Optional[Any] = Non
             max_voxels=engine.max_voxels,
             level_capacity_shrink=engine.level_capacity_shrink,
             min_level_capacity=engine.min_level_capacity,
+            compute_dtype=engine.compute_dtype,
+            remat=engine.remat,
         )
     return cls(name="pc_encoder", **kwargs), embed
 

@@ -192,6 +192,8 @@ class _SparseEncoderBase(nn.Module):
     max_voxels: int = 0                   # 0 => number of input points
     level_capacity_shrink: int = 2
     min_level_capacity: int = 2048
+    compute_dtype: str = "float32"        # bfloat16 halves HBM traffic
+    remat: bool = False                   # rematerialize level bodies
     body_kind: str = "unet"
 
     def plane_schedule(self) -> Tuple[int, ...]:
@@ -217,14 +219,18 @@ class _SparseEncoderBase(nn.Module):
         grid, vfeats, p2v = voxelize(coords, feats, valid, cap0, mode="mean")
         plans = build_plans(grid, len(planes), caps, (f, s), subm_kernel=3)
 
+        vfeats = vfeats.astype(jnp.dtype(self.compute_dtype))
         h = SubmConv(self.m, 27, name="stem")(vfeats, plans.levels[0].subm_rb)
         body = _BODIES[self.body_kind]
+        if self.remat:
+            # trade FLOPs for HBM: recompute the body in the backward pass
+            body = nn.remat(body, static_argnums=(3, 4))  # (level, train); 0 = self
         h = body(tuple(planes), self.block_reps, self.residual_blocks, name="body")(
             h, plans, 0, train
         )
         h = BatchNormReLU(name="final_bnrelu")(h, grid.valid, train)
-        # OutputLayer: voxel -> point readback
-        pts = devoxelize(h, p2v)
+        # OutputLayer: voxel -> point readback (fp32 for heads/losses)
+        pts = devoxelize(h.astype(jnp.float32), p2v)
         if istrain:
             return segment_mean_by_batch(pts, coords[:, 3], num_scenes, valid)
         return pts

@@ -70,12 +70,19 @@ def make_dp_train_step(cfg: Config, model, tx, mesh: Mesh, axis: str = "data"):
         local = jax.tree_util.tree_map(lambda x: x[0], dev_batch)
         return step(state, local)
 
+    import inspect
+
+    kwargs = {}
+    if "check_vma" in inspect.signature(shard_map).parameters:
+        kwargs["check_vma"] = False       # jax >= 0.7 name
+    else:  # pragma: no cover
+        kwargs["check_rep"] = False
     sharded = shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        **kwargs,
     )
     return jax.jit(sharded)
 

@@ -210,3 +210,81 @@ def test_subm_conv_gradients_match_dense(rng):
         dn = float(f(vfeats, jnp.asarray(pert)))
         num = (up - dn) / (2 * eps)
         np.testing.assert_allclose(np.asarray(gw)[k, a, b], num, rtol=2e-2, atol=2e-2)
+
+
+def test_missing_neighbor_reads_zero_at_full_capacity(rng):
+    """Regression: jnp.take(mode='fill') wraps -1 numpy-style; rulebook
+    misses must NOT read the last voxel when the grid is at capacity."""
+    import jax.numpy as jnp
+    from tdwss.ops import voxelize, build_plans, subm_conv_apply
+
+    # two isolated voxels, capacity exactly 2 -> last row is a REAL voxel
+    coords = np.array([[0, 0, 0, 0], [10, 10, 10, 0]], np.int32)
+    feats = np.array([[1.0], [100.0]], np.float32)
+    grid, vfeats, _ = voxelize(
+        jnp.asarray(coords), jnp.asarray(feats), jnp.ones(2, bool), 2
+    )
+    assert bool(grid.valid.all())
+    plans = build_plans(grid, 1, [2])
+    w = np.zeros((27, 1, 1), np.float32)
+    w[:, 0, 0] = 1.0  # every tap sums its neighbor
+    out = np.asarray(subm_conv_apply(vfeats, plans.levels[0].subm_rb, jnp.asarray(w)))
+    # each voxel has no active neighbors: output = its own value only
+    np.testing.assert_allclose(np.sort(out[:, 0]), [1.0, 100.0])
+
+
+def test_strided_and_deconv_grads_numeric(rng):
+    """Custom-VJP backward passes vs numerical gradients."""
+    import jax
+    import jax.numpy as jnp
+    from tdwss.ops import voxelize, build_plans, strided_conv_apply, deconv_apply
+
+    coords, feats, valid = _sparse_scene(rng, n=50, cin=3)
+    n = coords.shape[0]
+    grid, vfeats, _ = voxelize(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid), n)
+    plans = build_plans(grid, 2, [n, n])
+    lvl0 = plans.levels[0]
+
+    w = jnp.asarray(rng.normal(size=(8, 3, 2)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32))
+
+    def f_strided(feats_, w_):
+        return jnp.sum(strided_conv_apply(feats_, lvl0.down_rb, w_) * cot)
+
+    gf, gw = jax.grad(f_strided, argnums=(0, 1))(vfeats, w)
+    eps = 1e-3
+    vf = np.asarray(vfeats)
+    for (i, j) in [(0, 0), (11, 2)]:
+        pert = vf.copy(); pert[i, j] += eps
+        up = float(f_strided(jnp.asarray(pert), w))
+        pert[i, j] -= 2 * eps
+        dn = float(f_strided(jnp.asarray(pert), w))
+        np.testing.assert_allclose(np.asarray(gf)[i, j], (up - dn) / (2 * eps),
+                                   rtol=2e-2, atol=2e-2)
+
+    cfeats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    wd = jnp.asarray(rng.normal(size=(8, 4, 2)).astype(np.float32))
+
+    def f_deconv(cf, w_):
+        return jnp.sum(
+            deconv_apply(cf, lvl0.parent, lvl0.child_offset, w_,
+                         fine_valid=lvl0.grid.valid) * cot
+        )
+
+    gc, gwd = jax.grad(f_deconv, argnums=(0, 1))(cfeats, wd)
+    cf = np.asarray(cfeats)
+    for (i, j) in [(0, 0), (7, 3)]:
+        pert = cf.copy(); pert[i, j] += eps
+        up = float(f_deconv(jnp.asarray(pert), wd))
+        pert[i, j] -= 2 * eps
+        dn = float(f_deconv(jnp.asarray(pert), wd))
+        np.testing.assert_allclose(np.asarray(gc)[i, j], (up - dn) / (2 * eps),
+                                   rtol=2e-2, atol=2e-2)
+    wn = np.asarray(wd)
+    for (k, a, b) in [(0, 0, 0), (5, 3, 1)]:
+        pert = wn.copy(); pert[k, a, b] += eps
+        up = float(f_deconv(cfeats, jnp.asarray(pert)))
+        pert[k, a, b] -= 2 * eps
+        dn = float(f_deconv(cfeats, jnp.asarray(pert)))
+        np.testing.assert_allclose(np.asarray(gwd)[k, a, b], (up - dn) / (2 * eps),
+                                   rtol=2e-2, atol=2e-2)
