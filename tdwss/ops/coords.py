@@ -61,19 +61,25 @@ def lookup_sorted(key_hi: jnp.ndarray, key_lo: jnp.ndarray,
     """Vectorized binary search: index of (q_hi, q_lo) in sorted keys, or -1.
 
     ``key_hi/key_lo`` must be ascending lexicographically (invalid slots
-    padded with ``INVALID_KEY`` at the tail).  Runs ``ceil(log2(V)) + 1``
-    unrolled rounds of two gathers each — static control flow under jit.
+    padded with ``INVALID_KEY`` at the tail).  ``ceil(log2(V)) + 1`` rounds
+    of two gathers each, in a ``fori_loop`` so the traced graph stays small
+    (an unrolled version at 27 offsets x 7 levels took tens of minutes to
+    compile for production sizes).
     """
     n = key_hi.shape[0]
-    lo = jnp.zeros(q_hi.shape, jnp.int32)
-    hi = jnp.full(q_hi.shape, n, jnp.int32)
-    for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)):
+    rounds = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+
+    def body(_, carry):
+        lo, hi = carry
         mid = (lo + hi) >> 1
         mh = jnp.take(key_hi, mid, mode="clip")
         ml = jnp.take(key_lo, mid, mode="clip")
         less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    lo = jnp.zeros(q_hi.shape, jnp.int32)
+    hi = jnp.full(q_hi.shape, n, jnp.int32)
+    lo, hi = lax.fori_loop(0, rounds, body, (lo, hi))
     probe = jnp.minimum(lo, n - 1)
     hit = (
         (lo < n)

@@ -49,23 +49,24 @@ class LevelPlans:
 
 
 def build_subm_rulebook(grid: SparseGrid, kernel_size: int = 3) -> jnp.ndarray:
-    """(V, K) neighbor indices for a centred cubic submanifold kernel."""
-    offsets = kernel_offsets(kernel_size)
+    """(V, K) neighbor indices for a centred cubic submanifold kernel.
+
+    All K offsets are looked up in ONE batched binary search (a per-offset
+    python loop multiplies the traced graph by K and ballooned compile
+    times); the centre tap is patched to the identity afterwards.
+    """
+    offsets = kernel_offsets(kernel_size)          # (K, 3)
+    k = offsets.shape[0]
     v = grid.capacity
-    columns = []
-    own = jnp.arange(v, dtype=jnp.int32)
-    for k in range(offsets.shape[0]):
-        off = offsets[k]
-        if not off.any():
-            # centre tap: identity, no search needed
-            columns.append(jnp.where(grid.valid, own, -1))
-            continue
-        q = grid.coords + jnp.asarray(
-            np.concatenate([off, np.zeros(1, np.int32)]), jnp.int32
-        )
-        qh, ql = make_query_keys(q, grid.valid)
-        columns.append(lookup_sorted(grid.key_hi, grid.key_lo, qh, ql))
-    return jnp.stack(columns, axis=1)
+    off4 = np.concatenate([offsets, np.zeros((k, 1), np.int32)], axis=1)
+    q = grid.coords[:, None, :] + jnp.asarray(off4)[None, :, :]   # (V, K, 4)
+    q = q.reshape(v * k, 4)
+    valid = jnp.repeat(grid.valid, k)
+    qh, ql = make_query_keys(q, valid)
+    rb = lookup_sorted(grid.key_hi, grid.key_lo, qh, ql).reshape(v, k)
+    centre = int(np.where(~offsets.any(axis=1))[0][0])
+    own = jnp.where(grid.valid, jnp.arange(v, dtype=jnp.int32), -1)
+    return rb.at[:, centre].set(own)
 
 
 def _linear_child_offset(coords: jnp.ndarray, stride: int) -> jnp.ndarray:
