@@ -8,6 +8,7 @@ from tdwss.models import layers  # noqa: F401
 from tdwss.models import sparse_encoders  # noqa: F401
 from tdwss.models import transformer  # noqa: F401
 from tdwss.models import meta_arch  # noqa: F401
+from tdwss.models import kpconv  # noqa: F401
 
 from tdwss.models.sparse_encoders import (  # noqa: F401
     SparseConvUNet,
