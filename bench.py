@@ -69,6 +69,13 @@ def main() -> None:
     scenes = make_dataset(NUM_SCENES, num_points=POINTS_PER_SCENE, seed=7,
                           with_text=False)
     batch = train_collate(scenes, cfg, rng)
+    from tdwss.data.plans import attach_host_plans
+
+    # Rulebooks are built on host (tdwss.ops.host_plan): the jitted step is
+    # pure gather-GEMM-scatter with no device sorts.  Throughput below is
+    # device-step-only; the host plan build overlaps via the input pipeline
+    # in real training (tdwss.data.loader prefetch).
+    batch = attach_host_plans(batch, cfg)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
     valid_points = int(np.asarray(batch.valid).sum())
 

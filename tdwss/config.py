@@ -87,6 +87,8 @@ class EngineConfig:
     compute_dtype: str = "float32"   # bfloat16 for perf configs
     donate_state: bool = True
     remat: bool = False              # jax.checkpoint over encoder levels
+    host_plans: bool = True          # build voxelization/rulebooks on host
+                                     # (removes all sorts from the TPU step)
 
 
 @dataclass

@@ -15,7 +15,7 @@ accumulation.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.struct
 import jax.numpy as jnp
@@ -48,6 +48,11 @@ class PointBatch:
     point_ids:   (N,) int32     global val-point index for vote accumulation
                                 (-1 / unused at train time)
     text:        optional TextBatch
+    plans:       optional host-precomputed LevelPlans (tdwss.ops.host_plan);
+                 when set, vox_feats / point2voxel must be set too, and the
+                 encoder skips every on-device sort/search
+    vox_feats:   (V0, C) voxelized features (InputLayer mode=4 output)
+    point2voxel: (N,) int32 owning-voxel id per point (>= V0 when dropped)
     """
 
     coords: jnp.ndarray
@@ -58,6 +63,9 @@ class PointBatch:
     point_label: jnp.ndarray
     point_ids: jnp.ndarray
     text: Optional[TextBatch] = None
+    plans: Optional[Any] = None
+    vox_feats: Optional[jnp.ndarray] = None
+    point2voxel: Optional[jnp.ndarray] = None
 
     @property
     def num_points(self) -> int:

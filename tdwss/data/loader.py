@@ -18,6 +18,7 @@ import numpy as np
 from tdwss.config import Config
 from tdwss.data.batch import PointBatch
 from tdwss.data.collate import CollateStats, train_collate, val_collate
+from tdwss.data.plans import attach_host_plans
 from tdwss.data.synthetic import Scene
 
 
@@ -52,7 +53,10 @@ def train_batches(scenes: Sequence[Scene], cfg: Config, epoch: int,
     def gen():
         for start in range(0, len(order) - bs + 1, bs):
             sel = [scenes[i] for i in order[start: start + bs]]
-            yield train_collate(sel, cfg, rng, stats)
+            batch = train_collate(sel, cfg, rng, stats)
+            if cfg.engine.host_plans:
+                batch = attach_host_plans(batch, cfg)
+            yield batch
 
     return _prefetch(gen()) if prefetch else gen()
 
@@ -69,8 +73,11 @@ def val_batches(scenes: Sequence[Scene], cfg: Config,
         for start in range(0, len(scenes), bs):
             idx = list(range(start, min(start + bs, len(scenes))))
             sel = [scenes[i] for i in idx]
-            yield val_collate(sel, cfg, rng, scene_offsets, idx, stats,
-                              num_scenes=bs)
+            batch = val_collate(sel, cfg, rng, scene_offsets, idx, stats,
+                                num_scenes=bs)
+            if cfg.engine.host_plans:
+                batch = attach_host_plans(batch, cfg)
+            yield batch
 
     return _prefetch(gen()) if prefetch else gen()
 

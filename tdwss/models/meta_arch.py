@@ -96,12 +96,16 @@ class MultiLabelContrastive(nn.Module):
             global_feats = encoder(
                 batch.coords, batch.feats, batch.valid,
                 istrain=True, train=train, num_scenes=batch.num_scenes,
+                plans=batch.plans, vox_feats=batch.vox_feats,
+                point2voxel=batch.point2voxel,
             )
             global_logits = nn.Dense(NUM_CLASSES, name="linear")(global_feats)
             return global_logits, (global_feats, tfeats,
                                    text.has_text if text is not None else None)
         out_feats = encoder(batch.coords, batch.feats, batch.valid,
-                            istrain=False, train=train)
+                            istrain=False, train=train,
+                            plans=batch.plans, vox_feats=batch.vox_feats,
+                            point2voxel=batch.point2voxel)
         return nn.Dense(NUM_CLASSES, name="linear")(out_feats)
 
 
@@ -120,6 +124,8 @@ class MultiLabel(nn.Module):
         out_feats = encoder(
             batch.coords, batch.feats, batch.valid,
             istrain=istrain, train=train, num_scenes=batch.num_scenes,
+            plans=batch.plans, vox_feats=batch.vox_feats,
+            point2voxel=batch.point2voxel,
         )
         global_logits = nn.Dense(NUM_CLASSES, name="linear")(out_feats)
         if istrain:
@@ -144,7 +150,9 @@ class FullySupervised(nn.Module):
         train = istrain if train is None else train
         encoder, _ = _build_encoder(self.pc_config, self.engine)
         out_feats = encoder(batch.coords, batch.feats, batch.valid,
-                            istrain=False, train=train)
+                            istrain=False, train=train,
+                            plans=batch.plans, vox_feats=batch.vox_feats,
+                            point2voxel=batch.point2voxel)
         logits = nn.Dense(NUM_CLASSES, name="linear")(out_feats)
         if istrain:
             global_logits = segment_mean_by_batch(

@@ -199,25 +199,42 @@ class _SparseEncoderBase(nn.Module):
     def plane_schedule(self) -> Tuple[int, ...]:
         raise NotImplementedError
 
+    def plan_spec(self, n_points: int):
+        """(num_levels, capacities, downsample) — shared with the host-side
+        plan builder so collate can precompute identical rulebooks."""
+        planes = self.plane_schedule()
+        cap0 = self.max_voxels or n_points
+        caps = level_capacities(
+            cap0, len(planes), self.level_capacity_shrink, self.min_level_capacity
+        )
+        return len(planes), caps, tuple(self.downsample)
+
     @nn.compact
     def __call__(self, coords, feats, valid, istrain: bool = False,
-                 train: bool = False, num_scenes: int = 1):
+                 train: bool = False, num_scenes: int = 1,
+                 plans=None, vox_feats=None, point2voxel=None):
         """[coords, feats] -> per-point features (or per-scene means if istrain).
 
         coords (N, 4) int32 [x,y,z,b]; feats (N, C); valid (N,) bool.
         ``train`` controls BN statistics; ``istrain`` additionally applies
         the per-scene mean pooling (postProcessing parity).
+
+        When ``plans`` (+ ``vox_feats``/``point2voxel``) are supplied — built
+        on host by :mod:`tdwss.ops.host_plan` — the on-device voxelize/sort/
+        rulebook construction is skipped entirely and the step is pure
+        gather-GEMM-scatter.
         """
         planes = self.plane_schedule()
         n = coords.shape[0]
-        cap0 = self.max_voxels or n
-        caps = level_capacities(
-            cap0, len(planes), self.level_capacity_shrink, self.min_level_capacity
-        )
-        f, s = self.downsample
-        # InputLayer(mode=4): dedupe-average points into voxels
-        grid, vfeats, p2v = voxelize(coords, feats, valid, cap0, mode="mean")
-        plans = build_plans(grid, len(planes), caps, (f, s), subm_kernel=3)
+        if plans is not None:
+            grid = plans.levels[0].grid
+            vfeats, p2v = vox_feats, point2voxel
+        else:
+            _, caps, (f, s) = self.plan_spec(n)
+            cap0 = caps[0]
+            # InputLayer(mode=4): dedupe-average points into voxels
+            grid, vfeats, p2v = voxelize(coords, feats, valid, cap0, mode="mean")
+            plans = build_plans(grid, len(planes), caps, (f, s), subm_kernel=3)
 
         vfeats = vfeats.astype(jnp.dtype(self.compute_dtype))
         h = SubmConv(self.m, 27, name="stem")(vfeats, plans.levels[0].subm_rb)

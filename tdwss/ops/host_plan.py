@@ -1,0 +1,210 @@
+"""Host-side (numpy) voxelization + rulebook construction.
+
+Numerically identical to the on-device builders in
+:mod:`tdwss.ops.voxelize` / :mod:`tdwss.ops.plan`, but computed on the host
+CPU at collate time.  Rationale (TPU-first): rulebook construction is
+irregular index work — sorts, uniques, binary searches — which XLA lowers to
+bitonic sorting networks on TPU; moving it to the host removes every sort
+from the jitted step, shrinking both compile time and step time, and
+overlaps index work with device compute through the input pipeline.  The
+device then executes pure gather-GEMM-scatter (MXU-bound).
+
+The on-device path remains available (``build_plans``) for tests and for
+single-call compile checks; both produce the same ``LevelPlans`` pytree, so
+models accept either.
+
+The reference has no analogue: SparseConvNet builds hash-table rulebooks on
+GPU per layer (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from tdwss.ops.coords import COORD_BITS, INVALID_KEY, kernel_offsets
+from tdwss.ops.plan import GridLevel, LevelPlans
+from tdwss.ops.voxelize import SparseGrid
+
+_MAXKEY = np.int64(np.iinfo(np.int64).max)
+
+
+def _pack_keys_np(coords: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """(N,4) int32 [x,y,z,b] -> int64 lexicographic key; invalid -> MAXKEY."""
+    x = coords[:, 0].astype(np.int64)
+    y = coords[:, 1].astype(np.int64)
+    z = coords[:, 2].astype(np.int64)
+    b = coords[:, 3].astype(np.int64)
+    hi = (b << COORD_BITS) | z
+    lo = (y << COORD_BITS) | x
+    key = (hi << 32) | lo
+    return np.where(valid, key, _MAXKEY)
+
+
+def _split_keys(key64: np.ndarray, valid: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    hi = (key64 >> 32).astype(np.int32)
+    lo = (key64 & 0xFFFFFFFF).astype(np.int32)
+    hi = np.where(valid, hi, INVALID_KEY)
+    lo = np.where(valid, lo, INVALID_KEY)
+    return hi, lo
+
+
+def voxelize_np(
+    coords: np.ndarray,
+    feats: Optional[np.ndarray],
+    valid: np.ndarray,
+    num_voxels: int,
+    mode: str = "mean",
+) -> Tuple[SparseGrid, Optional[np.ndarray], np.ndarray]:
+    """Numpy twin of :func:`tdwss.ops.voxelize.voxelize` (same contract)."""
+    coords = np.asarray(coords, np.int32)
+    valid = np.asarray(valid, bool)
+    n = coords.shape[0]
+    key = _pack_keys_np(coords, valid)
+
+    uniq, first_idx, inv, cnt = np.unique(
+        key, return_index=True, return_inverse=True, return_counts=True)
+    has_invalid = bool(uniq.size) and uniq[-1] == _MAXKEY
+    nuniq = int(uniq.size) - int(has_invalid)
+
+    v = int(num_voxels)
+    in_cap = (inv < nuniq) & (inv < v)
+    vox_id = np.where(in_cap, inv, v).astype(np.int32)
+
+    kept = min(nuniq, v)
+    vox_coords = np.zeros((v, 4), np.int32)
+    vox_coords[:kept] = coords[first_idx[:kept]]
+    vox_valid = np.zeros((v,), bool)
+    vox_valid[:kept] = True
+    counts = np.zeros((v,), np.int32)
+    counts[:kept] = cnt[:kept]
+    key_hi, key_lo = _split_keys(
+        np.concatenate([uniq[:kept], np.full((v - kept,), _MAXKEY)]),
+        vox_valid,
+    )
+
+    grid = SparseGrid(
+        coords=vox_coords, key_hi=key_hi, key_lo=key_lo, valid=vox_valid,
+        counts=counts, num_valid=np.int32(nuniq),
+    )
+
+    vox_feats = None
+    if feats is not None:
+        feats = np.asarray(feats)
+        vox_feats = np.zeros((v, feats.shape[1]), np.float64)
+        if mode == "first":
+            vox_feats[:kept] = feats[first_idx[:kept]]
+        else:
+            ok = vox_id < v
+            np.add.at(vox_feats, vox_id[ok], feats[ok])
+            if mode == "mean":
+                vox_feats[:kept] /= np.maximum(counts[:kept, None], 1)
+        vox_feats = vox_feats.astype(feats.dtype)
+
+    return grid, vox_feats, vox_id
+
+
+def _lookup_np(key_hi: np.ndarray, key_lo: np.ndarray, qkey: np.ndarray,
+               num_valid: int) -> np.ndarray:
+    """Index of each int64 query key among the first ``num_valid`` sorted
+    voxel keys, or -1."""
+    keys = (key_hi[:num_valid].astype(np.int64) << 32) | (
+        key_lo[:num_valid].astype(np.int64) & 0xFFFFFFFF)
+    pos = np.searchsorted(keys, qkey)
+    pos_c = np.minimum(pos, max(num_valid - 1, 0))
+    hit = (pos < num_valid) & (keys[pos_c] == qkey) if num_valid else np.zeros(
+        qkey.shape, bool)
+    return np.where(hit, pos, -1).astype(np.int32)
+
+
+def build_subm_rulebook_np(grid: SparseGrid, kernel_size: int = 3) -> np.ndarray:
+    """Numpy twin of :func:`tdwss.ops.plan.build_subm_rulebook`."""
+    offsets = kernel_offsets(kernel_size)                   # (K, 3)
+    k = offsets.shape[0]
+    coords = np.asarray(grid.coords)
+    valid = np.asarray(grid.valid)
+    v = coords.shape[0]
+    nv = min(int(grid.num_valid), v)
+
+    q = coords[:, None, :3] + offsets[None, :, :]           # (V, K, 3)
+    b = np.broadcast_to(coords[:, None, 3:4], (v, k, 1))
+    in_range = ((q >= 0) & (q < (1 << COORD_BITS))).all(axis=-1)
+    ok = in_range & valid[:, None]
+    q4 = np.concatenate([q, b], axis=-1).reshape(v * k, 4)
+    qkey = _pack_keys_np(q4.astype(np.int32), ok.reshape(-1))
+    # Invalid queries carry MAXKEY, which never matches a valid voxel key.
+    rb = _lookup_np(np.asarray(grid.key_hi), np.asarray(grid.key_lo),
+                    qkey, nv).reshape(v, k)
+    rb[~ok.reshape(v, k)] = -1
+    centre = int(np.where(~offsets.any(axis=1))[0][0])
+    rb[:, centre] = np.where(valid, np.arange(v, dtype=np.int32), -1)
+    return rb
+
+
+def downsample_level_np(grid: SparseGrid, num_voxels: int, filter_size: int,
+                        stride: int):
+    """Numpy twin of :func:`tdwss.ops.plan.downsample_level`."""
+    if filter_size != stride:
+        raise NotImplementedError("filter != stride unused by the reference")
+    coords = np.asarray(grid.coords)
+    coarse_coords = np.concatenate(
+        [coords[:, :3] // stride, coords[:, 3:4]], axis=1)
+    coarse_grid, _, parent = voxelize_np(
+        coarse_coords, None, np.asarray(grid.valid), num_voxels)
+    ox = coords[:, 0] % stride
+    oy = coords[:, 1] % stride
+    oz = coords[:, 2] % stride
+    child_offset = (ox * stride * stride + oy * stride + oz).astype(np.int32)
+    k = filter_size ** 3
+    vf = coords.shape[0]
+    down_rb = np.full((num_voxels, k), -1, np.int32)
+    ok = parent < num_voxels
+    down_rb[parent[ok], child_offset[ok]] = np.arange(vf, dtype=np.int32)[ok]
+    return coarse_grid, parent, child_offset, down_rb
+
+
+def build_plans_np(
+    grid0: SparseGrid,
+    num_levels: int,
+    capacities: Sequence[int],
+    downsample: Tuple[int, int] = (2, 2),
+    subm_kernel: int = 3,
+) -> LevelPlans:
+    """Numpy twin of :func:`tdwss.ops.plan.build_plans`."""
+    f, s = int(downsample[0]), int(downsample[1])
+    levels = []
+    grid = grid0
+    for lvl in range(num_levels):
+        subm_rb = build_subm_rulebook_np(grid, subm_kernel)
+        if lvl + 1 < num_levels:
+            coarse_grid, parent, child_offset, down_rb = downsample_level_np(
+                grid, int(capacities[lvl + 1]), f, s)
+        else:
+            coarse_grid = parent = child_offset = down_rb = None
+        levels.append(GridLevel(grid=grid, subm_rb=subm_rb, parent=parent,
+                                child_offset=child_offset, down_rb=down_rb))
+        if coarse_grid is not None:
+            grid = coarse_grid
+    return LevelPlans(levels=tuple(levels), downsample=(f, s))
+
+
+def host_voxelize_and_plan(
+    coords: np.ndarray,
+    feats: np.ndarray,
+    valid: np.ndarray,
+    num_levels: int,
+    capacities: Sequence[int],
+    downsample: Tuple[int, int] = (2, 2),
+    subm_kernel: int = 3,
+) -> Tuple[LevelPlans, np.ndarray, np.ndarray]:
+    """One-call host pipeline: InputLayer voxelize + all level plans.
+
+    Returns (plans, vox_feats (V0, C), point2voxel (N,)).
+    """
+    grid, vox_feats, p2v = voxelize_np(
+        coords, feats, valid, int(capacities[0]), mode="mean")
+    plans = build_plans_np(grid, num_levels, capacities, downsample,
+                           subm_kernel)
+    return plans, vox_feats, p2v

@@ -1,0 +1,90 @@
+"""Host (numpy) plan builder must match the on-device builder exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tdwss.ops.host_plan import (
+    build_plans_np,
+    build_subm_rulebook_np,
+    host_voxelize_and_plan,
+    voxelize_np,
+)
+from tdwss.ops.plan import build_plans, build_subm_rulebook, level_capacities
+from tdwss.ops.voxelize import voxelize
+
+
+def _random_coords(rng, n=2000, size=48, batches=3, invalid_frac=0.1):
+    coords = np.concatenate(
+        [rng.integers(0, size, (n, 3)), rng.integers(0, batches, (n, 1))],
+        axis=1).astype(np.int32)
+    valid = rng.random(n) > invalid_frac
+    feats = rng.normal(size=(n, 3)).astype(np.float32)
+    return coords, feats, valid
+
+
+def test_voxelize_matches_device(rng):
+    coords, feats, valid = _random_coords(rng)
+    cap = coords.shape[0]
+    g_np, f_np, p2v_np = voxelize_np(coords, feats, valid, cap)
+    g_dev, f_dev, p2v_dev = voxelize(
+        jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid), cap)
+    np.testing.assert_array_equal(g_np.coords, np.asarray(g_dev.coords))
+    np.testing.assert_array_equal(g_np.key_hi, np.asarray(g_dev.key_hi))
+    np.testing.assert_array_equal(g_np.key_lo, np.asarray(g_dev.key_lo))
+    np.testing.assert_array_equal(g_np.valid, np.asarray(g_dev.valid))
+    np.testing.assert_array_equal(g_np.counts, np.asarray(g_dev.counts))
+    assert int(g_np.num_valid) == int(g_dev.num_valid)
+    np.testing.assert_array_equal(p2v_np, np.asarray(p2v_dev))
+    np.testing.assert_allclose(f_np, np.asarray(f_dev), rtol=1e-5, atol=1e-6)
+
+
+def test_voxelize_overflow(rng):
+    coords, feats, valid = _random_coords(rng, n=500, size=16)
+    cap = 64  # force overflow
+    g_np, _, p2v_np = voxelize_np(coords, feats, valid, cap)
+    g_dev, _, p2v_dev = voxelize(
+        jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid), cap)
+    assert int(g_np.num_valid) == int(g_dev.num_valid) > cap
+    np.testing.assert_array_equal(p2v_np, np.asarray(p2v_dev))
+
+
+def test_subm_rulebook_matches(rng):
+    coords, feats, valid = _random_coords(rng, n=800, size=24)
+    cap = coords.shape[0]
+    g_np, _, _ = voxelize_np(coords, feats, valid, cap)
+    g_dev, _, _ = voxelize(
+        jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid), cap)
+    rb_np = build_subm_rulebook_np(g_np, 3)
+    rb_dev = np.asarray(build_subm_rulebook(g_dev, 3))
+    np.testing.assert_array_equal(rb_np, rb_dev)
+
+
+def test_full_plans_match(rng):
+    coords, feats, valid = _random_coords(rng, n=1500, size=64)
+    cap = coords.shape[0]
+    caps = level_capacities(cap, 4, 2, 64)
+    g_np, _, _ = voxelize_np(coords, feats, valid, cap)
+    g_dev, _, _ = voxelize(
+        jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid), cap)
+    p_np = build_plans_np(g_np, 4, caps)
+    p_dev = build_plans(g_dev, 4, caps)
+    for lvl_np, lvl_dev in zip(p_np.levels, p_dev.levels):
+        np.testing.assert_array_equal(lvl_np.subm_rb, np.asarray(lvl_dev.subm_rb))
+        np.testing.assert_array_equal(lvl_np.grid.coords,
+                                      np.asarray(lvl_dev.grid.coords))
+        if lvl_np.parent is not None:
+            np.testing.assert_array_equal(lvl_np.parent,
+                                          np.asarray(lvl_dev.parent))
+            np.testing.assert_array_equal(lvl_np.child_offset,
+                                          np.asarray(lvl_dev.child_offset))
+            np.testing.assert_array_equal(lvl_np.down_rb,
+                                          np.asarray(lvl_dev.down_rb))
+
+
+def test_one_call_pipeline(rng):
+    coords, feats, valid = _random_coords(rng, n=1000, size=32)
+    caps = level_capacities(1000, 3, 2, 64)
+    plans, vfeats, p2v = host_voxelize_and_plan(coords, feats, valid, 3, caps)
+    assert len(plans.levels) == 3
+    assert vfeats.shape == (1000, 3)
+    assert p2v.shape == (1000,)
