@@ -249,3 +249,141 @@ int32_t region_grow(const float* points, const float* normals, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sparse-conv plan building (host twin of tdwss/ops/host_plan.py hot path)
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+namespace {
+
+constexpr int kCoordBits = 12;  // matches tdwss.ops.coords.COORD_BITS
+
+inline int64_t pack_voxel_key(const int32_t* c) {
+    return (static_cast<int64_t>(c[3]) << (3 * kCoordBits)) |
+           (static_cast<int64_t>(c[2]) << (2 * kCoordBits)) |
+           (static_cast<int64_t>(c[1]) << kCoordBits) |
+           static_cast<int64_t>(c[0]);
+}
+
+inline uint64_t mix64(uint64_t x) {
+    x ^= x >> 33; x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ULL;
+    x ^= x >> 33; return x;
+}
+
+// Open-addressed key->index table with atomic CAS inserts.
+struct VoxelHash {
+    std::vector<std::atomic<int64_t>> keys;
+    std::vector<int32_t> vals;
+    uint64_t mask;
+
+    explicit VoxelHash(size_t n) {
+        size_t cap = 64;
+        while (cap < 2 * n) cap <<= 1;
+        keys = std::vector<std::atomic<int64_t>>(cap);
+        for (auto& k : keys) k.store(-1, std::memory_order_relaxed);
+        vals.assign(cap, -1);
+        mask = cap - 1;
+    }
+    void insert(int64_t key, int32_t val) {
+        uint64_t slot = mix64(static_cast<uint64_t>(key)) & mask;
+        for (;;) {
+            int64_t expect = -1;
+            if (keys[slot].compare_exchange_strong(expect, key,
+                                                   std::memory_order_acq_rel)) {
+                vals[slot] = val;
+                return;
+            }
+            if (expect == key) { vals[slot] = val; return; }
+            slot = (slot + 1) & mask;
+        }
+    }
+    int32_t find(int64_t key) const {
+        uint64_t slot = mix64(static_cast<uint64_t>(key)) & mask;
+        for (;;) {
+            int64_t k = keys[slot].load(std::memory_order_acquire);
+            if (k == key) return vals[slot];
+            if (k == -1) return -1;
+            slot = (slot + 1) & mask;
+        }
+    }
+};
+
+template <typename F>
+void parallel_for(int64_t n, F f) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t nthreads = std::min<int64_t>(hw ? hw : 4, std::max<int64_t>(n / 16384, 1));
+    if (nthreads <= 1) { f(0, n); return; }
+    std::vector<std::thread> ts;
+    int64_t chunk = (n + nthreads - 1) / nthreads;
+    for (int64_t t = 0; t < nthreads; ++t) {
+        int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        ts.emplace_back([=] { f(lo, hi); });
+    }
+    for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Submanifold-conv rulebook: for each of V voxels (coords (V,4) int32
+// [x,y,z,b], valid mask), the index of the voxel at coords+offset for every
+// centred kernel offset (x-fastest ordering, tdwss.ops.coords.kernel_offsets
+// parity), or -1.  out_rb is (V, kernel_size^3) int32.
+void subm_rulebook(const int32_t* coords, const uint8_t* valid, int64_t v,
+                   int32_t kernel_size, int32_t* out_rb) {
+    const int32_t k3 = kernel_size * kernel_size * kernel_size;
+    const int32_t half = kernel_size / 2;
+    const int32_t cmax = 1 << kCoordBits;
+
+    VoxelHash table(static_cast<size_t>(v));
+    parallel_for(v, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i)
+            if (valid[i])
+                table.insert(pack_voxel_key(coords + 4 * i),
+                             static_cast<int32_t>(i));
+    });
+
+    // Offset list in x-fastest order: kernel_offsets uses meshgrid('ij') on
+    // (x,y,z) then stacks columns -> index = ox*k^2 + oy*k + oz over the
+    // centred range.
+    std::vector<int32_t> offs(static_cast<size_t>(k3) * 3);
+    {
+        int32_t idx = 0;
+        for (int32_t ox = -half; ox <= half; ++ox)
+            for (int32_t oy = -half; oy <= half; ++oy)
+                for (int32_t oz = -half; oz <= half; ++oz, ++idx) {
+                    offs[3 * idx] = ox; offs[3 * idx + 1] = oy; offs[3 * idx + 2] = oz;
+                }
+    }
+    const int32_t centre = (k3 - 1) / 2;
+
+    parallel_for(v, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            int32_t* row = out_rb + static_cast<int64_t>(k3) * i;
+            if (!valid[i]) {
+                std::fill(row, row + k3, -1);
+                continue;
+            }
+            const int32_t* c = coords + 4 * i;
+            for (int32_t o = 0; o < k3; ++o) {
+                int32_t q[4] = {c[0] + offs[3 * o], c[1] + offs[3 * o + 1],
+                                c[2] + offs[3 * o + 2], c[3]};
+                if (q[0] < 0 || q[0] >= cmax || q[1] < 0 || q[1] >= cmax ||
+                    q[2] < 0 || q[2] >= cmax) {
+                    row[o] = -1;
+                    continue;
+                }
+                row[o] = table.find(pack_voxel_key(q));
+            }
+            row[centre] = static_cast<int32_t>(i);
+        }
+    });
+}
+
+}  // extern "C"

@@ -40,8 +40,15 @@ def _load() -> Optional[ctypes.CDLL]:
                     check=True, capture_output=True, timeout=120,
                 )
             lib = ctypes.CDLL(_LIB_PATH)
+            if not hasattr(lib, "subm_rulebook"):  # stale pre-rulebook build
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "clean", "all"],
+                    check=True, capture_output=True, timeout=120,
+                )
+                lib = ctypes.CDLL(_LIB_PATH)
             lib.grid_subsample.restype = ctypes.c_int32
             lib.region_grow.restype = ctypes.c_int32
+            lib.subm_rulebook.restype = None
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -226,6 +233,31 @@ def _region_grow_np(points, normals, k, max_dist, max_angle_deg, min_region):
         else:
             num += 1
     return region, num
+
+
+def subm_rulebook(coords: np.ndarray, valid: np.ndarray,
+                  kernel_size: int = 3) -> Optional[np.ndarray]:
+    """(V, k^3) submanifold rulebook via parallel hash probing, or None when
+    the native library is unavailable (caller falls back to numpy).
+
+    Semantics identical to tdwss.ops.host_plan.build_subm_rulebook_np for a
+    key-sorted deduped grid (odd kernel sizes only).
+    """
+    lib = _load()
+    if lib is None or kernel_size % 2 == 0:
+        return None
+    coords = _i32(coords)
+    valid_u8 = np.ascontiguousarray(valid, np.uint8)
+    v = coords.shape[0]
+    out = np.empty((v, kernel_size ** 3), np.int32)
+    lib.subm_rulebook(
+        coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        valid_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(v),
+        ctypes.c_int32(kernel_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
 
 
 def available() -> bool:

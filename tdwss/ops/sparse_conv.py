@@ -62,19 +62,33 @@ def _gather_matmul_fwd(feats, rulebook, weight):
 
 
 def _gather_matmul_bwd(res, dout):
+    """Two large GEMMs in the compute dtype with f32 accumulation.
+
+    Materializing f32 copies of the (Vo, K*Cin) operands (einsum with
+    .astype(float32)) peaked at ~57 GB HBM on the m=32 UNet bench batch;
+    keeping operands bf16 and accumulating in f32 via
+    ``preferred_element_type`` gives the same numerics the MXU produces in
+    the forward pass at ~1/4 the transient memory.
+    """
     feats, rulebook, weight = res
     k, cin, cout = weight.shape
+    # The gather recompute depends only on forward inputs, so without a
+    # barrier XLA's latency-hiding scheduler hoists EVERY backward gather to
+    # the start of the program — ~28 live (V, K*Cin) buffers = 57 GB HBM on
+    # the m=32 UNet bench.  Tying feats to the incoming cotangent forces
+    # each recompute to run inside its own backward step.
+    feats, dout = jax.lax.optimization_barrier((feats, dout))
     ids = _oob(rulebook, feats.shape[0])
-    # dW[k] = gathered_k^T @ dout  (gather recomputed, not stored)
-    g = jnp.take(feats, ids, axis=0, mode="fill", fill_value=0)  # (Vo, K, Cin)
-    dw = jnp.einsum(
-        "vkc,vo->kco", g.astype(jnp.float32), dout.astype(jnp.float32)
-    ).astype(weight.dtype)
-    # dfeats[rb[v,k]] += dout[v] @ W[k]^T
-    contrib = jnp.einsum(
-        "vo,kco->vkc", dout.astype(jnp.float32),
-        weight.astype(jnp.float32),
-    ).astype(feats.dtype)
+    # dW = gathered^T @ dout  (gather recomputed, not stored)
+    g2d = gather_neighbors(feats, rulebook)                  # (Vo, K*Cin)
+    dout_c = dout.astype(g2d.dtype)
+    dw = jnp.dot(g2d.T, dout_c, preferred_element_type=jnp.float32)
+    dw = dw.reshape(k, cin, cout).astype(weight.dtype)
+    # dfeats[rb[v,k]] += dout[v] @ W[k]^T  — one (Vo, Cout)x(Cout, K*Cin) GEMM
+    w2d = weight.reshape(k * cin, cout).astype(dout_c.dtype)
+    contrib = jnp.dot(
+        dout_c, w2d.T, preferred_element_type=jnp.float32
+    ).astype(feats.dtype).reshape(-1, k, cin)
     dfeats = jnp.zeros_like(feats).at[ids].add(contrib, mode="drop")
     drb = np.zeros(rulebook.shape, dtype=float0)
     return dfeats, drb, dw
@@ -123,26 +137,27 @@ def _deconv_fwd(coarse_feats, parent, child_offset, weight):
 def _deconv_bwd(res, dout):
     coarse_feats, parent, child_offset, weight = res
     k, cin, cout = weight.shape
+    cdt = coarse_feats.dtype
+    # See _gather_matmul_bwd: barrier keeps the recomputed gather inside its
+    # backward step instead of hoisted-to-front by the scheduler.
+    coarse_feats, dout = jax.lax.optimization_barrier((coarse_feats, dout))
     ids = _oob(parent, coarse_feats.shape[0])
     g = jnp.take(coarse_feats, ids, axis=0, mode="fill", fill_value=0)
-    onehot = jax.nn.one_hot(child_offset, k, dtype=jnp.float32)
-    dout32 = dout.astype(jnp.float32)
-    # dW[k] = sum_{v: off=k} g[v]^T dout[v]
-    g32 = g.astype(jnp.float32)
-    dw = jnp.stack(
-        [
-            jnp.dot(
-                (g32 * onehot[:, kk: kk + 1]).T, dout32,
-                preferred_element_type=jnp.float32,
-            )
-            for kk in range(k)
-        ]
-    ).astype(weight.dtype)
+    onehot = jax.nn.one_hot(child_offset, k, dtype=cdt)
+    dout_c = dout.astype(cdt)
+    # dW[k] = sum_{v: off=k} g[v]^T dout[v]: expand to (Vf, K*Cin) with the
+    # one-hot mask, then ONE GEMM against dout (f32 accumulation).
+    g_k = (onehot[:, :, None] * g[:, None, :]).reshape(-1, k * cin)
+    dw = jnp.dot(g_k.T, dout_c, preferred_element_type=jnp.float32)
+    dw = dw.reshape(k, cin, cout).astype(weight.dtype)
     # dcoarse[parent[v]] += dout[v] @ W[off[v]]^T
-    tmp = jnp.einsum("vo,kco->vkc", dout32, weight.astype(jnp.float32))
+    tmp = jnp.dot(
+        dout_c, weight.reshape(k * cin, cout).astype(cdt).T,
+        preferred_element_type=jnp.float32,
+    ).astype(cdt).reshape(-1, k, cin)
     contrib = jnp.take_along_axis(
         tmp, child_offset[:, None, None].astype(jnp.int32), axis=1
-    )[:, 0, :].astype(coarse_feats.dtype)
+    )[:, 0, :]
     dcoarse = jnp.zeros_like(coarse_feats).at[ids].add(contrib, mode="drop")
     dparent = np.zeros(parent.shape, dtype=float0)
     doff = np.zeros(child_offset.shape, dtype=float0)

@@ -202,3 +202,20 @@ class TestKPFCNN:
         assert len(auxes) == 2                          # two deformable convs
         loss = kpfcnn_loss(logits, batch.labels, auxes, cfg)
         assert np.isfinite(float(loss))
+
+
+class TestPotentialSampler:
+    def test_spheres_spread(self, rng):
+        from tdwss.models.kpconv.sampler import PotentialSampler
+
+        clouds = _make_clouds(rng, n_clouds=3, n_pts=400)
+        sampler = PotentialSampler(clouds, in_radius=0.4, potential_dl=0.1,
+                                   seed=0)
+        draws = sampler.sample_batch(12, min_points=5)
+        assert len(draws) == 12
+        # potentials force coverage of every cloud
+        assert {ci for ci, _, _ in draws} == {0, 1, 2}
+        for ci, center, idx in draws:
+            pts = clouds[ci]["points"][idx]
+            d = np.linalg.norm(pts - center, axis=1)
+            assert (d <= 0.4 + 1e-5).all()

@@ -136,3 +136,23 @@ def test_registry_names_match_reference():
         "MultiLabelContrastive", "MultiLabel", "FullySupervised",
     ]:
         assert name in MODEL_REGISTRY, name
+
+
+def test_misc_result_and_pos_interp():
+    import jax.numpy as jnp
+
+    from tdwss.models.misc import Result, interpolate_pos_encoding
+
+    r = Result(as_dict=True)
+    r.append(1, name="a")
+    r.update(b=2)
+    assert r.as_return() == {"a": 1, "b": 2}
+    r2 = Result()
+    r2.append("x")
+    assert r2.as_return() == "x"
+
+    pe = jnp.ones((1, 8, 4))  # 2x2x2 grid
+    same = interpolate_pos_encoding(pe, 2, 2, 2)
+    assert same.shape == (1, 8, 4)
+    up = interpolate_pos_encoding(pe, 3, 3, 3)
+    assert up.shape == (1, 27, 4)
