@@ -89,6 +89,8 @@ class EngineConfig:
     remat: bool = False              # jax.checkpoint over encoder levels
     host_plans: bool = True          # build voxelization/rulebooks on host
                                      # (removes all sorts from the TPU step)
+    collate_workers: int = 4         # host collate/plan threads (reference
+                                     # DataLoader num_workers=4, data.py:243)
 
 
 @dataclass

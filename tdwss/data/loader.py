@@ -42,6 +42,36 @@ def _prefetch(gen, depth: int = 2):
         yield item
 
 
+def _parallel_map_ordered(fn, items, num_workers: int, depth: int = 4):
+    """Run ``fn`` over ``items`` on a thread pool, yielding results in order.
+
+    Collate + host plan building are numpy/native-heavy (GIL released), so
+    threads give true parallelism — the reference's num_workers=4 torch
+    DataLoader equivalent (dataset/data.py:243) without process overhead.
+    """
+    if num_workers <= 1:
+        for it in items:
+            yield fn(it)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = list(items)
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending = []
+        it = iter(items)
+        for x in it:
+            pending.append(pool.submit(fn, x))
+            if len(pending) >= num_workers + depth:
+                break
+        i = 0
+        while i < len(pending):
+            yield pending[i].result()
+            i += 1
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(pool.submit(fn, nxt))
+
+
 def train_batches(scenes: Sequence[Scene], cfg: Config, epoch: int,
                   stats: Optional[CollateStats] = None,
                   prefetch: bool = True) -> Iterator[PointBatch]:
@@ -49,16 +79,20 @@ def train_batches(scenes: Sequence[Scene], cfg: Config, epoch: int,
     rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, epoch]))
     order = rng.permutation(len(scenes))
     bs = cfg.pointcloud_data.batch_size
+    starts = list(range(0, len(order) - bs + 1, bs))
 
-    def gen():
-        for start in range(0, len(order) - bs + 1, bs):
-            sel = [scenes[i] for i in order[start: start + bs]]
-            batch = train_collate(sel, cfg, rng, stats)
-            if cfg.engine.host_plans:
-                batch = attach_host_plans(batch, cfg)
-            yield batch
+    def make(start):
+        # per-batch child rng: collates may run on concurrent workers
+        brng = np.random.default_rng(
+            np.random.SeedSequence([cfg.seed, epoch, start]))
+        sel = [scenes[i] for i in order[start: start + bs]]
+        batch = train_collate(sel, cfg, brng, stats)
+        if cfg.engine.host_plans:
+            batch = attach_host_plans(batch, cfg)
+        return batch
 
-    return _prefetch(gen()) if prefetch else gen()
+    gen = _parallel_map_ordered(make, starts, cfg.engine.collate_workers)
+    return _prefetch(gen) if prefetch else gen
 
 
 def val_batches(scenes: Sequence[Scene], cfg: Config,
@@ -66,20 +100,22 @@ def val_batches(scenes: Sequence[Scene], cfg: Config,
                 stats: Optional[CollateStats] = None,
                 prefetch: bool = True) -> Iterator[PointBatch]:
     """Sequential val batches (one random view per rep), with point_ids."""
-    rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, 7777, rep]))
     bs = cfg.pointcloud_data.batch_size
+    starts = list(range(0, len(scenes), bs))
 
-    def gen():
-        for start in range(0, len(scenes), bs):
-            idx = list(range(start, min(start + bs, len(scenes))))
-            sel = [scenes[i] for i in idx]
-            batch = val_collate(sel, cfg, rng, scene_offsets, idx, stats,
-                                num_scenes=bs)
-            if cfg.engine.host_plans:
-                batch = attach_host_plans(batch, cfg)
-            yield batch
+    def make(start):
+        brng = np.random.default_rng(
+            np.random.SeedSequence([cfg.seed, 7777, rep, start]))
+        idx = list(range(start, min(start + bs, len(scenes))))
+        sel = [scenes[i] for i in idx]
+        batch = val_collate(sel, cfg, brng, scene_offsets, idx, stats,
+                            num_scenes=bs)
+        if cfg.engine.host_plans:
+            batch = attach_host_plans(batch, cfg)
+        return batch
 
-    return _prefetch(gen()) if prefetch else gen()
+    gen = _parallel_map_ordered(make, starts, cfg.engine.collate_workers)
+    return _prefetch(gen) if prefetch else gen
 
 
 def steps_per_epoch(num_scenes: int, batch_size: int) -> int:

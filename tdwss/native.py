@@ -40,7 +40,7 @@ def _load() -> Optional[ctypes.CDLL]:
                     check=True, capture_output=True, timeout=120,
                 )
             lib = ctypes.CDLL(_LIB_PATH)
-            if not hasattr(lib, "subm_rulebook"):  # stale pre-rulebook build
+            if not hasattr(lib, "voxelize"):  # stale pre-plan-ops build
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR, "clean", "all"],
                     check=True, capture_output=True, timeout=120,
@@ -49,6 +49,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.grid_subsample.restype = ctypes.c_int32
             lib.region_grow.restype = ctypes.c_int32
             lib.subm_rulebook.restype = None
+            lib.voxelize.restype = ctypes.c_int32
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -258,6 +259,47 @@ def subm_rulebook(coords: np.ndarray, valid: np.ndarray,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out
+
+
+def voxelize(coords: np.ndarray, valid: np.ndarray, num_voxels: int,
+             feats: Optional[np.ndarray] = None):
+    """Key-sorted dedup of (x,y,z,b) coords (device voxelizer twin).
+
+    Returns (vox_coords, key_hi, key_lo, vox_valid, counts, num_valid,
+    point2voxel, vox_feats or None), or None if native lib unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    coords = _i32(coords)
+    valid_u8 = np.ascontiguousarray(valid, np.uint8)
+    n = coords.shape[0]
+    v = int(num_voxels)
+    fdim = 0 if feats is None else int(feats.shape[1])
+    feats_f = _f32(feats) if feats is not None else None
+    vox_coords = np.empty((v, 4), np.int32)
+    key_hi = np.empty((v,), np.int32)
+    key_lo = np.empty((v,), np.int32)
+    vox_valid = np.empty((v,), np.uint8)
+    counts = np.empty((v,), np.int32)
+    p2v = np.empty((n,), np.int32)
+    vox_feats = np.empty((v, fdim), np.float32) if feats is not None else None
+    num_valid = lib.voxelize(
+        coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        valid_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int32(v),
+        feats_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if feats_f is not None else None,
+        ctypes.c_int32(fdim),
+        vox_coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        key_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        key_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vox_valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p2v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vox_feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if vox_feats is not None else None,
+    )
+    return (vox_coords, key_hi, key_lo, vox_valid.astype(bool), counts,
+            np.int32(num_valid), p2v, vox_feats)
 
 
 def available() -> bool:

@@ -58,10 +58,29 @@ def voxelize_np(
     num_voxels: int,
     mode: str = "mean",
 ) -> Tuple[SparseGrid, Optional[np.ndarray], np.ndarray]:
-    """Numpy twin of :func:`tdwss.ops.voxelize.voxelize` (same contract)."""
+    """Numpy twin of :func:`tdwss.ops.voxelize.voxelize` (same contract).
+
+    Hot path delegated to the native parallel sort-dedup
+    (native/tdwss_native.cpp voxelize); numpy fallback below.
+    """
     coords = np.asarray(coords, np.int32)
     valid = np.asarray(valid, bool)
     n = coords.shape[0]
+
+    from tdwss import native as _native
+
+    if feats is None or mode == "mean":
+        res = _native.voxelize(coords, valid, num_voxels, feats)
+        if res is not None:
+            (vox_coords, key_hi, key_lo, vox_valid, counts, num_valid, p2v,
+             vox_feats) = res
+            grid = SparseGrid(coords=vox_coords, key_hi=key_hi,
+                              key_lo=key_lo, valid=vox_valid, counts=counts,
+                              num_valid=num_valid)
+            if feats is not None and vox_feats is not None:
+                vox_feats = vox_feats.astype(np.asarray(feats).dtype)
+            return grid, vox_feats, p2v
+
     key = _pack_keys_np(coords, valid)
 
     uniq, first_idx, inv, cnt = np.unique(
