@@ -472,11 +472,15 @@ extern "C" {
 // point is invalid or its voxel overflowed capacity), vox_feats (v,fdim)
 // f32 (mean, may be null).  Returns the true number of distinct voxels
 // (may exceed v = overflow).
+// sorted_order (n,) optional: valid point indices in voxel-sorted order,
+// invalid/overflowed points appended at the tail — the permutation that
+// makes each voxel's member points a contiguous run (used by the
+// scatter-free devoxelize VJP).
 int32_t voxelize(const int32_t* coords, const uint8_t* valid, int64_t n,
                  int32_t v, const float* feats, int32_t fdim,
                  int32_t* vox_coords, int32_t* key_hi, int32_t* key_lo,
                  uint8_t* out_valid, int32_t* counts, int32_t* point2voxel,
-                 float* vox_feats) {
+                 float* vox_feats, int32_t* sorted_order) {
     std::vector<KeyIdx> items;
     items.reserve(static_cast<size_t>(n));
     for (int64_t i = 0; i < n; ++i)
@@ -523,6 +527,13 @@ int32_t voxelize(const int32_t* coords, const uint8_t* valid, int64_t n,
         }
     }
     int32_t nuniq = rank + 1;
+    if (sorted_order) {
+        int64_t at = 0;
+        for (const auto& it : items)
+            if (point2voxel[it.idx] < v) sorted_order[at++] = it.idx;
+        for (int64_t i = 0; i < n; ++i)
+            if (point2voxel[i] >= v) sorted_order[at++] = static_cast<int32_t>(i);
+    }
     if (vox_feats && fdim > 0) {
         int32_t kept = std::min(nuniq, v);
         parallel_for(kept, [&](int64_t lo, int64_t hi) {

@@ -53,6 +53,7 @@ class PointBatch:
                  encoder skips every on-device sort/search
     vox_feats:   (V0, C) voxelized features (InputLayer mode=4 output)
     point2voxel: (N,) int32 owning-voxel id per point (>= V0 when dropped)
+    point_perm:  (N,) int32 points in per-voxel-run order (devoxelize VJP)
     """
 
     coords: jnp.ndarray
@@ -66,6 +67,7 @@ class PointBatch:
     plans: Optional[Any] = None
     vox_feats: Optional[jnp.ndarray] = None
     point2voxel: Optional[jnp.ndarray] = None
+    point_perm: Optional[jnp.ndarray] = None
 
     @property
     def num_points(self) -> int:

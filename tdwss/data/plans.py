@@ -33,7 +33,8 @@ def attach_host_plans(batch: PointBatch, cfg: Config) -> PointBatch:
         return batch
     coords = np.asarray(batch.coords)
     num_levels, caps, downsample = encoder_plan_spec(cfg, coords.shape[0])
-    plans, vox_feats, p2v = host_voxelize_and_plan(
+    plans, vox_feats, p2v, perm = host_voxelize_and_plan(
         coords, np.asarray(batch.feats), np.asarray(batch.valid),
         num_levels, caps, downsample)
-    return batch.replace(plans=plans, vox_feats=vox_feats, point2voxel=p2v)
+    return batch.replace(plans=plans, vox_feats=vox_feats, point2voxel=p2v,
+                         point_perm=perm)

@@ -47,33 +47,44 @@ class SubmConv(nn.Module):
 
 
 class StridedConv(nn.Module):
-    """Downsampling convolution fine -> coarse (scn.Convolution parity)."""
+    """Downsampling convolution fine -> coarse (scn.Convolution parity).
+
+    ``parent``/``child_offset`` carry the transposed map for the
+    scatter-free backward (tdwss.ops.sparse_conv).
+    """
 
     out_channels: int
     kernel_volume: int = 8
 
     @nn.compact
-    def __call__(self, fine_feats: jnp.ndarray, down_rb: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, fine_feats: jnp.ndarray, down_rb: jnp.ndarray,
+                 parent=None, child_offset=None) -> jnp.ndarray:
         w = self.param(
             "kernel", _conv_init,
             (self.kernel_volume, fine_feats.shape[-1], self.out_channels),
         )
-        return strided_conv_apply(fine_feats, down_rb, w)
+        return strided_conv_apply(fine_feats, down_rb, w, parent,
+                                  child_offset)
 
 
 class Deconv(nn.Module):
-    """Transposed convolution coarse -> fine (scn.Deconvolution parity)."""
+    """Transposed convolution coarse -> fine (scn.Deconvolution parity).
+
+    ``down_rb`` carries the transposed map for the scatter-free backward.
+    """
 
     out_channels: int
     kernel_volume: int = 8
 
     @nn.compact
-    def __call__(self, coarse_feats, parent, child_offset, fine_valid):
+    def __call__(self, coarse_feats, parent, child_offset, fine_valid,
+                 down_rb=None):
         w = self.param(
             "kernel", _conv_init,
             (self.kernel_volume, coarse_feats.shape[-1], self.out_channels),
         )
-        return deconv_apply(coarse_feats, parent, child_offset, w, fine_valid)
+        return deconv_apply(coarse_feats, parent, child_offset, w,
+                            fine_valid, down_rb)
 
 
 class NetworkInNetwork(nn.Module):

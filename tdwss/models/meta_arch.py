@@ -97,7 +97,7 @@ class MultiLabelContrastive(nn.Module):
                 batch.coords, batch.feats, batch.valid,
                 istrain=True, train=train, num_scenes=batch.num_scenes,
                 plans=batch.plans, vox_feats=batch.vox_feats,
-                point2voxel=batch.point2voxel,
+                point2voxel=batch.point2voxel, point_perm=batch.point_perm,
             )
             global_logits = nn.Dense(NUM_CLASSES, name="linear")(global_feats)
             return global_logits, (global_feats, tfeats,
@@ -105,7 +105,8 @@ class MultiLabelContrastive(nn.Module):
         out_feats = encoder(batch.coords, batch.feats, batch.valid,
                             istrain=False, train=train,
                             plans=batch.plans, vox_feats=batch.vox_feats,
-                            point2voxel=batch.point2voxel)
+                            point2voxel=batch.point2voxel,
+                            point_perm=batch.point_perm)
         return nn.Dense(NUM_CLASSES, name="linear")(out_feats)
 
 
@@ -125,7 +126,7 @@ class MultiLabel(nn.Module):
             batch.coords, batch.feats, batch.valid,
             istrain=istrain, train=train, num_scenes=batch.num_scenes,
             plans=batch.plans, vox_feats=batch.vox_feats,
-            point2voxel=batch.point2voxel,
+            point2voxel=batch.point2voxel, point_perm=batch.point_perm,
         )
         global_logits = nn.Dense(NUM_CLASSES, name="linear")(out_feats)
         if istrain:
@@ -152,7 +153,8 @@ class FullySupervised(nn.Module):
         out_feats = encoder(batch.coords, batch.feats, batch.valid,
                             istrain=False, train=train,
                             plans=batch.plans, vox_feats=batch.vox_feats,
-                            point2voxel=batch.point2voxel)
+                            point2voxel=batch.point2voxel,
+                            point_perm=batch.point_perm)
         logits = nn.Dense(NUM_CLASSES, name="linear")(out_feats)
         if istrain:
             global_logits = segment_mean_by_batch(

@@ -33,8 +33,8 @@ from tdwss.models.layers import (
     SubmConv,
 )
 from tdwss.ops.plan import LevelPlans, build_plans, level_capacities
-from tdwss.ops.segment import segment_mean_by_batch
-from tdwss.ops.voxelize import devoxelize, voxelize
+from tdwss.ops.segment import segment_mean_weighted
+from tdwss.ops.voxelize import devoxelize, devoxelize_seg, voxelize
 from tdwss.registry import MODEL_REGISTRY
 
 
@@ -83,7 +83,7 @@ class UNetBody(nn.Module):
             identity = feats
             h = BatchNormReLU(name="down_bnrelu")(feats, valid, train)
             h = StridedConv(planes[1], lvl.down_rb.shape[-1], name="down_conv")(
-                h, lvl.down_rb
+                h, lvl.down_rb, lvl.parent, lvl.child_offset
             )
             h = UNetBody(planes[1:], self.reps, self.residual, name="inner")(
                 h, plans, level + 1, train
@@ -92,7 +92,7 @@ class UNetBody(nn.Module):
                 h, plans.levels[level + 1].grid.valid, train
             )
             h = Deconv(planes[0], lvl.down_rb.shape[-1], name="up_deconv")(
-                h, lvl.parent, lvl.child_offset, valid
+                h, lvl.parent, lvl.child_offset, valid, lvl.down_rb
             )
             feats = jnp.concatenate([identity, h], axis=-1)
             for i in range(self.reps):
@@ -125,14 +125,14 @@ class FCNBody(nn.Module):
             identity = feats
             h = BatchNormReLU(name="down_bnrelu")(feats, valid, train)
             h = StridedConv(planes[1], lvl.down_rb.shape[-1], name="down_conv")(
-                h, lvl.down_rb
+                h, lvl.down_rb, lvl.parent, lvl.child_offset
             )
             h = FCNBody(planes[1:], self.reps, self.residual, name="inner")(
                 h, plans, level + 1, train
             )
             from tdwss.ops.sparse_conv import unpool
 
-            h = unpool(h, lvl.parent, fine_valid=valid)
+            h = unpool(h, lvl.parent, fine_valid=valid, down_rb=lvl.down_rb)
             feats = jnp.concatenate([identity, h], axis=-1)
         return feats
 
@@ -160,14 +160,14 @@ class DirectUpPoolBody(nn.Module):
         if len(planes) > 1:
             h = BatchNormReLU(name="down_bnrelu")(feats, valid, train)
             h = StridedConv(planes[1], lvl.down_rb.shape[-1], name="down_conv")(
-                h, lvl.down_rb
+                h, lvl.down_rb, lvl.parent, lvl.child_offset
             )
             h = DirectUpPoolBody(planes[1:], self.reps, self.residual, name="inner")(
                 h, plans, level + 1, train
             )
             from tdwss.ops.sparse_conv import unpool
 
-            feats = unpool(h, lvl.parent, fine_valid=valid)
+            feats = unpool(h, lvl.parent, fine_valid=valid, down_rb=lvl.down_rb)
         return feats
 
 
@@ -212,7 +212,8 @@ class _SparseEncoderBase(nn.Module):
     @nn.compact
     def __call__(self, coords, feats, valid, istrain: bool = False,
                  train: bool = False, num_scenes: int = 1,
-                 plans=None, vox_feats=None, point2voxel=None):
+                 plans=None, vox_feats=None, point2voxel=None,
+                 point_perm=None):
         """[coords, feats] -> per-point features (or per-scene means if istrain).
 
         coords (N, 4) int32 [x,y,z,b]; feats (N, C); valid (N,) bool.
@@ -246,11 +247,21 @@ class _SparseEncoderBase(nn.Module):
             h, plans, 0, train
         )
         h = BatchNormReLU(name="final_bnrelu")(h, grid.valid, train)
-        # OutputLayer: voxel -> point readback (fp32 for heads/losses)
-        pts = devoxelize(h.astype(jnp.float32), p2v)
         if istrain:
-            return segment_mean_by_batch(pts, coords[:, 3], num_scenes, valid)
-        return pts
+            # Scene mean over points == count-weighted mean over voxels
+            # (every point reads its voxel's features, OutputLayer parity).
+            # Pooling on voxels keeps the devoxelize gather — whose VJP is a
+            # TPU-hostile scatter — out of the training graph entirely.
+            return segment_mean_weighted(
+                h.astype(jnp.float32), grid.coords[:, 3], grid.counts,
+                num_scenes, grid.valid)
+        # OutputLayer: voxel -> point readback (fp32 for heads/losses).
+        # With a host-provided run permutation the readback stays
+        # differentiable without a TPU scatter (FullySupervised point CE).
+        if point_perm is not None:
+            return devoxelize_seg(h.astype(jnp.float32), p2v, point_perm,
+                                  grid.counts)
+        return devoxelize(h.astype(jnp.float32), p2v)
 
 
 @MODEL_REGISTRY.register(embed_length=lambda m: m)

@@ -266,7 +266,10 @@ def voxelize(coords: np.ndarray, valid: np.ndarray, num_voxels: int,
     """Key-sorted dedup of (x,y,z,b) coords (device voxelizer twin).
 
     Returns (vox_coords, key_hi, key_lo, vox_valid, counts, num_valid,
-    point2voxel, vox_feats or None), or None if native lib unavailable.
+    point2voxel, vox_feats or None, sorted_order), or None if the native
+    lib is unavailable.  ``sorted_order`` lists kept points in voxel-run
+    order (each voxel's members contiguous), dropped/invalid points at the
+    tail.
     """
     lib = _load()
     if lib is None:
@@ -284,6 +287,7 @@ def voxelize(coords: np.ndarray, valid: np.ndarray, num_voxels: int,
     counts = np.empty((v,), np.int32)
     p2v = np.empty((n,), np.int32)
     vox_feats = np.empty((v, fdim), np.float32) if feats is not None else None
+    sorted_order = np.empty((n,), np.int32)
     num_valid = lib.voxelize(
         coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         valid_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -297,9 +301,10 @@ def voxelize(coords: np.ndarray, valid: np.ndarray, num_voxels: int,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         p2v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         vox_feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) if vox_feats is not None else None,
+        sorted_order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return (vox_coords, key_hi, key_lo, vox_valid.astype(bool), counts,
-            np.int32(num_valid), p2v, vox_feats)
+            np.int32(num_valid), p2v, vox_feats, sorted_order)
 
 
 def available() -> bool:

@@ -57,7 +57,8 @@ def voxelize_np(
     valid: np.ndarray,
     num_voxels: int,
     mode: str = "mean",
-) -> Tuple[SparseGrid, Optional[np.ndarray], np.ndarray]:
+    return_order: bool = False,
+):
     """Numpy twin of :func:`tdwss.ops.voxelize.voxelize` (same contract).
 
     Hot path delegated to the native parallel sort-dedup
@@ -73,12 +74,14 @@ def voxelize_np(
         res = _native.voxelize(coords, valid, num_voxels, feats)
         if res is not None:
             (vox_coords, key_hi, key_lo, vox_valid, counts, num_valid, p2v,
-             vox_feats) = res
+             vox_feats, order) = res
             grid = SparseGrid(coords=vox_coords, key_hi=key_hi,
                               key_lo=key_lo, valid=vox_valid, counts=counts,
                               num_valid=num_valid)
             if feats is not None and vox_feats is not None:
                 vox_feats = vox_feats.astype(np.asarray(feats).dtype)
+            if return_order:
+                return grid, vox_feats, p2v, order
             return grid, vox_feats, p2v
 
     key = _pack_keys_np(coords, valid)
@@ -122,6 +125,11 @@ def voxelize_np(
                 vox_feats[:kept] /= np.maximum(counts[:kept, None], 1)
         vox_feats = vox_feats.astype(feats.dtype)
 
+    if return_order:
+        # stable key sort: kept voxel runs first (rank order), dropped and
+        # invalid points at the tail — matches the native voxelize.
+        order = np.argsort(key, kind="stable").astype(np.int32)
+        return grid, vox_feats, vox_id, order
     return grid, vox_feats, vox_id
 
 
@@ -229,13 +237,16 @@ def host_voxelize_and_plan(
     capacities: Sequence[int],
     downsample: Tuple[int, int] = (2, 2),
     subm_kernel: int = 3,
-) -> Tuple[LevelPlans, np.ndarray, np.ndarray]:
+):
     """One-call host pipeline: InputLayer voxelize + all level plans.
 
-    Returns (plans, vox_feats (V0, C), point2voxel (N,)).
+    Returns (plans, vox_feats (V0, C), point2voxel (N,), point_perm (N,)).
+    ``point_perm`` orders points into contiguous per-voxel runs (see
+    tdwss.ops.voxelize.devoxelize_seg).
     """
-    grid, vox_feats, p2v = voxelize_np(
-        coords, feats, valid, int(capacities[0]), mode="mean")
+    grid, vox_feats, p2v, order = voxelize_np(
+        coords, feats, valid, int(capacities[0]), mode="mean",
+        return_order=True)
     plans = build_plans_np(grid, num_levels, capacities, downsample,
                            subm_kernel)
-    return plans, vox_feats, p2v
+    return plans, vox_feats, p2v, order

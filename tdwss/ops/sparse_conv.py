@@ -1,26 +1,41 @@
-"""Sparse convolution applications: gather -> GEMM -> (implicit) scatter.
+"""Sparse convolution applications: gather -> GEMM -> gather-transpose.
 
 TPU-native replacements for SparseConvNet's CUDA rulebook execution
 (``scn.SubmanifoldConvolution``, strided ``scn.Convolution``,
 ``scn.Deconvolution``, ``scn.UnPooling``, ``scn.MaxPooling`` — reference
 models/SparseConvNet.py usage).  All functions are pure on arrays, take
-precomputed rulebooks from :mod:`tdwss.ops.plan`, and keep static shapes.
+precomputed rulebooks from :mod:`tdwss.ops.plan` /
+:mod:`tdwss.ops.host_plan`, and keep static shapes.
 
 Layout choices for the MXU:
 - a (V, K) rulebook gathers into a single (V, K*Cin) operand so each conv is
-  ONE large matmul (K*Cin is 432 for a 3^3 kernel at Cin=16) instead of 27
-  skinny ones;
-- accumulation in float32 (``preferred_element_type``) regardless of the
-  bf16/f32 compute dtype.
+  ONE large matmul instead of K skinny ones;
+- rows are processed in ``lax.map`` chunks: a full-size (V, K, Cin) gather
+  with a narrow Cin tile-pads up to 4x on TPU (2.5 GB -> 11 GB observed);
+  chunking bounds the live padded transient to ~128 MB;
+- accumulation in float32 (``preferred_element_type``) from bf16 operands.
 
-Memory: the convolutions carry a **custom VJP** that recomputes the gathered
-(V, K*Cin) operand in the backward pass instead of letting autodiff save it
-as a residual (SCN's CUDA backward does the same).  Residuals are only the
-(V, Cin) activations + rulebooks; without this, a 7-level m=32 UNet at 786k
-points OOMs a 16 GB chip.
+NO SCATTERS ANYWHERE: XLA lowers scatter-add with potentially-colliding
+indices to a serial loop on TPU (minutes per conv at 786k voxels).  Every
+backward pass is expressed as a *gather*-GEMM through the transposed
+rulebook instead:
+- submanifold: the rulebook is symmetric — ``rb[v,k] = u  <=>
+  rb[u, K-1-k] = v`` (centred kernel, negated offset), so
+  ``dfeats = gather_matmul(dout, rb, weight[::-1].T)``;
+- strided conv fine->coarse: each fine voxel occupies exactly one
+  (parent, child_offset) slot, so ``dfine[f] = dout[parent[f]] @
+  W[child_offset[f]]^T`` — the deconv forward pattern;
+- deconv coarse->fine: children of a coarse voxel are enumerated by the
+  strided rulebook ``down_rb``, so ``dcoarse = gather_matmul(dout,
+  down_rb, W^T)`` (tap index == child_offset, no flip);
+- unpool: ``dcoarse[c] = sum_k dfine[down_rb[c,k]]``.
+
+Backward gathers run behind ``lax.optimization_barrier`` fences tying them
+to the incoming cotangent — without the fence XLA's latency-hiding
+scheduler hoists every recomputed gather to program start (57 GB live).
 
 Index hygiene: missing neighbors are encoded as -1 in rulebooks.  They are
-remapped to V (definitely out-of-bounds) before every gather/scatter —
+remapped to V (definitely out-of-bounds) before every gather —
 ``jnp.take(mode='fill')`` WRAPS negative indices numpy-style rather than
 filling them, so passing -1 through would silently read the last voxel.
 """
@@ -40,6 +55,24 @@ def _oob(rulebook: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.where(rulebook >= 0, rulebook, size)
 
 
+# Target bytes for one gathered (rows, K*Cin) chunk (see module docstring).
+_CHUNK_BYTES = 128 * 1024 * 1024
+
+
+def _num_chunks(v: int, row_bytes: int) -> int:
+    """Largest divisor of v so that one chunk's gather stays under budget."""
+    want = max(1, (v * row_bytes + _CHUNK_BYTES - 1) // _CHUNK_BYTES)
+    if want == 1:
+        return 1
+    best = 1
+    for d in range(1, int(v**0.5) + 1):
+        if v % d == 0:
+            for cand in (d, v // d):
+                if cand >= want and (best < want or cand < best):
+                    best = cand
+    return best if best >= want else 1
+
+
 def gather_neighbors(feats: jnp.ndarray, rulebook: jnp.ndarray) -> jnp.ndarray:
     """(V, Cin), (Vo, K) -> (Vo, K*Cin); missing neighbors read zeros."""
     ids = _oob(rulebook, feats.shape[0])
@@ -47,121 +80,200 @@ def gather_neighbors(feats: jnp.ndarray, rulebook: jnp.ndarray) -> jnp.ndarray:
     return g.reshape(rulebook.shape[0], -1)
 
 
+def _gather_matmul_impl(feats: jnp.ndarray, rulebook: jnp.ndarray,
+                        w2d: jnp.ndarray) -> jnp.ndarray:
+    """out = concat_k feats[rb[:,k]] @ w2d, row-chunked.  w2d (K*Cin, Cout)."""
+    v, k = rulebook.shape
+    cin = feats.shape[-1]
+    w2d = w2d.astype(feats.dtype)
+    chunks = _num_chunks(v, k * cin * feats.dtype.itemsize)
+    if chunks == 1:
+        g = gather_neighbors(feats, rulebook)
+        return jnp.dot(g, w2d, preferred_element_type=jnp.float32
+                       ).astype(feats.dtype)
+
+    def chunk_fn(rb):
+        g = gather_neighbors(feats, rb)
+        return jnp.dot(g, w2d, preferred_element_type=jnp.float32
+                       ).astype(feats.dtype)
+
+    out = jax.lax.map(chunk_fn, rulebook.reshape(chunks, v // chunks, k))
+    return out.reshape(v, -1)
+
+
+def _gather_matmul_dw(feats: jnp.ndarray, rulebook: jnp.ndarray,
+                      dout: jnp.ndarray) -> jnp.ndarray:
+    """dW2d = sum_v gathered_v^T dout_v, row-chunked, f32."""
+    v, k = rulebook.shape
+    cin = feats.shape[-1]
+    cout = dout.shape[-1]
+    chunks = _num_chunks(v, k * cin * feats.dtype.itemsize)
+    if chunks == 1:
+        g = gather_neighbors(feats, rulebook)
+        return jnp.dot(g.T, dout.astype(feats.dtype),
+                       preferred_element_type=jnp.float32)
+    cv = v // chunks
+    rb3 = rulebook.reshape(chunks, cv, k)
+    dout3 = dout.astype(feats.dtype).reshape(chunks, cv, cout)
+
+    def body(i, acc):
+        g = gather_neighbors(
+            feats, jax.lax.dynamic_index_in_dim(rb3, i, keepdims=False))
+        dc = jax.lax.dynamic_index_in_dim(dout3, i, keepdims=False)
+        return acc + jnp.dot(g.T, dc, preferred_element_type=jnp.float32)
+
+    return jax.lax.fori_loop(
+        0, chunks, body, jnp.zeros((k * cin, cout), jnp.float32))
+
+
 @jax.custom_vjp
-def _gather_matmul(feats: jnp.ndarray, rulebook: jnp.ndarray,
-                   weight: jnp.ndarray) -> jnp.ndarray:
+def _subm_conv(feats: jnp.ndarray, rulebook: jnp.ndarray,
+               weight: jnp.ndarray) -> jnp.ndarray:
     """out[v] = concat_k feats[rulebook[v,k]] @ weight.reshape(K*Cin, Cout)."""
-    g = gather_neighbors(feats, rulebook)
-    w = weight.reshape(-1, weight.shape[-1])
-    out = jnp.dot(g, w.astype(g.dtype), preferred_element_type=jnp.float32)
-    return out.astype(feats.dtype)
+    return _gather_matmul_impl(
+        feats, rulebook, weight.reshape(-1, weight.shape[-1]))
 
 
-def _gather_matmul_fwd(feats, rulebook, weight):
-    return _gather_matmul(feats, rulebook, weight), (feats, rulebook, weight)
+def _subm_conv_fwd(feats, rulebook, weight):
+    return _subm_conv(feats, rulebook, weight), (feats, rulebook, weight)
 
 
-def _gather_matmul_bwd(res, dout):
-    """Two large GEMMs in the compute dtype with f32 accumulation.
-
-    Materializing f32 copies of the (Vo, K*Cin) operands (einsum with
-    .astype(float32)) peaked at ~57 GB HBM on the m=32 UNet bench batch;
-    keeping operands bf16 and accumulating in f32 via
-    ``preferred_element_type`` gives the same numerics the MXU produces in
-    the forward pass at ~1/4 the transient memory.
-    """
+def _subm_conv_bwd(res, dout):
     feats, rulebook, weight = res
     k, cin, cout = weight.shape
-    # The gather recompute depends only on forward inputs, so without a
-    # barrier XLA's latency-hiding scheduler hoists EVERY backward gather to
-    # the start of the program — ~28 live (V, K*Cin) buffers = 57 GB HBM on
-    # the m=32 UNet bench.  Tying feats to the incoming cotangent forces
-    # each recompute to run inside its own backward step.
     feats, dout = jax.lax.optimization_barrier((feats, dout))
-    ids = _oob(rulebook, feats.shape[0])
-    # dW = gathered^T @ dout  (gather recomputed, not stored)
-    g2d = gather_neighbors(feats, rulebook)                  # (Vo, K*Cin)
-    dout_c = dout.astype(g2d.dtype)
-    dw = jnp.dot(g2d.T, dout_c, preferred_element_type=jnp.float32)
+    dout_c = dout.astype(feats.dtype)
+    # dW (gather recomputed, not stored)
+    dw = _gather_matmul_dw(feats, rulebook, dout_c)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
-    # dfeats[rb[v,k]] += dout[v] @ W[k]^T  — one (Vo, Cout)x(Cout, K*Cin) GEMM
-    w2d = weight.reshape(k * cin, cout).astype(dout_c.dtype)
-    contrib = jnp.dot(
-        dout_c, w2d.T, preferred_element_type=jnp.float32
-    ).astype(feats.dtype).reshape(-1, k, cin)
-    dfeats = jnp.zeros_like(feats).at[ids].add(contrib, mode="drop")
+    # dfeats via the transposed (flipped-tap) rulebook: scatter-free.
+    w_t = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
+    dfeats = _gather_matmul_impl(dout_c, rulebook, w_t).astype(feats.dtype)
     drb = np.zeros(rulebook.shape, dtype=float0)
     return dfeats, drb, dw
 
 
-_gather_matmul.defvjp(_gather_matmul_fwd, _gather_matmul_bwd)
+_subm_conv.defvjp(_subm_conv_fwd, _subm_conv_bwd)
 
 
 def subm_conv_apply(feats: jnp.ndarray, rulebook: jnp.ndarray,
                     weight: jnp.ndarray) -> jnp.ndarray:
     """Submanifold convolution: output sites == input sites.
 
-    feats (V, Cin); rulebook (V, K); weight (K, Cin, Cout) -> (V, Cout).
+    feats (V, Cin); rulebook (V, K) — must come from a centred odd cubic
+    kernel over a single coordinate set (the transpose-symmetry the
+    backward relies on); weight (K, Cin, Cout) -> (V, Cout).
     """
-    return _gather_matmul(feats, rulebook, weight)
+    return _subm_conv(feats, rulebook, weight)
 
 
-def strided_conv_apply(fine_feats: jnp.ndarray, down_rb: jnp.ndarray,
-                       weight: jnp.ndarray) -> jnp.ndarray:
-    """Strided convolution fine -> coarse.
+def _tap_select_matmul(g: jnp.ndarray, taps: jnp.ndarray, w_t: jnp.ndarray,
+                       k: int) -> jnp.ndarray:
+    """rows g[f] @ W[taps[f]]^T as one 2D GEMM.
 
-    fine_feats (Vf, Cin); down_rb (Vc, f^3) indices into the fine level;
-    weight (f^3, Cin, Cout) -> (Vc, Cout).
+    g (N, Cout); taps (N,) in [0,K); w_t (K*Cout, Cin) = W.transpose(0,2,1)
+    flattened.  Builds the (N, K*Cout) one-hot-masked operand (2D, so no
+    tile-padding blowup) and runs a single MXU GEMM.
     """
-    return _gather_matmul(fine_feats, down_rb, weight)
+    n, cout = g.shape
+    onehot = jax.nn.one_hot(taps, k, dtype=g.dtype)            # (N, K)
+    z = (onehot[:, :, None] * g[:, None, :]).reshape(n, k * cout)
+    return jnp.dot(z, w_t.astype(g.dtype),
+                   preferred_element_type=jnp.float32)
 
 
 @jax.custom_vjp
-def _deconv(coarse_feats, parent, child_offset, weight):
+def _strided_conv(fine_feats, down_rb, parent, child_offset, weight):
+    return _gather_matmul_impl(
+        fine_feats, down_rb, weight.reshape(-1, weight.shape[-1]))
+
+
+def _strided_conv_fwd(fine_feats, down_rb, parent, child_offset, weight):
+    out = _strided_conv(fine_feats, down_rb, parent, child_offset, weight)
+    return out, (fine_feats, down_rb, parent, child_offset, weight)
+
+
+def _strided_conv_bwd(res, dout):
+    fine_feats, down_rb, parent, child_offset, weight = res
     k, cin, cout = weight.shape
+    fine_feats, dout = jax.lax.optimization_barrier((fine_feats, dout))
+    dout_c = dout.astype(fine_feats.dtype)
+    dw = _gather_matmul_dw(fine_feats, down_rb, dout_c)
+    dw = dw.reshape(k, cin, cout).astype(weight.dtype)
+    # dfine[f] = dout[parent[f]] @ W[child_offset[f]]^T — pure gather.
+    g = jnp.take(dout_c, _oob(parent, dout_c.shape[0]), axis=0,
+                 mode="fill", fill_value=0)                    # (Vf, Cout)
+    w_t = weight.transpose(0, 2, 1).reshape(k * cout, cin)
+    dfine = _tap_select_matmul(g, child_offset, w_t, k).astype(
+        fine_feats.dtype)
+    zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
+    return dfine, zeros(down_rb), zeros(parent), zeros(child_offset), dw
+
+
+_strided_conv.defvjp(_strided_conv_fwd, _strided_conv_bwd)
+
+
+def strided_conv_apply(fine_feats: jnp.ndarray, down_rb: jnp.ndarray,
+                       weight: jnp.ndarray,
+                       parent: Optional[jnp.ndarray] = None,
+                       child_offset: Optional[jnp.ndarray] = None
+                       ) -> jnp.ndarray:
+    """Strided convolution fine -> coarse (filter == stride).
+
+    fine_feats (Vf, Cin); down_rb (Vc, f^3) indices into the fine level;
+    weight (f^3, Cin, Cout) -> (Vc, Cout).  ``parent``/``child_offset``
+    (both (Vf,)) enable the scatter-free backward; required under AD.
+    """
+    if parent is None or child_offset is None:
+        # plain-autodiff fallback (scatter VJP through the gather)
+        return _gather_matmul_impl(
+            fine_feats, down_rb, weight.reshape(-1, weight.shape[-1]))
+    return _strided_conv(fine_feats, down_rb, parent, child_offset, weight)
+
+
+def _deconv_raw(coarse_feats, parent, child_offset, weight):
+    k, cin, cout = weight.shape
+    cdt = coarse_feats.dtype
     ids = _oob(parent, coarse_feats.shape[0])
     g = jnp.take(coarse_feats, ids, axis=0, mode="fill", fill_value=0)
-    res = jnp.dot(
-        g, weight.transpose(1, 0, 2).reshape(cin, k * cout).astype(g.dtype),
-        preferred_element_type=jnp.float32,
-    ).reshape(-1, k, cout)
-    onehot = jax.nn.one_hot(child_offset, k, dtype=res.dtype)
-    return jnp.einsum("vk,vko->vo", onehot, res).astype(coarse_feats.dtype)
+    # fine[f] = coarse[parent[f]] @ W[child_offset[f]] — tap-select GEMM on
+    # W (not W^T): w2d rows are (k, cin) pairs.
+    onehot = jax.nn.one_hot(child_offset, k, dtype=cdt)        # (Vf, K)
+    z = (onehot[:, :, None] * g[:, None, :]).reshape(-1, k * cin)
+    out = jnp.dot(z, weight.reshape(k * cin, cout).astype(cdt),
+                  preferred_element_type=jnp.float32)
+    return out.astype(cdt)
 
 
-def _deconv_fwd(coarse_feats, parent, child_offset, weight):
-    out = _deconv(coarse_feats, parent, child_offset, weight)
-    return out, (coarse_feats, parent, child_offset, weight)
+@jax.custom_vjp
+def _deconv(coarse_feats, parent, child_offset, down_rb, weight):
+    return _deconv_raw(coarse_feats, parent, child_offset, weight)
+
+
+def _deconv_fwd(coarse_feats, parent, child_offset, down_rb, weight):
+    out = _deconv(coarse_feats, parent, child_offset, down_rb, weight)
+    return out, (coarse_feats, parent, child_offset, down_rb, weight)
 
 
 def _deconv_bwd(res, dout):
-    coarse_feats, parent, child_offset, weight = res
+    coarse_feats, parent, child_offset, down_rb, weight = res
     k, cin, cout = weight.shape
     cdt = coarse_feats.dtype
-    # See _gather_matmul_bwd: barrier keeps the recomputed gather inside its
-    # backward step instead of hoisted-to-front by the scheduler.
     coarse_feats, dout = jax.lax.optimization_barrier((coarse_feats, dout))
+    dout_c = dout.astype(cdt)
+    # dW[k] = sum_{f: off=k} coarse[parent[f]]^T dout[f] — one-hot-expanded
+    # (Vf, K*Cin) operand, ONE GEMM.
     ids = _oob(parent, coarse_feats.shape[0])
     g = jnp.take(coarse_feats, ids, axis=0, mode="fill", fill_value=0)
     onehot = jax.nn.one_hot(child_offset, k, dtype=cdt)
-    dout_c = dout.astype(cdt)
-    # dW[k] = sum_{v: off=k} g[v]^T dout[v]: expand to (Vf, K*Cin) with the
-    # one-hot mask, then ONE GEMM against dout (f32 accumulation).
-    g_k = (onehot[:, :, None] * g[:, None, :]).reshape(-1, k * cin)
-    dw = jnp.dot(g_k.T, dout_c, preferred_element_type=jnp.float32)
+    z = (onehot[:, :, None] * g[:, None, :]).reshape(-1, k * cin)
+    dw = jnp.dot(z.T, dout_c, preferred_element_type=jnp.float32)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
-    # dcoarse[parent[v]] += dout[v] @ W[off[v]]^T
-    tmp = jnp.dot(
-        dout_c, weight.reshape(k * cin, cout).astype(cdt).T,
-        preferred_element_type=jnp.float32,
-    ).astype(cdt).reshape(-1, k, cin)
-    contrib = jnp.take_along_axis(
-        tmp, child_offset[:, None, None].astype(jnp.int32), axis=1
-    )[:, 0, :]
-    dcoarse = jnp.zeros_like(coarse_feats).at[ids].add(contrib, mode="drop")
-    dparent = np.zeros(parent.shape, dtype=float0)
-    doff = np.zeros(child_offset.shape, dtype=float0)
-    return dcoarse, dparent, doff, dw
+    # dcoarse = gather-GEMM over the strided rulebook (children by tap).
+    w_t = weight.transpose(0, 2, 1).reshape(k * cout, cin)
+    dcoarse = _gather_matmul_impl(dout_c, down_rb, w_t).astype(cdt)
+    zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
+    return dcoarse, zeros(parent), zeros(child_offset), zeros(down_rb), dw
 
 
 _deconv.defvjp(_deconv_fwd, _deconv_bwd)
@@ -169,55 +281,88 @@ _deconv.defvjp(_deconv_fwd, _deconv_bwd)
 
 def deconv_apply(coarse_feats: jnp.ndarray, parent: jnp.ndarray,
                  child_offset: jnp.ndarray, weight: jnp.ndarray,
-                 fine_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 fine_valid: Optional[jnp.ndarray] = None,
+                 down_rb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Transposed convolution coarse -> fine (filter == stride).
 
     Each fine site receives exactly one contribution: its parent's features
     through the filter tap it occupies.
 
     coarse_feats (Vc, Cin); parent (Vf,); child_offset (Vf,);
-    weight (K, Cin, Cout) -> (Vf, Cout).
+    weight (K, Cin, Cout); down_rb (Vc, K) enables the scatter-free
+    backward -> (Vf, Cout).
     """
-    out = _deconv(coarse_feats, parent, child_offset, weight)
+    if down_rb is None:
+        # plain-autodiff fallback: correct gradients via XLA scatter (slow
+        # on TPU) — training paths must supply down_rb.
+        out = _deconv_raw(coarse_feats, parent, child_offset, weight)
+    else:
+        out = _deconv(coarse_feats, parent, child_offset, down_rb, weight)
     if fine_valid is not None:
         out = jnp.where(fine_valid[:, None], out, 0)
     return out
+
+
+@jax.custom_vjp
+def _unpool(coarse_feats, parent, down_rb):
+    ids = _oob(parent, coarse_feats.shape[0])
+    return jnp.take(coarse_feats, ids, axis=0, mode="fill", fill_value=0)
+
+
+def _unpool_fwd(coarse_feats, parent, down_rb):
+    return _unpool(coarse_feats, parent, down_rb), (parent, down_rb,
+                                                    coarse_feats.shape[0])
+
+
+def _unpool_bwd(res, dout):
+    parent, down_rb, vc = res
+    # dcoarse[c] = sum_k dout[down_rb[c,k]] — gather, not scatter.
+    ids = _oob(down_rb, dout.shape[0])
+    g = jnp.take(dout, ids, axis=0, mode="fill", fill_value=0)  # (Vc, K, C)
+    dcoarse = jnp.sum(g.astype(jnp.float32), axis=1).astype(dout.dtype)
+    zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
+    return dcoarse, zeros(parent), zeros(down_rb)
+
+
+_unpool.defvjp(_unpool_fwd, _unpool_bwd)
 
 
 def unpool(coarse_feats: jnp.ndarray, parent: jnp.ndarray,
-           fine_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """scn.UnPooling parity: copy the parent voxel's features to children."""
-    ids = _oob(parent, coarse_feats.shape[0])
-    out = jnp.take(coarse_feats, ids, axis=0, mode="fill", fill_value=0)
+           fine_valid: Optional[jnp.ndarray] = None,
+           down_rb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """scn.UnPooling parity: copy the parent voxel's features to children.
+
+    ``down_rb`` (Vc, f^3) enables the scatter-free backward.
+    """
+    if down_rb is None:
+        # plain-autodiff fallback (scatter VJP); training supplies down_rb.
+        ids = _oob(parent, coarse_feats.shape[0])
+        out = jnp.take(coarse_feats, ids, axis=0, mode="fill", fill_value=0)
+    else:
+        out = _unpool(coarse_feats, parent, down_rb)
     if fine_valid is not None:
         out = jnp.where(fine_valid[:, None], out, 0)
     return out
 
 
-def max_pool(fine_feats: jnp.ndarray, parent: jnp.ndarray,
-             num_coarse: int) -> jnp.ndarray:
-    """scn.MaxPooling parity (filter == stride): segment max over parents.
+def max_pool(fine_feats: jnp.ndarray, down_rb: jnp.ndarray) -> jnp.ndarray:
+    """scn.MaxPooling parity (filter == stride): gather-max over children.
 
-    Invalid fine rows must carry parent >= num_coarse (dropped by scatter).
+    fine_feats (Vf, C); down_rb (Vc, f^3) -> (Vc, C).  Gather-based (the
+    transposed formulation) so fwd AND autodiff bwd stay scatter-free.
     """
+    ids = _oob(down_rb, fine_feats.shape[0])
     neg = jnp.finfo(fine_feats.dtype).min
-    ids = _oob(parent, num_coarse)
-    out = (
-        jnp.full((num_coarse, fine_feats.shape[1]), neg, fine_feats.dtype)
-        .at[ids]
-        .max(fine_feats, mode="drop")
-    )
+    g = jnp.take(fine_feats, ids, axis=0, mode="fill",
+                 fill_value=neg)                               # (Vc, K, C)
+    out = jnp.max(g, axis=1)
     return jnp.where(out == neg, 0, out)
 
 
-def avg_pool(fine_feats: jnp.ndarray, parent: jnp.ndarray,
-             num_coarse: int) -> jnp.ndarray:
-    """scn.AveragePooling parity: segment mean over parents."""
-    ids = _oob(parent, num_coarse)
-    summed = (
-        jnp.zeros((num_coarse, fine_feats.shape[1]), fine_feats.dtype)
-        .at[ids]
-        .add(fine_feats, mode="drop")
-    )
-    counts = jnp.zeros((num_coarse,), jnp.int32).at[ids].add(1, mode="drop")
-    return summed / jnp.maximum(counts, 1).astype(summed.dtype)[:, None]
+def avg_pool(fine_feats: jnp.ndarray, down_rb: jnp.ndarray) -> jnp.ndarray:
+    """scn.AveragePooling parity: gather-mean over children."""
+    ids = _oob(down_rb, fine_feats.shape[0])
+    g = jnp.take(fine_feats, ids, axis=0, mode="fill", fill_value=0)
+    cnt = jnp.sum((down_rb >= 0).astype(jnp.float32), axis=1)
+    summed = jnp.sum(g.astype(jnp.float32), axis=1)
+    return (summed / jnp.maximum(cnt, 1.0)[:, None]).astype(fine_feats.dtype)

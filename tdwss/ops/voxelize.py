@@ -17,7 +17,9 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.struct
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tdwss.ops.coords import INVALID_KEY, make_keys, sort_by_keys
 
@@ -133,6 +135,51 @@ def voxelize(
 def devoxelize(vox_feats: jnp.ndarray, point2voxel: jnp.ndarray) -> jnp.ndarray:
     """Per-point readback of voxel features (scn.OutputLayer parity).
 
-    Out-of-range ids (invalid/overflowed points) read zeros.
+    Out-of-range ids (invalid/overflowed points) read zeros.  NOTE: the
+    autodiff VJP of this gather is an XLA scatter-add (serialized on TPU);
+    training paths should use :func:`devoxelize_seg`.
     """
     return jnp.take(vox_feats, point2voxel, axis=0, mode="fill", fill_value=0)
+
+
+@jax.custom_vjp
+def _devoxelize_seg(vox_feats, point2voxel, point_perm, counts):
+    return jnp.take(vox_feats, point2voxel, axis=0, mode="fill", fill_value=0)
+
+
+def _devoxelize_seg_fwd(vox_feats, point2voxel, point_perm, counts):
+    out = _devoxelize_seg(vox_feats, point2voxel, point_perm, counts)
+    return out, (point2voxel, point_perm, counts, vox_feats.shape[0])
+
+
+def _devoxelize_seg_bwd(res, dpts):
+    point2voxel, point_perm, counts, v = res
+    # dvox[j] = sum of dpts over voxel j's contiguous run in the
+    # host-sorted point order — a cumsum difference, NOT a scatter (XLA
+    # serializes colliding scatter-adds on TPU).
+    sorted_d = jnp.take(dpts, point_perm, axis=0).astype(jnp.float32)
+    prefix = jnp.cumsum(sorted_d, axis=0)
+    prefix = jnp.concatenate(
+        [jnp.zeros((1, dpts.shape[1]), jnp.float32), prefix], axis=0)
+    ends = jnp.cumsum(counts)                        # (V,)
+    starts = ends - counts
+    dvox = jnp.take(prefix, ends, axis=0) - jnp.take(prefix, starts, axis=0)
+    from jax.dtypes import float0 as _f0
+
+    zeros = lambda a: np.zeros(a.shape, dtype=_f0)  # noqa: E731
+    return (dvox.astype(dpts.dtype), zeros(point2voxel), zeros(point_perm),
+            zeros(counts))
+
+
+_devoxelize_seg.defvjp(_devoxelize_seg_fwd, _devoxelize_seg_bwd)
+
+
+def devoxelize_seg(vox_feats: jnp.ndarray, point2voxel: jnp.ndarray,
+                   point_perm: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable devoxelize with a scatter-free (cumsum-run) VJP.
+
+    ``point_perm`` (N,) orders points into contiguous per-voxel runs with
+    dropped/invalid points at the tail; ``counts`` (V,) is points-per-voxel
+    (both from the host voxelizer, tdwss.ops.host_plan).
+    """
+    return _devoxelize_seg(vox_feats, point2voxel, point_perm, counts)

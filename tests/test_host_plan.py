@@ -84,7 +84,42 @@ def test_full_plans_match(rng):
 def test_one_call_pipeline(rng):
     coords, feats, valid = _random_coords(rng, n=1000, size=32)
     caps = level_capacities(1000, 3, 2, 64)
-    plans, vfeats, p2v = host_voxelize_and_plan(coords, feats, valid, 3, caps)
+    plans, vfeats, p2v, perm = host_voxelize_and_plan(
+        coords, feats, valid, 3, caps)
     assert len(plans.levels) == 3
     assert vfeats.shape == (1000, 3)
     assert p2v.shape == (1000,)
+    assert perm.shape == (1000,)
+
+
+def test_devoxelize_seg_grad_matches_autodiff(rng):
+    """Cumsum-run VJP == plain scatter VJP of the devoxelize gather."""
+    import jax
+
+    from tdwss.ops.voxelize import devoxelize, devoxelize_seg
+
+    coords, feats, valid = _random_coords(rng, n=400, size=8)  # many dups
+    cap = 128
+    grid, vfeats, p2v, order = voxelize_np(coords, feats, valid, cap,
+                                           return_order=True)
+    vox = jnp.asarray(rng.normal(size=(cap, 6)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(coords.shape[0], 6)).astype(np.float32))
+
+    g_ref = jax.grad(lambda v: jnp.sum(devoxelize(v, jnp.asarray(p2v)) * cot))(vox)
+    g_seg = jax.grad(lambda v: jnp.sum(devoxelize_seg(
+        v, jnp.asarray(p2v), jnp.asarray(order),
+        jnp.asarray(grid.counts)) * cot))(vox)
+    np.testing.assert_allclose(np.asarray(g_seg), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_voxelize_sorted_order(rng):
+    coords, feats, valid = _random_coords(rng, n=300, size=8)
+    cap = 300
+    grid, _, p2v, order = voxelize_np(coords, feats, valid, cap,
+                                      return_order=True)
+    # runs: voxel ids nondecreasing over the kept prefix
+    kept = int(np.asarray(grid.counts).sum())
+    run_ids = p2v[order[:kept]]
+    assert (np.diff(run_ids) >= 0).all()
+    assert (p2v[order[kept:]] >= cap).all()

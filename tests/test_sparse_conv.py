@@ -166,7 +166,7 @@ def test_unpool_and_maxpool(rng):
         if fvalid[i]:
             np.testing.assert_allclose(up[i], np.asarray(coarse)[parent[i]])
 
-    mp = np.asarray(max_pool(vfeats, lvl0.parent, n))
+    mp = np.asarray(max_pool(vfeats, lvl0.down_rb))
     # oracle: group fine voxels by parent
     groups = {}
     vf = np.asarray(vfeats)
@@ -249,7 +249,8 @@ def test_strided_and_deconv_grads_numeric(rng):
     cot = jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32))
 
     def f_strided(feats_, w_):
-        return jnp.sum(strided_conv_apply(feats_, lvl0.down_rb, w_) * cot)
+        return jnp.sum(strided_conv_apply(
+            feats_, lvl0.down_rb, w_, lvl0.parent, lvl0.child_offset) * cot)
 
     gf, gw = jax.grad(f_strided, argnums=(0, 1))(vfeats, w)
     eps = 1e-3
@@ -268,7 +269,8 @@ def test_strided_and_deconv_grads_numeric(rng):
     def f_deconv(cf, w_):
         return jnp.sum(
             deconv_apply(cf, lvl0.parent, lvl0.child_offset, w_,
-                         fine_valid=lvl0.grid.valid) * cot
+                         fine_valid=lvl0.grid.valid,
+                         down_rb=lvl0.down_rb) * cot
         )
 
     gc, gwd = jax.grad(f_deconv, argnums=(0, 1))(cfeats, wd)
