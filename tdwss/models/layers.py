@@ -32,18 +32,22 @@ def _conv_init(key, shape, dtype=jnp.float32):
 
 
 class SubmConv(nn.Module):
-    """Submanifold convolution over a fixed coordinate set (scn parity)."""
+    """Submanifold convolution over a fixed coordinate set (scn parity).
+
+    ``win`` (host-built WindowedSubm) selects the windowed-MXU fast path.
+    """
 
     out_channels: int
     kernel_volume: int = 27
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, rulebook: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, feats: jnp.ndarray, rulebook: jnp.ndarray,
+                 win=None) -> jnp.ndarray:
         w = self.param(
             "kernel", _conv_init,
             (self.kernel_volume, feats.shape[-1], self.out_channels),
         )
-        return subm_conv_apply(feats, rulebook, w)
+        return subm_conv_apply(feats, rulebook, w, win)
 
 
 class StridedConv(nn.Module):

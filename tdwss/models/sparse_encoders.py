@@ -50,16 +50,17 @@ class ConvBlock(nn.Module):
     residual: bool = False
 
     @nn.compact
-    def __call__(self, feats, rulebook, valid, train: bool):
+    def __call__(self, feats, rulebook, valid, train: bool, win=None):
         a, b = feats.shape[-1], self.out_channels
         if not self.residual:
             h = BatchNormReLU(name="bnrelu")(feats, valid, train)
-            return SubmConv(b, rulebook.shape[-1], name="conv")(h, rulebook)
+            return SubmConv(b, rulebook.shape[-1], name="conv")(h, rulebook,
+                                                                win)
         shortcut = feats if a == b else NetworkInNetwork(b, name="nin")(feats)
         h = BatchNormReLU(name="bnrelu1")(feats, valid, train)
-        h = SubmConv(b, rulebook.shape[-1], name="conv1")(h, rulebook)
+        h = SubmConv(b, rulebook.shape[-1], name="conv1")(h, rulebook, win)
         h = BatchNormReLU(name="bnrelu2")(h, valid, train)
-        h = SubmConv(b, rulebook.shape[-1], name="conv2")(h, rulebook)
+        h = SubmConv(b, rulebook.shape[-1], name="conv2")(h, rulebook, win)
         return shortcut + h
 
 
@@ -77,7 +78,7 @@ class UNetBody(nn.Module):
         valid = lvl.grid.valid
         for i in range(self.reps):
             feats = ConvBlock(planes[0], self.residual, name=f"enc{i}")(
-                feats, lvl.subm_rb, valid, train
+                feats, lvl.subm_rb, valid, train, lvl.win
             )
         if len(planes) > 1:
             identity = feats
@@ -119,7 +120,7 @@ class FCNBody(nn.Module):
         valid = lvl.grid.valid
         for i in range(self.reps):
             feats = ConvBlock(planes[0], self.residual, name=f"enc{i}")(
-                feats, lvl.subm_rb, valid, train
+                feats, lvl.subm_rb, valid, train, lvl.win
             )
         if len(planes) > 1:
             identity = feats
@@ -155,7 +156,7 @@ class DirectUpPoolBody(nn.Module):
         valid = lvl.grid.valid
         for i in range(self.reps):
             feats = ConvBlock(planes[0], self.residual, name=f"enc{i}")(
-                feats, lvl.subm_rb, valid, train
+                feats, lvl.subm_rb, valid, train, lvl.win
             )
         if len(planes) > 1:
             h = BatchNormReLU(name="down_bnrelu")(feats, valid, train)
@@ -238,7 +239,8 @@ class _SparseEncoderBase(nn.Module):
             plans = build_plans(grid, len(planes), caps, (f, s), subm_kernel=3)
 
         vfeats = vfeats.astype(jnp.dtype(self.compute_dtype))
-        h = SubmConv(self.m, 27, name="stem")(vfeats, plans.levels[0].subm_rb)
+        h = SubmConv(self.m, 27, name="stem")(
+            vfeats, plans.levels[0].subm_rb, plans.levels[0].win)
         body = _BODIES[self.body_kind]
         if self.remat:
             # trade FLOPs for HBM: recompute the body in the backward pass

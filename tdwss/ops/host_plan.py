@@ -210,20 +210,28 @@ def build_plans_np(
     capacities: Sequence[int],
     downsample: Tuple[int, int] = (2, 2),
     subm_kernel: int = 3,
+    windowed: bool = True,
+    tile: int = 128,
+    window: int = 256,
 ) -> LevelPlans:
-    """Numpy twin of :func:`tdwss.ops.plan.build_plans`."""
+    """Numpy twin of :func:`tdwss.ops.plan.build_plans` (+ windowed-conv
+    metadata when ``windowed``)."""
     f, s = int(downsample[0]), int(downsample[1])
     levels = []
     grid = grid0
     for lvl in range(num_levels):
         subm_rb = build_subm_rulebook_np(grid, subm_kernel)
+        win = None
+        if windowed and subm_kernel == 3:
+            win = build_windowed_subm(subm_rb, grid, tile=tile, window=window)
         if lvl + 1 < num_levels:
             coarse_grid, parent, child_offset, down_rb = downsample_level_np(
                 grid, int(capacities[lvl + 1]), f, s)
         else:
             coarse_grid = parent = child_offset = down_rb = None
         levels.append(GridLevel(grid=grid, subm_rb=subm_rb, parent=parent,
-                                child_offset=child_offset, down_rb=down_rb))
+                                child_offset=child_offset, down_rb=down_rb,
+                                win=win))
         if coarse_grid is not None:
             grid = coarse_grid
     return LevelPlans(levels=tuple(levels), downsample=(f, s))
@@ -250,3 +258,115 @@ def host_voxelize_and_plan(
     plans = build_plans_np(grid, num_levels, capacities, downsample,
                            subm_kernel)
     return plans, vox_feats, p2v, order
+
+
+# ---------------------------------------------------------------------------
+# Windowed-subm-conv metadata (see tdwss.ops.plan.WindowedSubm)
+# ---------------------------------------------------------------------------
+
+# Sticky residual capacities: static shapes must not flip between batches
+# (pytree changes retrigger jit compilation), so per (V, tile, window) the
+# capacity only ever grows — power-of-2 bucketed, floor V//8.
+_ECAP_REGISTRY: dict = {}
+
+
+def _sticky_ecap(key, needed: int, floor: int) -> int:
+    cap = max(floor, 1 << int(np.ceil(np.log2(max(needed, 1)))))
+    cap = max(cap, _ECAP_REGISTRY.get(key, 0))
+    _ECAP_REGISTRY[key] = cap
+    return cap
+
+
+def build_windowed_subm(
+    rb27: np.ndarray,
+    grid: SparseGrid,
+    tile: int = 128,
+    window: int = 256,
+    res_cap: Optional[int] = None,
+):
+    """Host-side decomposition of a 27-tap rulebook for the windowed conv.
+
+    Returns a :class:`tdwss.ops.plan.WindowedSubm` (numpy leaves), or None
+    for structurally unsuitable levels (capacity not tile-aligned or below
+    the window size).
+    """
+    from tdwss.ops.plan import WindowedSubm
+
+    v = rb27.shape[0]
+    if v % tile != 0 or v < window:
+        return None
+    tiles = v // tile
+    coords = np.asarray(grid.coords)
+    valid = np.asarray(grid.valid)
+
+    # x-adjacency masks: physical row v-+1 holds my x-+1 neighbor.
+    pair_ok = (
+        (coords[1:, 1] == coords[:-1, 1]) & (coords[1:, 2] == coords[:-1, 2])
+        & (coords[1:, 3] == coords[:-1, 3])
+        & (coords[1:, 0] == coords[:-1, 0] + 1)
+        & valid[1:] & valid[:-1]
+    )
+    f = np.zeros((1,), bool)
+    xprev = np.concatenate([f, pair_ok])
+    xnext = np.concatenate([pair_ok, f])
+
+    rb9 = rb27[:, 9:18]                                     # dx == 0 anchors
+    anchors = rb9.reshape(tiles, tile, 9)
+    masked = np.where(anchors >= 0, anchors, np.iinfo(np.int32).max)
+    starts = masked.min(axis=1)                             # (tiles, 9)
+    starts = np.clip(starts, 0, max(v - window, 0)).astype(np.int32)
+    local = rb9 - np.repeat(starts, tile, axis=0)
+    cover = (rb9 >= 0) & (local >= 0) & (local < window)
+    rb_local = np.where(cover, local, window).astype(np.int32)
+
+    # Residual corrections (single-source tap27 entries):
+    ent_v, ent_t, ent_s = [], [], []
+    # (a) spilled anchors: whole triple via physical rows u-1, u, u+1.
+    sp_v, sp_j = np.nonzero((rb9 >= 0) & ~cover)
+    if sp_v.size:
+        u = rb9[sp_v, sp_j]
+        ent_v.append(sp_v); ent_t.append(9 + sp_j); ent_s.append(u)
+        has_prev = xprev[u]
+        ent_v.append(sp_v[has_prev]); ent_t.append(sp_j[has_prev])
+        ent_s.append(u[has_prev] - 1)
+        has_next = xnext[u]
+        ent_v.append(sp_v[has_next]); ent_t.append(18 + sp_j[has_next])
+        ent_s.append(u[has_next] + 1)
+    # (b) anchor missing but a +-x diagonal exists.
+    for dxcol in (0, 18):
+        dd_v, dd_j = np.nonzero((rb9 == -1) & (rb27[:, dxcol:dxcol + 9] >= 0))
+        if dd_v.size:
+            ent_v.append(dd_v); ent_t.append(dxcol + dd_j)
+            ent_s.append(rb27[dd_v, dxcol + dd_j])
+
+    if ent_v:
+        res_v = np.concatenate(ent_v).astype(np.int32)
+        res_t = np.concatenate(ent_t).astype(np.int32)
+        res_s = np.concatenate(ent_s).astype(np.int32)
+    else:
+        res_v = res_t = res_s = np.zeros((0,), np.int32)
+
+    if res_cap is not None:
+        e_cap = min(res_cap, 27 * v)
+        if res_v.shape[0] > e_cap:
+            return None
+    else:
+        e_cap = _sticky_ecap((v, tile, window), res_v.shape[0],
+                             max(256, v // 8))
+
+    def _pack(order_key, tgt, tap, src):
+        order = np.argsort(order_key, kind="stable")
+        e = order.shape[0]
+        out = np.full((e_cap, 3), v, np.int32)               # src=v pad -> 0
+        out[:e, 0] = tgt[order]
+        out[:e, 1] = tap[order]
+        out[:e, 2] = src[order]
+        counts = np.bincount(order_key, minlength=v + 1)[:v].astype(np.int32)
+        return out, counts
+
+    res_fwd, cnt_fwd = _pack(res_v, res_v, res_t, res_s)
+
+    return WindowedSubm(
+        starts=starts, rb_local=rb_local, xprev_ok=xprev, xnext_ok=xnext,
+        res_fwd=res_fwd, res_fwd_counts=cnt_fwd, window=window,
+    )

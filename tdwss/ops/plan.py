@@ -31,12 +31,47 @@ from tdwss.ops.voxelize import SparseGrid, voxelize
 
 
 @flax.struct.dataclass
+class WindowedSubm:
+    """Metadata for the windowed-MXU submanifold conv (host-built).
+
+    TPU gathers run at a fixed ~62M rows/s; this decomposition replaces
+    them with (a) zero-descriptor +-x shifts (key-sorted voxels are
+    physically adjacent along x), (b) per-tile contiguous window loads +
+    one-hot MXU matmuls for the 9 (dy,dz) anchor taps (indices are
+    monotone, so a tile's anchors live in a narrow window), and (c) a
+    compact residual list for the exact entries the first two miss.
+
+    starts:   (tiles, 9) int32  window start per (row-tile, anchor tap),
+                                clamped to [0, V - window]
+    rb_local: (V, 9) int32      anchor pos - start, or == window (sentinel
+                                -> one_hot yields a zero row)
+    xprev_ok/xnext_ok: (V,) bool  physical row v-+1 is my x-+1 neighbor
+    res_fwd:  (E, 3) int32      [v, tap27, src] single-source corrections,
+                                sorted by v; padding rows carry src = V.
+                                The backward pass reuses the SAME list (the
+                                transposed conv shares this rulebook, only
+                                the weight matrix flips)
+    res_fwd_counts: (V,) int32  entries per v (prefix-run layout)
+    window:   static int        W
+    """
+
+    starts: jnp.ndarray
+    rb_local: jnp.ndarray
+    xprev_ok: jnp.ndarray
+    xnext_ok: jnp.ndarray
+    res_fwd: jnp.ndarray
+    res_fwd_counts: jnp.ndarray
+    window: int = flax.struct.field(pytree_node=False, default=256)
+
+
+@flax.struct.dataclass
 class GridLevel:
     grid: SparseGrid
     subm_rb: jnp.ndarray                     # (V, K) neighbor idx or -1
     parent: Optional[jnp.ndarray]            # (V,) idx into next level (or None at coarsest)
     child_offset: Optional[jnp.ndarray]      # (V,) linearized offset within parent cell
     down_rb: Optional[jnp.ndarray]           # (V_next, f^3) idx into THIS level
+    win: Optional[WindowedSubm] = None       # host-built windowed-conv metadata
 
 
 @flax.struct.dataclass

@@ -156,14 +156,211 @@ def _subm_conv_bwd(res, dout):
 _subm_conv.defvjp(_subm_conv_fwd, _subm_conv_bwd)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Windowed-MXU submanifold convolution (metadata: tdwss.ops.plan.WindowedSubm)
+# ---------------------------------------------------------------------------
+# TPU gathers are row-count-bound (~62M rows/s measured on v5e regardless of
+# row width), which made plain 27-tap gathers ~90% of the train step.  This
+# path eliminates them:  +-x taps become shifts (key-sorted voxels are
+# physically adjacent along x), the 9 (dy,dz) anchor taps become per-tile
+# contiguous window loads + one-hot matmuls on the MXU (anchor indices are
+# monotone within a tile), and a compact host-built residual list supplies
+# the exact entries those two miss (spilled windows, missing anchors with
+# live diagonals).  The residual run-sums use the cumsum-difference trick —
+# no scatters.
+
+# Tap permutation: reorder a 27-tap weight (x-slowest tap order, index =
+# (dx+1)*9 + j, j = (dy+1)*3 + (dz+1)) into x-triple layout: for each of
+# the 9 (dy,dz) anchors the [dx=-1, dx=0, dx=+1] blocks are consecutive,
+# matching the column layout of build_xtriples.
+_TRIPLE_PERM = np.array(
+    [(dx + 1) * 9 + j for j in range(9) for dx in (-1, 0, 1)], np.int32)
+_TRIPLE_PERM_INV = np.argsort(_TRIPLE_PERM)
+
+
+def build_xtriples(feats: jnp.ndarray, xprev_ok: jnp.ndarray,
+                   xnext_ok: jnp.ndarray) -> jnp.ndarray:
+    """(V, C) -> (V, 3C): [x-1 neighbor, self, x+1 neighbor] per row."""
+    c = feats.shape[-1]
+    zrow = jnp.zeros((1, c), feats.dtype)
+    left = jnp.concatenate([zrow, feats[:-1]], axis=0)
+    left = left * xprev_ok[:, None].astype(feats.dtype)
+    right = jnp.concatenate([feats[1:], zrow], axis=0)
+    right = right * xnext_ok[:, None].astype(feats.dtype)
+    return jnp.concatenate([left, feats, right], axis=1)
+
+
+def _permute_taps(w2d: jnp.ndarray, cin: int, perm: np.ndarray) -> jnp.ndarray:
+    """Reorder the tap-blocks of a (K*Cin, Cout) matrix."""
+    k = perm.shape[0]
+    return w2d.reshape(k, cin, -1)[perm].reshape(k * cin, -1)
+
+
+def _pick_group(tiles: int, limit: int = 8) -> int:
+    for g in range(min(limit, tiles), 0, -1):
+        if tiles % g == 0:
+            return g
+    return 1
+
+
+def _win_gather_groups(src3, rb_local, starts, window, group):
+    """Yields the windowed gather machinery shared by fwd / dW."""
+    v = src3.shape[0]
+    tiles = starts.shape[0]
+    t = v // tiles
+    c3 = src3.shape[1]
+
+    def gather_group(st, rl):
+        win = jax.vmap(jax.vmap(
+            lambda s: jax.lax.dynamic_slice(src3, (s, 0), (window, c3))
+        ))(st)                                              # (G, 9, W, 3C)
+        oh = jax.nn.one_hot(rl, window, dtype=src3.dtype)   # (G, T, 9, W)
+        g = jnp.einsum('gtkw,gkwc->gtkc', oh, win)
+        return g.reshape(group * t, 9 * c3)
+
+    st3 = starts.reshape(tiles // group, group, 9)
+    rl4 = rb_local.reshape(tiles // group, group, t, 9)
+    return gather_group, st3, rl4
+
+
+def _win_matmul(src3, rb_local, starts, w9, window):
+    """Windowed gather + GEMM -> (V, Cout) f32."""
+    tiles = starts.shape[0]
+    group = _pick_group(tiles)
+    gather_group, st3, rl4 = _win_gather_groups(
+        src3, rb_local, starts, window, group)
+
+    def per_group(args):
+        g = gather_group(*args)
+        return jnp.dot(g, w9.astype(src3.dtype),
+                       preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(per_group, (st3, rl4))
+    return out.reshape(src3.shape[0], -1)
+
+
+def _win_dw(src3, rb_local, starts, dout, window):
+    """sum_v gathered_v^T dout_v over windowed taps -> (27C, Cout) f32."""
+    v = src3.shape[0]
+    tiles = starts.shape[0]
+    group = _pick_group(tiles)
+    gather_group, st3, rl4 = _win_gather_groups(
+        src3, rb_local, starts, window, group)
+    t = v // tiles
+    cout = dout.shape[-1]
+    d3 = dout.astype(src3.dtype).reshape(tiles // group, group * t, cout)
+
+    def body(i, acc):
+        g = gather_group(jax.lax.dynamic_index_in_dim(st3, i, keepdims=False),
+                         jax.lax.dynamic_index_in_dim(rl4, i, keepdims=False))
+        dc = jax.lax.dynamic_index_in_dim(d3, i, keepdims=False)
+        return acc + jnp.dot(g.T, dc, preferred_element_type=jnp.float32)
+
+    init = jnp.zeros((9 * src3.shape[1], cout), jnp.float32)
+    return jax.lax.fori_loop(0, tiles // group, body, init)
+
+
+def _res_operand(feats, res):
+    """(E, 27C) one-hot-masked residual operand."""
+    e = res.shape[0]
+    srcf = jnp.take(feats, _oob(res[:, 2], feats.shape[0]), axis=0,
+                    mode="fill", fill_value=0)               # (E, C)
+    oh = jax.nn.one_hot(res[:, 1], 27, dtype=feats.dtype)    # (E, 27)
+    return (oh[:, :, None] * srcf[:, None, :]).reshape(e, -1)
+
+
+def _res_apply(feats, res, counts, w2d):
+    """Run-summed residual contributions -> (V, Cout) f32."""
+    z = _res_operand(feats, res)
+    contrib = jnp.dot(z, w2d.astype(z.dtype),
+                      preferred_element_type=jnp.float32)    # (E, Cout)
+    prefix = jnp.concatenate(
+        [jnp.zeros((1, contrib.shape[1]), jnp.float32),
+         jnp.cumsum(contrib, axis=0)], axis=0)
+    ends = jnp.cumsum(counts)
+    return (jnp.take(prefix, ends, axis=0)
+            - jnp.take(prefix, ends - counts, axis=0))
+
+
+def _res_dw(feats, res, dout):
+    """Residual dW contribution -> (27C, Cout) f32 (raw tap order)."""
+    z = _res_operand(feats, res)
+    dv = jnp.take(dout, _oob(res[:, 0], dout.shape[0]), axis=0,
+                  mode="fill", fill_value=0).astype(z.dtype)
+    return jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _subm_conv_windowed(window, feats, starts, rb_local, xprev, xnext,
+                        res_fwd, cnt_fwd, weight):
+    k, cin, cout = weight.shape
+    w2d = weight.reshape(k * cin, cout)
+    w9 = _permute_taps(w2d, cin, _TRIPLE_PERM)
+    feats3 = build_xtriples(feats, xprev, xnext)
+    out = _win_matmul(feats3, rb_local, starts, w9, window)
+    out = out + _res_apply(feats, res_fwd, cnt_fwd, w2d)
+    return out.astype(feats.dtype)
+
+
+def _subm_conv_windowed_fwd(window, feats, starts, rb_local, xprev, xnext,
+                            res_fwd, cnt_fwd, weight):
+    out = _subm_conv_windowed(window, feats, starts, rb_local, xprev, xnext,
+                              res_fwd, cnt_fwd, weight)
+    return out, (feats, starts, rb_local, xprev, xnext, res_fwd, cnt_fwd,
+                 weight)
+
+
+def _subm_conv_windowed_bwd(window, res, dout):
+    (feats, starts, rb_local, xprev, xnext, res_fwd, cnt_fwd, weight) = res
+    k, cin, cout = weight.shape
+    feats, dout = jax.lax.optimization_barrier((feats, dout))
+    dout_c = dout.astype(feats.dtype)
+
+    # dW: windowed part (permuted tap order) + residual part (raw order).
+    feats3 = build_xtriples(feats, xprev, xnext)
+    dw9 = _win_dw(feats3, rb_local, starts, dout_c, window)
+    dw = _permute_taps(dw9, cin, _TRIPLE_PERM_INV)
+    dw = dw + _res_dw(feats, res_fwd, dout_c)
+    dw = dw.reshape(k, cin, cout).astype(weight.dtype)
+
+    # dfeats: by rulebook symmetry the transposed conv runs over the SAME
+    # rulebook with weights Wt[m] = W[26-m]^T (exactly like the plain-path
+    # backward) — so it reuses this conv's windows, locals, AND residual
+    # list unchanged; only the weight matrix flips.
+    wt2d = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
+    wt9 = _permute_taps(wt2d, cout, _TRIPLE_PERM)
+    dout3 = build_xtriples(dout_c, xprev, xnext)
+    dfeats = _win_matmul(dout3, rb_local, starts, wt9, window)
+    dfeats = dfeats + _res_apply(dout_c, res_fwd, cnt_fwd, wt2d)
+    dfeats = dfeats.astype(feats.dtype)
+
+    zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
+    return (dfeats, zeros(starts), zeros(rb_local), zeros(xprev),
+            zeros(xnext), zeros(res_fwd), zeros(cnt_fwd), dw)
+
+
+_subm_conv_windowed.defvjp(_subm_conv_windowed_fwd, _subm_conv_windowed_bwd)
+
+
 def subm_conv_apply(feats: jnp.ndarray, rulebook: jnp.ndarray,
-                    weight: jnp.ndarray) -> jnp.ndarray:
+                    weight: jnp.ndarray, win=None) -> jnp.ndarray:
     """Submanifold convolution: output sites == input sites.
 
     feats (V, Cin); rulebook (V, K) — must come from a centred odd cubic
     kernel over a single coordinate set (the transpose-symmetry the
-    backward relies on); weight (K, Cin, Cout) -> (V, Cout).
+    backward relies on); weight (K, Cin, Cout) -> (V, Cout).  ``win``
+    (tdwss.ops.plan.WindowedSubm, host-built) selects the windowed-MXU
+    path; without it the plain gather-GEMM path runs.
     """
+    if win is not None and rulebook.shape[-1] == 27:
+        return _subm_conv_windowed(
+            win.window, feats, win.starts, win.rb_local, win.xprev_ok,
+            win.xnext_ok, win.res_fwd, win.res_fwd_counts, weight)
     return _subm_conv(feats, rulebook, weight)
 
 

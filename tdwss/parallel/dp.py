@@ -43,8 +43,46 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices[:n]), (axis,))
 
 
+def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
+    """Pad windowed-conv residual lists to a common static capacity.
+
+    The host plan builder buckets residual capacities per batch (sticky,
+    power-of-2); stacking across devices requires identical shapes, so pad
+    every WindowedSubm to the max cap (pad rows carry src == V -> inert).
+    """
+    from tdwss.ops.plan import WindowedSubm
+
+    is_win = lambda x: isinstance(x, WindowedSubm)  # noqa: E731
+    caps = {}
+    flat0, _ = jax.tree_util.tree_flatten(batches[0], is_leaf=is_win)
+    for i, leaf in enumerate(flat0):
+        if is_win(leaf):
+            caps[i] = max(
+                jax.tree_util.tree_flatten(b, is_leaf=is_win)[0][i]
+                .res_fwd.shape[0]
+                for b in batches
+            )
+    if not caps:
+        return list(batches)
+
+    out = []
+    for b in batches:
+        flat, treedef = jax.tree_util.tree_flatten(b, is_leaf=is_win)
+        for i, cap in caps.items():
+            win = flat[i]
+            e = win.res_fwd.shape[0]
+            if e < cap:
+                v = win.rb_local.shape[0]
+                pad = np.full((cap - e, 3), v, np.int32)
+                flat[i] = win.replace(
+                    res_fwd=np.concatenate([np.asarray(win.res_fwd), pad]))
+        out.append(jax.tree_util.tree_unflatten(treedef, flat))
+    return out
+
+
 def stack_batches(batches: Sequence[PointBatch]) -> PointBatch:
     """Stack per-device batches along a new leading device axis."""
+    batches = _harmonize_residual_caps(batches)
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
 
 
