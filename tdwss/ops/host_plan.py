@@ -271,7 +271,11 @@ _ECAP_REGISTRY: dict = {}
 
 
 def _sticky_ecap(key, needed: int, floor: int) -> int:
-    cap = max(floor, 1 << int(np.ceil(np.log2(max(needed, 1)))))
+    # 1.25x geometric buckets (pow2 over-allocates gather rows by up to 2x,
+    # and residual gathers are row-count-priced)
+    cap = floor
+    while cap < needed:
+        cap = int(cap * 1.25) + 256
     cap = max(cap, _ECAP_REGISTRY.get(key, 0))
     _ECAP_REGISTRY[key] = cap
     return cap
@@ -280,8 +284,8 @@ def _sticky_ecap(key, needed: int, floor: int) -> int:
 def build_windowed_subm(
     rb27: np.ndarray,
     grid: SparseGrid,
-    tile: int = 128,
-    window: int = 256,
+    tile: int = 1024,
+    window: int = 1280,
     res_cap: Optional[int] = None,
 ):
     """Host-side decomposition of a 27-tap rulebook for the windowed conv.
@@ -293,7 +297,7 @@ def build_windowed_subm(
     from tdwss.ops.plan import WindowedSubm
 
     v = rb27.shape[0]
-    if v % tile != 0 or v < window:
+    if v % tile != 0 or v < window + 2:
         return None
     tiles = v // tile
     coords = np.asarray(grid.coords)
@@ -314,7 +318,7 @@ def build_windowed_subm(
     anchors = rb9.reshape(tiles, tile, 9)
     masked = np.where(anchors >= 0, anchors, np.iinfo(np.int32).max)
     starts = masked.min(axis=1)                             # (tiles, 9)
-    starts = np.clip(starts, 0, max(v - window, 0)).astype(np.int32)
+    starts = np.clip(starts, 1, max(v - window - 1, 1)).astype(np.int32)
     local = rb9 - np.repeat(starts, tile, axis=0)
     cover = (rb9 >= 0) & (local >= 0) & (local < window)
     rb_local = np.where(cover, local, window).astype(np.int32)

@@ -206,7 +206,12 @@ def _pick_group(tiles: int, limit: int = 8) -> int:
 
 
 def _win_gather_groups(src3, rb_local, starts, window, group):
-    """Yields the windowed gather machinery shared by fwd / dW."""
+    """Yields the windowed gather machinery shared by fwd / dW.
+
+    ``src3`` is the precomputed (V, 3C) x-triple array — windows slice it
+    contiguously (building triples per-window would re-interleave ~11x the
+    rows, windows overlap heavily).
+    """
     v = src3.shape[0]
     tiles = starts.shape[0]
     t = v // tiles
@@ -271,14 +276,32 @@ def _res_operand(feats, res):
     return (oh[:, :, None] * srcf[:, None, :]).reshape(e, -1)
 
 
+def _prefix_rows(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+    """(E, C) -> (E+1, C) exclusive prefix sums, two-level blocked.
+
+    XLA's flat 1D cumsum over millions of rows is slow on TPU; cumsum
+    within blocks + a short cumsum over block totals forces the parallel
+    structure.
+    """
+    e, c = x.shape
+    pad = (-e) % block
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, c), x.dtype)], axis=0)
+    xb = x.reshape(-1, block, c)
+    within = jnp.cumsum(xb, axis=1)                          # inclusive
+    totals = within[:, -1]
+    block_off = jnp.concatenate(
+        [jnp.zeros((1, c), x.dtype), jnp.cumsum(totals, axis=0)], axis=0)
+    inclusive = (within + block_off[:-1, None, :]).reshape(-1, c)[:e]
+    return jnp.concatenate([jnp.zeros((1, c), x.dtype), inclusive], axis=0)
+
+
 def _res_apply(feats, res, counts, w2d):
     """Run-summed residual contributions -> (V, Cout) f32."""
     z = _res_operand(feats, res)
     contrib = jnp.dot(z, w2d.astype(z.dtype),
                       preferred_element_type=jnp.float32)    # (E, Cout)
-    prefix = jnp.concatenate(
-        [jnp.zeros((1, contrib.shape[1]), jnp.float32),
-         jnp.cumsum(contrib, axis=0)], axis=0)
+    prefix = _prefix_rows(contrib)
     ends = jnp.cumsum(counts)
     return (jnp.take(prefix, ends, axis=0)
             - jnp.take(prefix, ends - counts, axis=0))
