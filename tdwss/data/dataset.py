@@ -126,6 +126,15 @@ def load_train_val(cfg: Config) -> Tuple[List[Scene], List[Scene]]:
 
         train = make_dataset(8, num_points=20000, seed=1, with_text=cfg.has_text)
         val = make_dataset(2, num_points=20000, seed=101, with_text=False)
+        if cfg.label == "pseudo" and cfg.pseudo_label_path:
+            # synthetic scenes are seed-deterministic, so pseudo labels
+            # written by an earlier pseudo_label_generation run line up
+            for scene in train:
+                path = os.path.join(
+                    cfg.pseudo_label_path,
+                    scene.name + cfg.pseudo_label_suffix)
+                if os.path.exists(path):
+                    scene.pseudo_labels = np.load(path)
     if cfg.label == "subcloud":
         train = expand_subclouds(train, cfg.in_radius)
     return train, val
