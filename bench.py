@@ -9,8 +9,16 @@ synthetic 5-scene ScanNet-sized batch.
 Baseline: the reference publishes no throughput number (BASELINE.md).  The
 denominator used for ``vs_baseline`` is a documented 2.0 Mpoints/s estimate
 for GPU SparseConvNet fwd+bwd on this config (16 GB-class GPU; ~1M-point
-batch in ~0.5 s).  BASELINE.json's target is >=5x GPU-SCN, i.e.
-``vs_baseline >= 5``.
+batch in ~0.5 s).  BASELINE.json's target is >=5x GPU-SCN on a v5e-8, i.e.
+``vs_baseline >= 5`` with 8-chip data parallelism.
+
+Round-1 progression on one v5e chip (see the tpu-gather-performance-model
+memory note): naive in-graph plan building never finished compiling;
+host-built rulebooks + scatter-free transposed-rulebook VJPs reached
+0.063 Mpts/s; the windowed-MXU gather path 0.073 Mpts/s.  The remaining
+wall is XLA's TPU gather throughput (~15-60 ns/row); the planned round-2
+brick engine (dense 8^3 bricks + XLA conv3d + Pallas-DMA halo exchange)
+removes per-row indexing from the conv path entirely.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpoints/s", "vs_baseline": N}

@@ -72,3 +72,47 @@ class KPConvConfig:
             if "upsample" in block or "global" in block:
                 break
         return n
+
+
+def save_config(cfg: KPConvConfig, path: str) -> None:
+    """Write a parameters.txt-style dump (reference config.py:267-382)."""
+    import dataclasses
+
+    with open(path, "w") as f:
+        for fld in dataclasses.fields(cfg):
+            val = getattr(cfg, fld.name)
+            if isinstance(val, tuple):
+                val = " ".join(str(v) for v in val)
+            f.write(f"{fld.name} = {val}\n")
+
+
+def load_config(path: str) -> KPConvConfig:
+    """Read a parameters.txt-style dump back into a KPConvConfig."""
+    import dataclasses
+
+    fields = {f.name: f for f in dataclasses.fields(KPConvConfig)}
+    kwargs = {}
+    with open(path) as f:
+        for line in f:
+            if "=" not in line:
+                continue
+            name, _, raw = line.partition("=")
+            name, raw = name.strip(), raw.strip()
+            if name not in fields:
+                continue
+            ftype = fields[name].type
+            if "Tuple[str" in str(ftype):
+                kwargs[name] = tuple(raw.split())
+            elif "Tuple[float" in str(ftype):
+                kwargs[name] = tuple(float(v) for v in raw.split()) if raw else ()
+            elif "Tuple[int" in str(ftype):
+                kwargs[name] = tuple(int(v) for v in raw.split()) if raw else ()
+            elif "bool" in str(ftype):
+                kwargs[name] = raw == "True"
+            elif "int" in str(ftype):
+                kwargs[name] = int(raw)
+            elif "float" in str(ftype):
+                kwargs[name] = float(raw)
+            else:
+                kwargs[name] = raw
+    return KPConvConfig(**kwargs)

@@ -219,3 +219,14 @@ class TestPotentialSampler:
             pts = clouds[ci]["points"][idx]
             d = np.linalg.norm(pts - center, axis=1)
             assert (d <= 0.4 + 1e-5).all()
+
+
+def test_config_save_load_roundtrip(tmp_path):
+    from tdwss.models.kpconv.config import (KPConvConfig, load_config,
+                                            save_config)
+
+    cfg = KPConvConfig(num_classes=13, KP_extent=1.2,
+                       class_w=(1.0, 2.0), neighborhood_limits=(20, 30))
+    p = str(tmp_path / "parameters.txt")
+    save_config(cfg, p)
+    assert load_config(p) == cfg
