@@ -13,7 +13,7 @@ reference could not overflow because SCN ran dynamic shapes.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

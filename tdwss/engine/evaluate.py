@@ -8,7 +8,7 @@ train.py:107); argmax over accumulated votes -> mIoU after each rep.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

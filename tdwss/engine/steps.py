@@ -14,7 +14,7 @@ over an ICI mesh (SURVEY.md §2.5 TPU-native plan).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import flax.struct
 import jax

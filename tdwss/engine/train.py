@@ -20,7 +20,6 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tdwss.config import Config
 from tdwss.data.collate import CollateStats

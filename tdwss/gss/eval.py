@@ -10,7 +10,7 @@ Capability parity with reference ops/GeometricSelectiveSearch/gss/
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

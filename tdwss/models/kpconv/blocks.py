@@ -14,7 +14,7 @@ an aux list.
 
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Optional, Tuple
+from typing import Any, List, NamedTuple, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ tensors (our loader uses host threads, SURVEY §2.5), and KD-trees are scipy
 from __future__ import annotations
 
 import threading
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 from scipy.spatial import cKDTree

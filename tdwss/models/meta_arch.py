@@ -18,10 +18,9 @@ over ``batch_offsets`` (ref :36-39, :90-94) is a masked ``segment_mean`` here.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from tdwss import NUM_CLASSES
 from tdwss.config import PointcloudModelConfig, TextModelConfig

@@ -19,7 +19,7 @@ Host-side crop (variable box membership) + jitted render core.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import flax.linen as nn
 import jax

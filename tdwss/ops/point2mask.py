@@ -27,7 +27,7 @@ group_points backward (scatter-add).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Sequence, Tuple, Union
+from typing import Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 try:
     from jax import shard_map  # jax >= 0.6

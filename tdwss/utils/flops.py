@@ -8,7 +8,7 @@ no instrumentation in the hot path.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 
 def cost_analysis(jitted_fn, *args, **kwargs) -> Dict[str, float]:
