@@ -170,7 +170,9 @@ def load_config(path: str, **overrides: Any) -> Config:
         raw = yaml.safe_load(f) or {}
     flat: Dict[str, Any] = {}
     for key, value in raw.items():
-        if isinstance(value, dict) and key.upper() in ("GENERAL", "DATA", "STRUCTURE", "TRAINING", "ENGINE"):
+        if isinstance(value, dict) and key.upper() in (
+                "GENERAL", "DATA", "STRUCTURE", "TRAINING", "ENGINE",
+                "PSEUDO_LABEL"):
             flat.update(value)
         else:
             flat[key] = value
