@@ -290,3 +290,18 @@ def test_strided_and_deconv_grads_numeric(rng):
         dn = float(f_deconv(cfeats, jnp.asarray(pert)))
         np.testing.assert_allclose(np.asarray(gwd)[k, a, b], (up - dn) / (2 * eps),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_dma_block_gather_interpret(rng):
+    """Pallas DMA block gather == jnp.take (interpret mode on CPU)."""
+    import jax
+    from tdwss.ops.pallas_gather import dma_block_gather, gather_blocks
+
+    src = jnp.asarray(rng.normal(size=(128, 8, 128)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 128, size=(64,)).astype(np.int32))
+    out = dma_block_gather(src, idx, interpret=True)
+    ref = jnp.take(src, idx, axis=0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # dispatcher falls back to take off-TPU
+    out2 = gather_blocks(src, idx)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
