@@ -350,27 +350,46 @@ def build_windowed_subm(
     else:
         res_v = res_t = res_s = np.zeros((0,), np.int32)
 
+    # Tiered packing: first R slots per voxel aligned at (V, R), overflow
+    # (voxels with more corrections) as a compact v-sorted list.
+    r_slots = 2
+    order = np.argsort(res_v, kind="stable")
+    res_v, res_t, res_s = res_v[order], res_t[order], res_s[order]
+    counts = np.bincount(res_v, minlength=v + 1)[:v]
+    rank = np.arange(res_v.shape[0]) - np.concatenate(
+        [[0], np.cumsum(counts)])[res_v]                      # slot within v
+
+    res_pad = np.full((v, r_slots, 2), v, np.int32)
+    res_pad[..., 0] = 0
+    in_pad = rank < r_slots
+    res_pad[res_v[in_pad], rank[in_pad], 0] = res_t[in_pad]
+    res_pad[res_v[in_pad], rank[in_pad], 1] = res_s[in_pad]
+
+    ovf = ~in_pad
+    ovf_entries = np.stack(
+        [res_v[ovf], res_t[ovf], res_s[ovf]], axis=1).astype(np.int32)
+    heavy, heavy_counts = np.unique(res_v[ovf], return_counts=True)
+
     if res_cap is not None:
-        e_cap = min(res_cap, 27 * v)
-        if res_v.shape[0] > e_cap:
+        if ovf_entries.shape[0] > res_cap:
             return None
+        e2_cap = max(res_cap, 32)
+        h_cap = max(res_cap, 32)
     else:
-        e_cap = _sticky_ecap((v, tile, window), res_v.shape[0],
-                             max(256, v // 8))
+        e2_cap = _sticky_ecap((v, tile, window, "ovf"),
+                              ovf_entries.shape[0], max(64, v // 64))
+        h_cap = _sticky_ecap((v, tile, window, "heavy"),
+                             heavy.shape[0], max(64, v // 128))
 
-    def _pack(order_key, tgt, tap, src):
-        order = np.argsort(order_key, kind="stable")
-        e = order.shape[0]
-        out = np.full((e_cap, 3), v, np.int32)               # src=v pad -> 0
-        out[:e, 0] = tgt[order]
-        out[:e, 1] = tap[order]
-        out[:e, 2] = src[order]
-        counts = np.bincount(order_key, minlength=v + 1)[:v].astype(np.int32)
-        return out, counts
-
-    res_fwd, cnt_fwd = _pack(res_v, res_v, res_t, res_s)
+    res_ovf = np.full((e2_cap, 3), v, np.int32)
+    res_ovf[: ovf_entries.shape[0]] = ovf_entries
+    ovf_v = np.full((h_cap,), v, np.int32)
+    ovf_count = np.zeros((h_cap,), np.int32)
+    ovf_v[: heavy.shape[0]] = heavy
+    ovf_count[: heavy.shape[0]] = heavy_counts
 
     return WindowedSubm(
         starts=starts, rb_local=rb_local, xprev_ok=xprev, xnext_ok=xnext,
-        res_fwd=res_fwd, res_fwd_counts=cnt_fwd, window=window,
+        res_pad=res_pad, res_ovf=res_ovf, ovf_v=ovf_v, ovf_count=ovf_count,
+        window=window,
     )

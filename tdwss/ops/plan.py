@@ -46,12 +46,19 @@ class WindowedSubm:
     rb_local: (V, 9) int32      anchor pos - start, or == window (sentinel
                                 -> one_hot yields a zero row)
     xprev_ok/xnext_ok: (V,) bool  physical row v-+1 is my x-+1 neighbor
-    res_fwd:  (E, 3) int32      [v, tap27, src] single-source corrections,
-                                sorted by v; padding rows carry src = V.
-                                The backward pass reuses the SAME list (the
-                                transposed conv shares this rulebook, only
-                                the weight matrix flips)
-    res_fwd_counts: (V,) int32  entries per v (prefix-run layout)
+    Residual corrections are tiered so no per-voxel prefix/boundary
+    machinery is needed on device (boundary gathers cost ~120 ms at
+    V=786k).  The backward pass reuses the SAME entries with flipped taps
+    (the transposed conv shares this rulebook; only the weight flips).
+
+    res_pad:  (V, R, 2) int32   first R corrections per voxel as aligned
+                                slots [tap27, src]; empty slots src = V
+    res_ovf:  (E2, 3) int32     overflow entries [v, tap27, src] of voxels
+                                with > R corrections, sorted by v
+    ovf_v:    (H, ) int32       the heavy voxels (pad V)
+    ovf_count:(H, ) int32       entries per heavy voxel (prefix-run layout
+                                over res_ovf); H is small, so the final
+                                H-row scatter-add is cheap
     window:   static int        W
     """
 
@@ -59,8 +66,10 @@ class WindowedSubm:
     rb_local: jnp.ndarray
     xprev_ok: jnp.ndarray
     xnext_ok: jnp.ndarray
-    res_fwd: jnp.ndarray
-    res_fwd_counts: jnp.ndarray
+    res_pad: jnp.ndarray
+    res_ovf: jnp.ndarray
+    ovf_v: jnp.ndarray
+    ovf_count: jnp.ndarray
     window: int = flax.struct.field(pytree_node=False, default=256)
 
 

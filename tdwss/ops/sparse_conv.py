@@ -267,15 +267,6 @@ def _win_dw(src3, rb_local, starts, dout, window):
     return jax.lax.fori_loop(0, tiles // group, body, init)
 
 
-def _res_operand(feats, res):
-    """(E, 27C) one-hot-masked residual operand."""
-    e = res.shape[0]
-    srcf = jnp.take(feats, _oob(res[:, 2], feats.shape[0]), axis=0,
-                    mode="fill", fill_value=0)               # (E, C)
-    oh = jax.nn.one_hot(res[:, 1], 27, dtype=feats.dtype)    # (E, 27)
-    return (oh[:, :, None] * srcf[:, None, :]).reshape(e, -1)
-
-
 def _prefix_rows(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     """(E, C) -> (E+1, C) exclusive prefix sums, two-level blocked.
 
@@ -296,23 +287,64 @@ def _prefix_rows(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros((1, c), x.dtype), inclusive], axis=0)
 
 
-def _res_apply(feats, res, counts, w2d):
-    """Run-summed residual contributions -> (V, Cout) f32."""
-    z = _res_operand(feats, res)
-    contrib = jnp.dot(z, w2d.astype(z.dtype),
-                      preferred_element_type=jnp.float32)    # (E, Cout)
-    prefix = _prefix_rows(contrib)
-    ends = jnp.cumsum(counts)
-    return (jnp.take(prefix, ends, axis=0)
-            - jnp.take(prefix, ends - counts, axis=0))
+def _entry_contrib(feats, taps, srcs, w2d):
+    """(E,) taps + (E,) srcs -> (E, Cout) f32 contributions f[src] @ W[tap].
+
+    Per-entry weight selection runs as a one-hot GEMM against the flat
+    (27, C*Cout) weight table followed by a batched matvec — layouts stay
+    contiguous (an (E, 27, C) -> (E, 27C) interleave costs more than the
+    whole rest of the path).
+    """
+    cin = feats.shape[-1]
+    cout = w2d.shape[-1]
+    f = jnp.take(feats, _oob(srcs, feats.shape[0]), axis=0,
+                 mode="fill", fill_value=0)                  # (E, C)
+    oh = jax.nn.one_hot(taps, 27, dtype=feats.dtype)         # (E, 27)
+    wg = jnp.dot(oh, w2d.astype(feats.dtype).reshape(27, cin * cout),
+                 preferred_element_type=jnp.float32).astype(feats.dtype)
+    return jnp.einsum("ec,eco->eo", f, wg.reshape(-1, cin, cout),
+                      preferred_element_type=jnp.float32)
 
 
-def _res_dw(feats, res, dout):
+def _res_apply(feats, res_pad, res_ovf, ovf_v, ovf_count, w2d):
+    """Tiered residual corrections -> (V, Cout) f32.
+
+    Tier 1: the (V, R) aligned slots reduce with a plain axis sum — no
+    per-voxel boundary machinery (boundary gathers cost ~120 ms at V=786k).
+    Tier 2: the small overflow list run-sums via a blocked prefix and
+    scatter-adds into its few heavy rows.
+    """
+    v, r, _ = res_pad.shape
+    contrib = _entry_contrib(feats, res_pad[..., 0].reshape(-1),
+                             res_pad[..., 1].reshape(-1), w2d)
+    out = jnp.sum(contrib.reshape(v, r, -1), axis=1)
+
+    c2 = _entry_contrib(feats, res_ovf[:, 1], res_ovf[:, 2], w2d)
+    prefix = _prefix_rows(c2)
+    ends = jnp.cumsum(ovf_count)
+    sums = (jnp.take(prefix, ends, axis=0)
+            - jnp.take(prefix, ends - ovf_count, axis=0))    # (H, Cout)
+    return out.at[_oob(ovf_v, v)].add(sums, mode="drop")
+
+
+def _res_dw(feats, res_pad, res_ovf, dout):
     """Residual dW contribution -> (27C, Cout) f32 (raw tap order)."""
-    z = _res_operand(feats, res)
-    dv = jnp.take(dout, _oob(res[:, 0], dout.shape[0]), axis=0,
-                  mode="fill", fill_value=0).astype(z.dtype)
-    return jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
+    v = feats.shape[0]
+    taps = jnp.concatenate([res_pad[..., 0].reshape(-1), res_ovf[:, 1]])
+    srcs = jnp.concatenate([res_pad[..., 1].reshape(-1), res_ovf[:, 2]])
+    tgts = jnp.concatenate([
+        jnp.repeat(jnp.arange(v, dtype=jnp.int32), res_pad.shape[1]),
+        res_ovf[:, 0],
+    ])
+    f = jnp.take(feats, _oob(srcs, v), axis=0, mode="fill", fill_value=0)
+    # padded slots carry src == V -> route their target reads out of range
+    dv = jnp.take(dout, jnp.where(srcs < v, tgts, dout.shape[0]), axis=0,
+                  mode="fill", fill_value=0).astype(f.dtype)
+    outer = jnp.einsum("ec,eo->eco", f, dv)                  # contiguous
+    oh = jax.nn.one_hot(taps, 27, dtype=f.dtype)
+    dw = jnp.dot(oh.T, outer.reshape(taps.shape[0], -1),
+                 preferred_element_type=jnp.float32)          # (27, C*Cout)
+    return dw.reshape(-1, dv.shape[-1])                       # (27C, Cout)
 
 
 from functools import partial
@@ -320,26 +352,27 @@ from functools import partial
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _subm_conv_windowed(window, feats, starts, rb_local, xprev, xnext,
-                        res_fwd, cnt_fwd, weight):
+                        res_pad, res_ovf, ovf_v, ovf_count, weight):
     k, cin, cout = weight.shape
     w2d = weight.reshape(k * cin, cout)
     w9 = _permute_taps(w2d, cin, _TRIPLE_PERM)
     feats3 = build_xtriples(feats, xprev, xnext)
     out = _win_matmul(feats3, rb_local, starts, w9, window)
-    out = out + _res_apply(feats, res_fwd, cnt_fwd, w2d)
+    out = out + _res_apply(feats, res_pad, res_ovf, ovf_v, ovf_count, w2d)
     return out.astype(feats.dtype)
 
 
 def _subm_conv_windowed_fwd(window, feats, starts, rb_local, xprev, xnext,
-                            res_fwd, cnt_fwd, weight):
+                            res_pad, res_ovf, ovf_v, ovf_count, weight):
     out = _subm_conv_windowed(window, feats, starts, rb_local, xprev, xnext,
-                              res_fwd, cnt_fwd, weight)
-    return out, (feats, starts, rb_local, xprev, xnext, res_fwd, cnt_fwd,
-                 weight)
+                              res_pad, res_ovf, ovf_v, ovf_count, weight)
+    return out, (feats, starts, rb_local, xprev, xnext, res_pad, res_ovf,
+                 ovf_v, ovf_count, weight)
 
 
 def _subm_conv_windowed_bwd(window, res, dout):
-    (feats, starts, rb_local, xprev, xnext, res_fwd, cnt_fwd, weight) = res
+    (feats, starts, rb_local, xprev, xnext, res_pad, res_ovf, ovf_v,
+     ovf_count, weight) = res
     k, cin, cout = weight.shape
     feats, dout = jax.lax.optimization_barrier((feats, dout))
     dout_c = dout.astype(feats.dtype)
@@ -348,7 +381,7 @@ def _subm_conv_windowed_bwd(window, res, dout):
     feats3 = build_xtriples(feats, xprev, xnext)
     dw9 = _win_dw(feats3, rb_local, starts, dout_c, window)
     dw = _permute_taps(dw9, cin, _TRIPLE_PERM_INV)
-    dw = dw + _res_dw(feats, res_fwd, dout_c)
+    dw = dw + _res_dw(feats, res_pad, res_ovf, dout_c)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
 
     # dfeats: by rulebook symmetry the transposed conv runs over the SAME
@@ -359,12 +392,16 @@ def _subm_conv_windowed_bwd(window, res, dout):
     wt9 = _permute_taps(wt2d, cout, _TRIPLE_PERM)
     dout3 = build_xtriples(dout_c, xprev, xnext)
     dfeats = _win_matmul(dout3, rb_local, starts, wt9, window)
-    dfeats = dfeats + _res_apply(dout_c, res_fwd, cnt_fwd, wt2d)
+    # transposed-conv residuals: same entries against the flipped-
+    # transposed weight table (see the plain-path backward derivation).
+    dfeats = dfeats + _res_apply(dout_c, res_pad, res_ovf, ovf_v, ovf_count,
+                                 wt2d)
     dfeats = dfeats.astype(feats.dtype)
 
     zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
     return (dfeats, zeros(starts), zeros(rb_local), zeros(xprev),
-            zeros(xnext), zeros(res_fwd), zeros(cnt_fwd), dw)
+            zeros(xnext), zeros(res_pad), zeros(res_ovf), zeros(ovf_v),
+            zeros(ovf_count), dw)
 
 
 _subm_conv_windowed.defvjp(_subm_conv_windowed_fwd, _subm_conv_windowed_bwd)
@@ -383,7 +420,8 @@ def subm_conv_apply(feats: jnp.ndarray, rulebook: jnp.ndarray,
     if win is not None and rulebook.shape[-1] == 27:
         return _subm_conv_windowed(
             win.window, feats, win.starts, win.rb_local, win.xprev_ok,
-            win.xnext_ok, win.res_fwd, win.res_fwd_counts, weight)
+            win.xnext_ok, win.res_pad, win.res_ovf, win.ovf_v,
+            win.ovf_count, weight)
     return _subm_conv(feats, rulebook, weight)
 
 

@@ -182,7 +182,7 @@ class TestWindowedConv:
         rb = build_subm_rulebook_np(grid, 3)
         win = build_windowed_subm(rb, grid, tile=128, window=128, res_cap=27 * n)
         assert win is not None
-        assert int((win.res_fwd[:, 2] < n).sum()) > 0   # residuals present
+        assert int((win.res_pad[..., 1] < n).sum()) > 0  # residuals present
         vf = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
         w = jnp.asarray(rng.normal(size=(27, 3, 2)).astype(np.float32))
         winj = jax.tree_util.tree_map(jnp.asarray, win)
