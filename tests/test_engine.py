@@ -128,3 +128,18 @@ def test_pseudo_label_loop(tmp_path, scenes):
     t2 = Trainer(cfg2, train, val, use_checkpoints=False, verbose=False)
     history = t2.fit(epochs=2)
     assert np.isfinite(history).all()
+
+
+def test_profiling_helpers(tmp_path):
+    from tdwss.utils import profiling
+
+    t = profiling.StepTimer()
+    t.start()
+    dt = t.stop()
+    assert dt >= 0 and t.mean >= 0
+    with profiling.trace(str(tmp_path / "prof")):
+        import jax.numpy as jnp
+
+        jnp.ones((8, 8)).sum().block_until_ready()
+    import os
+    assert os.path.isdir(tmp_path / "prof")
