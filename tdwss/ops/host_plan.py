@@ -272,10 +272,12 @@ _ECAP_REGISTRY: dict = {}
 
 def _sticky_ecap(key, needed: int, floor: int) -> int:
     # 1.25x geometric buckets (pow2 over-allocates gather rows by up to 2x,
-    # and residual gathers are row-count-priced)
+    # and residual gathers are row-count-priced); 4096-aligned so the
+    # device-side entry chunking always finds an even split.
     cap = floor
     while cap < needed:
         cap = int(cap * 1.25) + 256
+    cap = ((cap + 4095) // 4096) * 4096
     cap = max(cap, _ECAP_REGISTRY.get(key, 0))
     _ECAP_REGISTRY[key] = cap
     return cap

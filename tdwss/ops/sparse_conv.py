@@ -287,23 +287,37 @@ def _prefix_rows(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros((1, c), x.dtype), inclusive], axis=0)
 
 
-def _entry_contrib(feats, taps, srcs, w2d):
-    """(E,) taps + (E,) srcs -> (E, Cout) f32 contributions f[src] @ W[tap].
-
-    Per-entry weight selection runs as a one-hot GEMM against the flat
-    (27, C*Cout) weight table followed by a batched matvec — layouts stay
-    contiguous (an (E, 27, C) -> (E, 27C) interleave costs more than the
-    whole rest of the path).
-    """
-    cin = feats.shape[-1]
-    cout = w2d.shape[-1]
+def _entry_z(feats, taps, srcs):
+    """One-hot-masked (E, 27C) operand for per-entry tap selection."""
     f = jnp.take(feats, _oob(srcs, feats.shape[0]), axis=0,
                  mode="fill", fill_value=0)                  # (E, C)
     oh = jax.nn.one_hot(taps, 27, dtype=feats.dtype)         # (E, 27)
-    wg = jnp.dot(oh, w2d.astype(feats.dtype).reshape(27, cin * cout),
-                 preferred_element_type=jnp.float32).astype(feats.dtype)
-    return jnp.einsum("ec,eco->eo", f, wg.reshape(-1, cin, cout),
-                      preferred_element_type=jnp.float32)
+    return (oh[:, :, None] * f[:, None, :]).reshape(taps.shape[0], -1)
+
+
+def _entry_contrib(feats, taps, srcs, w2d):
+    """(E,) taps + (E,) srcs -> (E, Cout) f32 contributions f[src] @ W[tap].
+
+    Chunked over entries: the (Ec, 27C) tap-masked operand is O(E*27C) —
+    per-entry weight tables would be O(E*C^2) and OOM at C>=128.
+    """
+    cin = feats.shape[-1]
+    e = taps.shape[0]
+    chunks = _num_chunks(e, 27 * cin * feats.dtype.itemsize)
+    if chunks == 1:
+        z = _entry_z(feats, taps, srcs)
+        return jnp.dot(z, w2d.astype(feats.dtype),
+                       preferred_element_type=jnp.float32)
+
+    def chunk_fn(args):
+        t, s = args
+        z = _entry_z(feats, t, s)
+        return jnp.dot(z, w2d.astype(feats.dtype),
+                       preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(chunk_fn, (taps.reshape(chunks, -1),
+                                 srcs.reshape(chunks, -1)))
+    return out.reshape(e, -1)
 
 
 def _res_apply(feats, res_pad, res_ovf, ovf_v, ovf_count, w2d):
@@ -328,23 +342,47 @@ def _res_apply(feats, res_pad, res_ovf, ovf_v, ovf_count, w2d):
 
 
 def _res_dw(feats, res_pad, res_ovf, dout):
-    """Residual dW contribution -> (27C, Cout) f32 (raw tap order)."""
+    """Residual dW contribution -> (27C, Cout) f32 (raw tap order).
+
+    Chunked over entries; per chunk one (27C, Ec) x (Ec, Cout) GEMM of the
+    tap-masked operand against the gathered cotangent rows (no O(E*C^2)
+    outer products).
+    """
     v = feats.shape[0]
+    cin = feats.shape[-1]
+    cout = dout.shape[-1]
     taps = jnp.concatenate([res_pad[..., 0].reshape(-1), res_ovf[:, 1]])
     srcs = jnp.concatenate([res_pad[..., 1].reshape(-1), res_ovf[:, 2]])
     tgts = jnp.concatenate([
         jnp.repeat(jnp.arange(v, dtype=jnp.int32), res_pad.shape[1]),
         res_ovf[:, 0],
     ])
-    f = jnp.take(feats, _oob(srcs, v), axis=0, mode="fill", fill_value=0)
     # padded slots carry src == V -> route their target reads out of range
-    dv = jnp.take(dout, jnp.where(srcs < v, tgts, dout.shape[0]), axis=0,
-                  mode="fill", fill_value=0).astype(f.dtype)
-    outer = jnp.einsum("ec,eo->eco", f, dv)                  # contiguous
-    oh = jax.nn.one_hot(taps, 27, dtype=f.dtype)
-    dw = jnp.dot(oh.T, outer.reshape(taps.shape[0], -1),
-                 preferred_element_type=jnp.float32)          # (27, C*Cout)
-    return dw.reshape(-1, dv.shape[-1])                       # (27C, Cout)
+    tgts = jnp.where(srcs < v, tgts, dout.shape[0])
+    e = taps.shape[0]
+    chunks = _num_chunks(e, 27 * cin * feats.dtype.itemsize)
+    cv = e // chunks if chunks else e
+    if chunks <= 1 or e % chunks != 0:
+        z = _entry_z(feats, taps, srcs)
+        dv = jnp.take(dout, tgts, axis=0, mode="fill",
+                      fill_value=0).astype(feats.dtype)
+        return jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
+
+    t3 = taps.reshape(chunks, cv)
+    s3 = srcs.reshape(chunks, cv)
+    g3 = tgts.reshape(chunks, cv)
+
+    def body(i, acc):
+        z = _entry_z(feats,
+                     jax.lax.dynamic_index_in_dim(t3, i, keepdims=False),
+                     jax.lax.dynamic_index_in_dim(s3, i, keepdims=False))
+        dv = jnp.take(dout,
+                      jax.lax.dynamic_index_in_dim(g3, i, keepdims=False),
+                      axis=0, mode="fill", fill_value=0).astype(feats.dtype)
+        return acc + jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
+
+    return jax.lax.fori_loop(
+        0, chunks, body, jnp.zeros((27 * cin, cout), jnp.float32))
 
 
 from functools import partial
