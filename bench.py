@@ -15,10 +15,11 @@ batch in ~0.5 s).  BASELINE.json's target is >=5x GPU-SCN on a v5e-8, i.e.
 Round-1 progression on one v5e chip (see the tpu-gather-performance-model
 memory note): naive in-graph plan building never finished compiling;
 host-built rulebooks + scatter-free transposed-rulebook VJPs reached
-0.063 Mpts/s; the windowed-MXU gather path 0.073 Mpts/s.  The remaining
-wall is XLA's TPU gather throughput (~15-60 ns/row); the planned round-2
-brick engine (dense 8^3 bricks + XLA conv3d + Pallas-DMA halo exchange)
-removes per-row indexing from the conv path entirely.
+0.063 Mpts/s; the windowed-MXU gather path with tiered residual
+corrections 0.077 Mpts/s.  The remaining wall is XLA's TPU gather/indexing
+throughput (~15-60 ns per indexed row in every formulation measured); the
+round-2 plan removes per-row indexing from the conv path (dense 8^3 brick
+tensors + XLA conv3d + coalesced Pallas DMA halos).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpoints/s", "vs_baseline": N}

@@ -230,3 +230,43 @@ def test_config_save_load_roundtrip(tmp_path):
     p = str(tmp_path / "parameters.txt")
     save_config(cfg, p)
     assert load_config(p) == cfg
+
+
+def test_kpfcnn_overfit_decreases_loss(rng):
+    """Second backbone trains end-to-end: loss drops on a fixed batch."""
+    import jax
+    import optax
+
+    from tdwss.models.kpconv import KPFCNN, kpfcnn_loss
+
+    cfg = _tiny_cfg(num_classes=3)
+    clouds = _make_clouds(rng, n_clouds=2, n_pts=150)
+    for c in clouds:
+        c["labels"] = (c["points"][:, 2] > 0.6).astype(np.int32) * 2
+    batch = segmentation_inputs(clouds, cfg)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)._replace(num_scenes=2)
+
+    model = KPFCNN(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state):
+        def loss_fn(p):
+            (logits, aux), new_stats = model.apply(
+                {"params": p, "batch_stats": stats}, batch, train=True,
+                mutable=["batch_stats"])
+            return kpfcnn_loss(logits, batch.labels, aux, cfg), new_stats
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), \
+            new_stats["batch_stats"], opt_state, loss
+
+    losses = []
+    for _ in range(12):
+        params, stats, opt_state, loss = step(params, stats, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, losses
