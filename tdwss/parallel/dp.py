@@ -45,36 +45,46 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
     """Pad windowed-conv residual lists to a common static capacity.
 
-    The host plan builder buckets residual capacities per batch (sticky,
-    power-of-2); stacking across devices requires identical shapes, so pad
-    every WindowedSubm to the max cap (pad rows carry src == V -> inert).
+    The host plan builder buckets overflow capacities per batch (sticky,
+    geometric); stacking across devices requires identical shapes, so pad
+    every WindowedSubm to the max caps (pad rows carry src == V -> inert,
+    counts 0).
     """
     from tdwss.ops.plan import WindowedSubm
 
     is_win = lambda x: isinstance(x, WindowedSubm)  # noqa: E731
-    caps = {}
     flat0, _ = jax.tree_util.tree_flatten(batches[0], is_leaf=is_win)
+    caps = {}
     for i, leaf in enumerate(flat0):
         if is_win(leaf):
-            caps[i] = max(
-                jax.tree_util.tree_flatten(b, is_leaf=is_win)[0][i]
-                .res_fwd.shape[0]
-                for b in batches
-            )
+            wins = [jax.tree_util.tree_flatten(b, is_leaf=is_win)[0][i]
+                    for b in batches]
+            caps[i] = (max(w.res_ovf.shape[0] for w in wins),
+                       max(w.ovf_v.shape[0] for w in wins))
     if not caps:
         return list(batches)
 
     out = []
     for b in batches:
         flat, treedef = jax.tree_util.tree_flatten(b, is_leaf=is_win)
-        for i, cap in caps.items():
+        for i, (e_cap, h_cap) in caps.items():
             win = flat[i]
-            e = win.res_fwd.shape[0]
-            if e < cap:
-                v = win.rb_local.shape[0]
-                pad = np.full((cap - e, 3), v, np.int32)
-                flat[i] = win.replace(
-                    res_fwd=np.concatenate([np.asarray(win.res_fwd), pad]))
+            v = win.rb_local.shape[0]
+            e, h = win.res_ovf.shape[0], win.ovf_v.shape[0]
+            if e < e_cap:
+                pad = np.full((e_cap - e, 3), v, np.int32)
+                win = win.replace(
+                    res_ovf=np.concatenate([np.asarray(win.res_ovf), pad]))
+            if h < h_cap:
+                win = win.replace(
+                    ovf_v=np.concatenate(
+                        [np.asarray(win.ovf_v),
+                         np.full((h_cap - h,), v, np.int32)]),
+                    ovf_count=np.concatenate(
+                        [np.asarray(win.ovf_count),
+                         np.zeros((h_cap - h,), np.int32)]),
+                )
+            flat[i] = win
         out.append(jax.tree_util.tree_unflatten(treedef, flat))
     return out
 

@@ -88,3 +88,48 @@ def test_dp_step_different_batches_runs(setup):
     a0 = jax.tree_util.tree_leaves(state.params)[0]
     a1 = jax.tree_util.tree_leaves(new_state.params)[0]
     assert not np.allclose(np.asarray(a0), np.asarray(a1))
+
+
+def test_dp_step_with_host_plans(scenes_factory=None):
+    """DP stacking + shard_map step with windowed host plans attached."""
+    import jax
+    import numpy as np
+
+    from tdwss.config import (Config, EngineConfig, LossConfig,
+                              PointcloudDataConfig, PointcloudModelConfig)
+    from tdwss.data.collate import train_collate
+    from tdwss.data.plans import attach_host_plans
+    from tdwss.data.synthetic import make_dataset
+    from tdwss.engine.steps import init_state, make_optimizer
+    from tdwss.models import build_model
+    from tdwss.parallel.dp import (make_dp_train_step, make_mesh,
+                                   shard_batch, stack_batches)
+
+    cfg = Config(
+        training_name="dp_hostplans", model_name="MultiLabel",
+        label="scene_level", has_text=False,
+        pointcloud_data=PointcloudDataConfig(scale=20, batch_size=2),
+        pointcloud_model=PointcloudModelConfig(
+            name="SparseConvUNet", m=4, full_scale=256, block_reps=1,
+            residual_blocks=False, depth=2),
+        loss=LossConfig(Classification=True),
+        engine=EngineConfig(max_points=4096, min_level_capacity=2048),
+    )
+    rng = np.random.default_rng(0)
+    n_dev = min(4, len(jax.devices()))
+    batches = []
+    for d in range(n_dev):
+        scenes = make_dataset(2, num_points=1200, seed=10 + d,
+                              with_text=False)
+        batches.append(attach_host_plans(
+            train_collate(scenes, cfg, rng), cfg))
+    stacked = stack_batches(batches)
+    mesh = make_mesh(n_dev)
+    dev_batch = shard_batch(stacked, mesh)
+
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = init_state(cfg, model, tx, batches[0])
+    step = make_dp_train_step(cfg, model, tx, mesh)
+    state, aux = step(state, dev_batch)
+    assert np.isfinite(float(aux["loss"]))
