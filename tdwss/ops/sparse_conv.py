@@ -15,10 +15,11 @@ Layout choices for the MXU:
   chunking bounds the live padded transient to ~128 MB;
 - accumulation in float32 (``preferred_element_type``) from bf16 operands.
 
-NO SCATTERS ANYWHERE: XLA lowers scatter-add with potentially-colliding
+NO LARGE SCATTERS: XLA lowers scatter-add with potentially-colliding
 indices to a serial loop on TPU (minutes per conv at 786k voxels).  Every
 backward pass is expressed as a *gather*-GEMM through the transposed
-rulebook instead:
+rulebook instead (the only scatter left is the tiny heavy-voxel overflow
+add in the residual path):
 - submanifold: the rulebook is symmetric — ``rb[v,k] = u  <=>
   rb[u, K-1-k] = v`` (centred kernel, negated offset), so
   ``dfeats = gather_matmul(dout, rb, weight[::-1].T)``;
