@@ -266,8 +266,12 @@ def host_voxelize_and_plan(
 
 # Sticky residual capacities: static shapes must not flip between batches
 # (pytree changes retrigger jit compilation), so per (V, tile, window) the
-# capacity only ever grows — power-of-2 bucketed, floor V//8.
+# capacity only ever grows.  Lock: collate worker threads must agree on the
+# cap or concurrent batches get different pytrees.
+import threading
+
 _ECAP_REGISTRY: dict = {}
+_ECAP_LOCK = threading.Lock()
 
 
 def _sticky_ecap(key, needed: int, floor: int) -> int:
@@ -278,8 +282,9 @@ def _sticky_ecap(key, needed: int, floor: int) -> int:
     while cap < needed:
         cap = int(cap * 1.25) + 256
     cap = ((cap + 4095) // 4096) * 4096
-    cap = max(cap, _ECAP_REGISTRY.get(key, 0))
-    _ECAP_REGISTRY[key] = cap
+    with _ECAP_LOCK:
+        cap = max(cap, _ECAP_REGISTRY.get(key, 0))
+        _ECAP_REGISTRY[key] = cap
     return cap
 
 
