@@ -16,7 +16,8 @@ Round-1 progression on one v5e chip (see the tpu-gather-performance-model
 memory note): naive in-graph plan building never finished compiling;
 host-built rulebooks + scatter-free transposed-rulebook VJPs reached
 0.063 Mpts/s; the windowed-MXU gather path with tiered residual
-corrections 0.077 Mpts/s.  The remaining wall is XLA's TPU gather/indexing
+corrections 0.077 Mpts/s; per-level capacity schedules 0.086 Mpts/s.
+The remaining wall is XLA's TPU gather/indexing
 throughput (~15-60 ns per indexed row in every formulation measured); the
 round-2 plan removes per-row indexing from the conv path (dense 8^3 brick
 tensors + XLA conv3d + coalesced Pallas DMA halos).
@@ -68,8 +69,11 @@ def main() -> None:
         loss=LossConfig(Classification=True),
         engine=EngineConfig(
             max_points=MAX_POINTS,
-            level_capacity_shrink=2,
-            min_level_capacity=8192,
+            # measured voxel decay on 2cm ScanNet-like scenes is ~2x for the
+            # first transition then ~3.5x — the schedule keeps padded
+            # capacity within ~25% of the data at every level
+            level_capacity_schedule=[2, 3, 4, 4, 4, 4],
+            min_level_capacity=4096,
             compute_dtype="bfloat16",
         ),
     )

@@ -83,6 +83,11 @@ class EngineConfig:
     max_points: int = 262144         # static per-device point budget
     max_voxels: int = 0              # 0 => same as max_points
     level_capacity_shrink: int = 2   # per-level voxel capacity divisor (1 = no shrink)
+    # Optional per-transition divisor schedule (overrides the scalar): real
+    # scenes lose ~3.5x voxels per level below 1cm-2cm scales, so a schedule
+    # like [2, 3, 4, 4, 4, 4] cuts padded compute ~30% (capacities must
+    # still cover the data — overflow drops voxels).
+    level_capacity_schedule: Optional[List[int]] = None
     min_level_capacity: int = 2048
     compute_dtype: str = "float32"   # bfloat16 for perf configs
     donate_state: bool = True

@@ -47,6 +47,9 @@ def _build_encoder(pc_config: PointcloudModelConfig, engine: Optional[Any] = Non
         kwargs.update(
             max_voxels=engine.max_voxels,
             level_capacity_shrink=engine.level_capacity_shrink,
+            level_capacity_schedule=(
+                tuple(engine.level_capacity_schedule)
+                if engine.level_capacity_schedule else None),
             min_level_capacity=engine.min_level_capacity,
             compute_dtype=engine.compute_dtype,
             remat=engine.remat,

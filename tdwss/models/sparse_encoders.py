@@ -192,6 +192,7 @@ class _SparseEncoderBase(nn.Module):
     # engine knobs
     max_voxels: int = 0                   # 0 => number of input points
     level_capacity_shrink: int = 2
+    level_capacity_schedule: Optional[Tuple[int, ...]] = None
     min_level_capacity: int = 2048
     compute_dtype: str = "float32"        # bfloat16 halves HBM traffic
     remat: bool = False                   # rematerialize level bodies
@@ -206,7 +207,8 @@ class _SparseEncoderBase(nn.Module):
         planes = self.plane_schedule()
         cap0 = self.max_voxels or n_points
         caps = level_capacities(
-            cap0, len(planes), self.level_capacity_shrink, self.min_level_capacity
+            cap0, len(planes), self.level_capacity_shrink,
+            self.min_level_capacity, self.level_capacity_schedule,
         )
         return len(planes), caps, tuple(self.downsample)
 

@@ -163,13 +163,22 @@ def level_capacities(
     num_levels: int,
     shrink: int = 2,
     min_capacity: int = 2048,
+    schedule: Optional[Sequence[int]] = None,
 ) -> Tuple[int, ...]:
-    """Static voxel capacity per level: shrink each level, floor at min."""
+    """Static voxel capacity per level: shrink each level, floor at min.
+
+    ``schedule`` gives a per-transition divisor list overriding ``shrink``
+    (last entry repeats if shorter than num_levels - 1).
+    """
     caps = []
     cap = base_capacity
-    for _ in range(num_levels):
+    for lvl in range(num_levels):
         caps.append(max(int(cap), min(min_capacity, base_capacity)))
-        cap = cap // max(shrink, 1)
+        if schedule:
+            div = schedule[min(lvl, len(schedule) - 1)]
+        else:
+            div = shrink
+        cap = cap // max(int(div), 1)
     return tuple(caps)
 
 
