@@ -189,3 +189,69 @@ class TestWindowedConv:
         ref = np.asarray(subm_conv_apply(vf, jnp.asarray(rb), w))
         out = np.asarray(subm_conv_apply(vf, jnp.asarray(rb), w, winj))
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestBrickPlan:
+    def test_roundtrip_and_adjacency(self, rng):
+        from tdwss.ops.brick_plan import build_brick_plan
+
+        coords, feats, valid = _random_coords(rng, n=2000, size=48,
+                                              invalid_frac=0.1)
+        grid, _, _ = voxelize_np(coords, feats, valid, 2000)
+        plan = build_brick_plan(grid, size=8)
+        v = grid.capacity
+        s3 = plan.size ** 3
+        gc = np.asarray(grid.coords)
+        gvalid = np.asarray(grid.valid)
+
+        # voxel -> cell -> voxel roundtrip
+        for i in np.nonzero(gvalid)[0][:200]:
+            c = plan.vox2cell[i]
+            assert c < plan.cell2vox.shape[0] * s3
+            assert plan.cell2vox.reshape(-1)[c] == i
+            b = c // s3
+            np.testing.assert_array_equal(
+                plan.brick_coords[b, :3], gc[i, :3] // 8)
+            assert plan.brick_coords[b, 3] == gc[i, 3]
+
+        # adjacency is geometric: neighbor brick coords differ by the offset
+        from tdwss.ops.brick_plan import _NEIGHBOR_OFFSETS
+        bvalid = np.asarray(plan.brick_valid)
+        for b in np.nonzero(bvalid)[0][:50]:
+            for j, off in enumerate(_NEIGHBOR_OFFSETS):
+                nb = plan.neighbors[b, j]
+                if nb < plan.brick_coords.shape[0]:
+                    np.testing.assert_array_equal(
+                        plan.brick_coords[nb, :3],
+                        plan.brick_coords[b, :3] + off)
+                    assert plan.brick_coords[nb, 3] == plan.brick_coords[b, 3]
+
+        # every occupied brick pair that IS adjacent appears in the table
+        bc = plan.brick_coords[bvalid]
+        key = {tuple(r) for r in bc.tolist()}
+        for b in np.nonzero(bvalid)[0][:30]:
+            for j, off in enumerate(_NEIGHBOR_OFFSETS):
+                t = tuple((plan.brick_coords[b, :3] + off).tolist()
+                          + [int(plan.brick_coords[b, 3])])
+                expected = t in key
+                found = plan.neighbors[b, j] < plan.brick_coords.shape[0]
+                assert expected == found
+
+    def test_dense_fill_matches_take(self, rng):
+        """Device-style brick fill == gather through cell2vox."""
+        import jax.numpy as jnp
+
+        from tdwss.ops.brick_plan import build_brick_plan
+
+        coords, feats, valid = _random_coords(rng, n=800, size=24)
+        grid, vfeats, _ = voxelize_np(coords, feats, valid, 800)
+        plan = build_brick_plan(grid, size=8)
+        x = jnp.take(jnp.asarray(vfeats), jnp.asarray(plan.cell2vox.reshape(-1)),
+                     axis=0, mode="fill", fill_value=0)
+        bricks = np.asarray(x).reshape(-1, 8, 8, 8, 3)
+        # spot check one voxel lands in its cell
+        i = int(np.nonzero(np.asarray(grid.valid))[0][0])
+        c = int(plan.vox2cell[i])
+        b, off = divmod(c, 512)
+        np.testing.assert_allclose(
+            bricks[b].reshape(512, 3)[off], np.asarray(vfeats)[i])
