@@ -255,3 +255,29 @@ class TestBrickPlan:
         b, off = divmod(c, 512)
         np.testing.assert_allclose(
             bricks[b].reshape(512, 3)[off], np.asarray(vfeats)[i])
+
+
+def test_brick_conv_matches_plain(rng):
+    """Brick-form conv3d == the gather-GEMM submanifold conv."""
+    import jax
+
+    from tdwss.ops.brick_conv import brick_subm_conv
+    from tdwss.ops.brick_plan import build_brick_plan
+    from tdwss.ops.sparse_conv import subm_conv_apply
+
+    coords, feats, valid = _random_coords(rng, n=1200, size=40,
+                                          invalid_frac=0.08)
+    grid, _, _ = voxelize_np(coords, feats, valid, 1200)
+    rb = build_subm_rulebook_np(grid, 3)
+    plan = build_brick_plan(grid, size=8, brick_cap=2048)
+    assert plan.num_bricks <= 2048
+    cin, cout = 6, 5
+    vf = jnp.asarray(rng.normal(size=(1200, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+    plan_j = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, plan)
+    out = np.asarray(brick_subm_conv(vf, plan_j, w))
+    ref = np.asarray(subm_conv_apply(vf, jnp.asarray(rb), w))
+    valid_rows = np.asarray(grid.valid)
+    np.testing.assert_allclose(out[valid_rows], ref[valid_rows],
+                               rtol=1e-4, atol=1e-4)
