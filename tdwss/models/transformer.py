@@ -79,7 +79,7 @@ class TextTransformer(nn.Module):
     @nn.compact
     def __call__(self, text: jnp.ndarray) -> jnp.ndarray:
         """text (B, L) int32 token ids -> (B, width) EOT features."""
-        heads = self.width // 64
+        heads = max(1, self.width // 64)
         tok = nn.Embed(
             self.vocab_size, self.width,
             embedding_init=nn.initializers.normal(0.02),

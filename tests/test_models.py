@@ -156,3 +156,80 @@ def test_misc_result_and_pos_interp():
     assert same.shape == (1, 8, 4)
     up = interpolate_pos_encoding(pe, 3, 3, 3)
     assert up.shape == (1, 27, 4)
+
+
+def test_clip_import_matches_torch():
+    """Converted CLIP text-tower weights reproduce torch's attention math."""
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from tdwss.models.clip_import import convert_text_tower
+    from tdwss.models.transformer import CLIPTransformer
+
+    torch.manual_seed(0)
+    width, heads, layers, ctx, vocab = 128, 2, 2, 8, 64
+
+    # Build a minimal CLIP-text-tower state dict + its torch forward.
+    state = {
+        "token_embedding.weight": torch.randn(vocab, width) * 0.02,
+        "positional_embedding": torch.randn(ctx, width) * 0.01,
+        "ln_final.weight": torch.rand(width) + 0.5,
+        "ln_final.bias": torch.randn(width) * 0.1,
+    }
+    mhas, mlps, lns = [], [], []
+    for n in range(layers):
+        p = f"transformer.resblocks.{n}"
+        mha = torch.nn.MultiheadAttention(width, heads, batch_first=True)
+        fc = torch.nn.Linear(width, 4 * width)
+        proj = torch.nn.Linear(4 * width, width)
+        ln1 = torch.nn.LayerNorm(width)
+        ln2 = torch.nn.LayerNorm(width)
+        state[f"{p}.attn.in_proj_weight"] = mha.in_proj_weight.detach()
+        state[f"{p}.attn.in_proj_bias"] = mha.in_proj_bias.detach()
+        state[f"{p}.attn.out_proj.weight"] = mha.out_proj.weight.detach()
+        state[f"{p}.attn.out_proj.bias"] = mha.out_proj.bias.detach()
+        state[f"{p}.mlp.c_fc.weight"] = fc.weight.detach()
+        state[f"{p}.mlp.c_fc.bias"] = fc.bias.detach()
+        state[f"{p}.mlp.c_proj.weight"] = proj.weight.detach()
+        state[f"{p}.mlp.c_proj.bias"] = proj.bias.detach()
+        state[f"{p}.ln_1.weight"] = ln1.weight.detach()
+        state[f"{p}.ln_1.bias"] = ln1.bias.detach()
+        state[f"{p}.ln_2.weight"] = ln2.weight.detach()
+        state[f"{p}.ln_2.bias"] = ln2.bias.detach()
+        mhas.append(mha); mlps.append((fc, proj)); lns.append((ln1, ln2))
+
+    tokens = torch.randint(1, vocab - 1, (3, ctx))
+    tokens[:, -1] = vocab - 1  # EOT = max id -> argmax pooling position
+
+    with torch.no_grad():
+        x = state["token_embedding.weight"][tokens] + state["positional_embedding"]
+        mask = torch.full((ctx, ctx), float("-inf")).triu(1)
+        for n in range(layers):
+            ln1, ln2 = lns[n]
+            h = ln1(x)
+            a, _ = mhas[n](h, h, h, attn_mask=mask, need_weights=False)
+            x = x + a
+            h = ln2(x)
+            fc, proj = mlps[n]
+            x = x + proj(fc(h) * torch.sigmoid(1.702 * fc(h)))
+        lf = torch.nn.LayerNorm(width)
+        lf.weight.data = state["ln_final.weight"]
+        lf.bias.data = state["ln_final.bias"]
+        x = lf(x)
+        ref = x[torch.arange(3), tokens.argmax(dim=-1)].numpy()
+
+    flat = convert_text_tower({k: v.numpy() for k, v in state.items()}, heads)
+    # materialize via the loader round trip
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "clip.npz")
+        np.savez(path, **flat)
+        params = CLIPTransformer.load_pretrained_params(path)
+
+    model = CLIPTransformer(context_length=ctx, width=width, layers=layers,
+                            vocab_size=vocab)
+    out = model.apply({"params": params}, jnp.asarray(tokens.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
