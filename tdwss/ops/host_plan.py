@@ -23,7 +23,8 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-from tdwss.ops.coords import COORD_BITS, INVALID_KEY, kernel_offsets
+from tdwss.ops.coords import (COORD_BITS, INVALID_KEY, kernel_offsets,
+                              window_group_map)
 from tdwss.ops.plan import GridLevel, LevelPlans
 from tdwss.ops.voxelize import SparseGrid
 
@@ -213,9 +214,10 @@ def build_plans_np(
     windowed: bool = True,
     tile: int = 128,
     window: int = 256,
+    nwin: int = 9,
 ) -> LevelPlans:
     """Numpy twin of :func:`tdwss.ops.plan.build_plans` (+ windowed-conv
-    metadata when ``windowed``)."""
+    metadata when ``windowed``; ``window <= 0`` means auto-sized)."""
     f, s = int(downsample[0]), int(downsample[1])
     levels = []
     grid = grid0
@@ -223,7 +225,9 @@ def build_plans_np(
         subm_rb = build_subm_rulebook_np(grid, subm_kernel)
         win = None
         if windowed and subm_kernel == 3:
-            win = build_windowed_subm(subm_rb, grid, tile=tile, window=window)
+            win = build_windowed_subm(subm_rb, grid, tile=tile,
+                                      window=max(window, 0), nwin=nwin,
+                                      auto_window=window <= 0)
         if lvl + 1 < num_levels:
             coarse_grid, parent, child_offset, down_rb = downsample_level_np(
                 grid, int(capacities[lvl + 1]), f, s)
@@ -274,6 +278,14 @@ _ECAP_REGISTRY: dict = {}
 _ECAP_LOCK = threading.Lock()
 
 
+def _sticky_window(key, needed: int) -> int:
+    """Monotone per-geometry auto-window size (already 128-aligned)."""
+    with _ECAP_LOCK:
+        cap = max(needed, _ECAP_REGISTRY.get(key, 0))
+        _ECAP_REGISTRY[key] = cap
+    return cap
+
+
 def _sticky_ecap(key, needed: int, floor: int) -> int:
     # 1.25x geometric buckets (pow2 over-allocates gather rows by up to 2x,
     # and residual gathers are row-count-priced); 4096-aligned so the
@@ -294,8 +306,26 @@ def build_windowed_subm(
     tile: int = 1024,
     window: int = 1280,
     res_cap: Optional[int] = None,
+    nwin: int = 9,
+    auto_window: bool = False,
+    auto_quantile: float = 0.97,
+    auto_max: int = 4096,
 ):
     """Host-side decomposition of a 27-tap rulebook for the windowed conv.
+
+    ``nwin`` is the number of shared windows per tile: 9 (one per (dy,dz)
+    anchor), 3 (anchors grouped by dz — the y shift moves rows by only one
+    x-run in the b,z,y,x sort order, so the three dy anchors of a dz group
+    share a window), or 1 (one window covering all 9 anchors; the +-z shift
+    moves rows by one z-slab, so the window must span ~tile + 2 z-slabs).
+    Fewer windows mean fewer DMA descriptors in the fused Pallas kernel —
+    the scalar core issues ~2 us per descriptor, which dominates the conv
+    at nwin=9 (measured: 9 DMAs x 2484 tiles ~ 45 ms of a 59 ms conv).
+
+    ``auto_window`` sizes the window from the data instead of ``window``:
+    the ``auto_quantile`` of per-tile anchor spans (spilling tiles fall to
+    the residual list), 128-aligned, sticky-bucketed per (V, tile, nwin) so
+    batch pytree shapes stay stable, capped at ``auto_max``.
 
     Returns a :class:`tdwss.ops.plan.WindowedSubm` (numpy leaves), or None
     for structurally unsuitable levels (capacity not tile-aligned or below
@@ -303,8 +333,10 @@ def build_windowed_subm(
     """
     from tdwss.ops.plan import WindowedSubm
 
+    if nwin not in (1, 3, 9):
+        raise ValueError("nwin must be 1, 3 or 9")
     v = rb27.shape[0]
-    if v % tile != 0 or v < window + 2:
+    if v % tile != 0 or (not auto_window and v < window + 2):
         return None
     tiles = v // tile
     coords = np.asarray(grid.coords)
@@ -324,9 +356,33 @@ def build_windowed_subm(
     rb9 = rb27[:, 9:18]                                     # dx == 0 anchors
     anchors = rb9.reshape(tiles, tile, 9)
     masked = np.where(anchors >= 0, anchors, np.iinfo(np.int32).max)
-    starts = masked.min(axis=1)                             # (tiles, 9)
-    starts = np.clip(starts, 1, max(v - window - 1, 1)).astype(np.int32)
-    local = rb9 - np.repeat(starts, tile, axis=0)
+    starts9 = masked.min(axis=1)                            # (tiles, 9)
+    # Group anchors onto shared windows (anchor j = (dy+1)*3 + (dz+1);
+    # tap ordering: tdwss.ops.coords.kernel_offsets, x fastest).
+    gmap = window_group_map(nwin)                           # (9,) -> group
+    starts = np.full((tiles, nwin), np.iinfo(np.int64).max, np.int64)
+    for j in range(9):
+        np.minimum(starts[:, gmap[j]], starts9[:, j], out=starts[:, gmap[j]])
+    # 8-aligned starts: the fused Pallas kernel (tdwss.ops.pallas_subm)
+    # DMAs windows as tile-aligned leading-dim slices of a (V/8, 8, C)
+    # view; alignment costs at most 7 rows of window coverage.
+    starts = (starts // 8) * 8
+    if auto_window:
+        # Size the window from per-tile anchor spans: the auto_quantile
+        # tile is fully covered, spill tiles fall to the residual list.
+        s9 = starts[:, gmap]
+        loc = np.where(rb9 >= 0, rb9 - np.repeat(s9, tile, axis=0), -1)
+        span = (loc.reshape(tiles, tile * 9).max(axis=1) + 1) if tiles \
+            else np.zeros((1,), np.int64)
+        need = float(np.quantile(span, auto_quantile))
+        window = int(np.clip(need, 128, max(min(auto_max, v), 128)))
+        window = ((window + 127) // 128) * 128
+        window = _sticky_window((v, tile, nwin, "win"), window)
+        if v < window + 2:
+            return None
+    starts = np.clip(starts, 0, max(v - window, 0)).astype(np.int32)
+    starts9 = starts[:, gmap]                               # (tiles, 9)
+    local = rb9 - np.repeat(starts9, tile, axis=0)
     cover = (rb9 >= 0) & (local >= 0) & (local < window)
     rb_local = np.where(cover, local, window).astype(np.int32)
 
@@ -383,9 +439,9 @@ def build_windowed_subm(
         e2_cap = max(res_cap, 32)
         h_cap = max(res_cap, 32)
     else:
-        e2_cap = _sticky_ecap((v, tile, window, "ovf"),
+        e2_cap = _sticky_ecap((v, tile, window, nwin, "ovf"),
                               ovf_entries.shape[0], max(64, v // 64))
-        h_cap = _sticky_ecap((v, tile, window, "heavy"),
+        h_cap = _sticky_ecap((v, tile, window, nwin, "heavy"),
                              heavy.shape[0], max(64, v // 128))
 
     res_ovf = np.full((e2_cap, 3), v, np.int32)
@@ -399,4 +455,90 @@ def build_windowed_subm(
         starts=starts, rb_local=rb_local, xprev_ok=xprev, xnext_ok=xnext,
         res_pad=res_pad, res_ovf=res_ovf, ovf_v=ovf_v, ovf_count=ovf_count,
         window=window,
+    )
+
+
+def build_windowed_subm27(
+    rb27: np.ndarray,
+    grid: SparseGrid,
+    tile: int = 256,
+    window: int = 512,
+    res_cap: Optional[int] = None,
+    auto_window: bool = False,
+    auto_quantile: float = 0.97,
+    auto_max: int = 4096,
+):
+    """Host-side 27-tap windowed decomposition (tdwss.ops.plan.Windowed27).
+
+    Every rb27 entry is either covered by a (tile, group) shared window
+    (group = tap % 9 — the (dy, dz) pair; the three dx taps of a group sit
+    within +-1 physical row of each other) or recorded as a compact spill
+    entry.  See Windowed27's docstring for why this beats the x-triple
+    9-anchor form (structural residuals vanish).
+
+    Returns None for structurally unsuitable levels.
+    """
+    from tdwss.ops.plan import Windowed27
+
+    v = rb27.shape[0]
+    if v % tile != 0 or v % 8 != 0 or (not auto_window and v < window + 2):
+        return None
+    tiles = v // tile
+
+    gmap27 = np.arange(27, dtype=np.int32) % 9              # tap -> group
+    masked = np.where(rb27 >= 0, rb27, np.iinfo(np.int32).max)
+    # per-(tile, group) min over the 3 member taps
+    starts = np.empty((tiles, 9), np.int64)
+    for g in range(9):
+        member = masked[:, [g, 9 + g, 18 + g]].min(axis=1)  # (V,)
+        starts[:, g] = member.reshape(tiles, tile).min(axis=1)
+    starts = (starts // 8) * 8                               # DMA alignment
+    if auto_window:
+        s27 = starts[:, gmap27]
+        loc = np.where(rb27 >= 0, rb27 - np.repeat(s27, tile, axis=0), -1)
+        span = (loc.reshape(tiles, tile * 27).max(axis=1) + 1) if tiles \
+            else np.zeros((1,), np.int64)
+        need = float(np.quantile(span, auto_quantile))
+        window = int(np.clip(need, 128, max(min(auto_max, v), 128)))
+        window = ((window + 127) // 128) * 128
+        window = _sticky_window((v, tile, 27, "win"), window)
+        if v < window + 2:
+            return None
+    starts = np.clip(starts, 0, max(v - window, 0)).astype(np.int32)
+
+    local = rb27 - np.repeat(starts[:, gmap27], tile, axis=0)
+    cover = (rb27 >= 0) & (local >= 0) & (local < window)
+    rb_local = np.where(cover, local, window).astype(np.int32)
+
+    # Spills -> compact v-sorted overflow list (no aligned tier: the
+    # aligned (V, R) tier costs O(V*R) on device regardless of how few
+    # slots are real, and spills are ~0.3-0.7% of entries).
+    sp_v, sp_t = np.nonzero((rb27 >= 0) & ~cover)
+    sp_s = rb27[sp_v, sp_t]
+    order = np.argsort(sp_v, kind="stable")
+    ovf_entries = np.stack(
+        [sp_v[order], sp_t[order], sp_s[order]], axis=1).astype(np.int32)
+    heavy, heavy_counts = np.unique(ovf_entries[:, 0], return_counts=True)
+
+    if res_cap is not None:
+        if ovf_entries.shape[0] > res_cap:
+            return None
+        e2_cap = max(res_cap, 32)
+        h_cap = max(res_cap, 32)
+    else:
+        e2_cap = _sticky_ecap((v, tile, window, 27, "ovf"),
+                              ovf_entries.shape[0], max(64, v // 64))
+        h_cap = _sticky_ecap((v, tile, window, 27, "heavy"),
+                             heavy.shape[0], max(64, v // 128))
+
+    res_ovf = np.full((e2_cap, 3), v, np.int32)
+    res_ovf[: ovf_entries.shape[0]] = ovf_entries
+    ovf_v = np.full((h_cap,), v, np.int32)
+    ovf_count = np.zeros((h_cap,), np.int32)
+    ovf_v[: heavy.shape[0]] = heavy
+    ovf_count[: heavy.shape[0]] = heavy_counts
+
+    return Windowed27(
+        starts=starts, rb_local=rb_local, res_ovf=res_ovf, ovf_v=ovf_v,
+        ovf_count=ovf_count, window=window,
     )

@@ -1,0 +1,283 @@
+"""Fused Pallas kernel for the windowed-MXU submanifold convolution.
+
+Replaces the XLA einsum path in :mod:`tdwss.ops.sparse_conv`
+(`_win_matmul` / `_win_dw`) on TPU.  The einsum path materializes the
+per-tile one-hot tensors and gathered windows in HBM (~GBs per conv) and
+issues tiles x 9 slice-gathers; this kernel keeps everything in VMEM:
+
+  per grid step (one tile of T voxel rows):
+    1. 9 window DMAs  feats3[starts[t,j] : +W]  (HBM -> VMEM, double
+       buffered across steps; feats3 is the x-triple array (V, 3C) padded
+       to 128 lanes and viewed (V/8, 8, L) so the copies are tile-aligned
+       leading-dim slices — Mosaic requires lane counts % 128 == 0).
+    2. per anchor j: Z_j = win_j @ W9_j          (W, L) @ (L, Cout)  MXU
+    3. out_tile = sum_j onehot(rb_local[:, j]) @ Z_j   (T, W) @ (W, Cout)
+       with the one-hot built in-register from an iota comparison
+       (sentinel rb_local == W compares false everywhere -> zero row).
+
+The Z-first ordering ("transform the window, then gather") costs
+9W(3C + T)·Cout MACs per tile versus the einsum path's gather-first
+9TW·3C + T·27C·Cout — cheaper whenever Cout < 3C, and every operand it
+touches stays on-chip.
+
+Two metadata forms share these kernels (anchor count = rb rows):
+  - 9-anchor x-triple form (tdwss.ops.plan.WindowedSubm): src = (V, 3C)
+    x-triples, 9 anchors on nwin in {1,3,9} shared windows;
+  - 27-tap form (tdwss.ops.plan.Windowed27, preferred): src = plain
+    (V, C) feats, 27 taps riding 9 shared (dy,dz) windows (taps of a
+    group differ by +-1 physical row).  Measured v5e, V=636k C=32:
+    the x-triple form leaves 1.2M structural residual entries whose
+    correction dominates the conv (64 ms of a 59 ms fwd... overlapped);
+    the 27-tap form leaves only ~0.1M window spills.
+
+The backward pass reuses this same kernel for dfeats (transposed conv ==
+same windows/rulebook with flipped-transposed weights, see
+tdwss/ops/sparse_conv.py) plus a dW kernel accumulating
+  dW9_j += win_j^T @ (onehot_j^T @ dout_tile)
+across the sequential grid in a VMEM scratch, emitted at the last step.
+
+Reference parity: this computes scn.SubmanifoldConvolution's rulebook
+gather-GEMM (reference models/SparseConvNet.py usage) exactly; the
+residual-correction entries (window spills, missing-anchor diagonals) are
+applied OUTSIDE this kernel by tdwss.ops.sparse_conv._res_apply.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lane_pad(c: int) -> int:
+    return ((c + 127) // 128) * 128
+
+
+def _anchor_gmap(nanchor: int, nwin: int) -> tuple:
+    """Static anchor->window map for 9-anchor and 27-tap forms."""
+    from tdwss.ops.coords import window_group_map
+
+    if nanchor == 27:
+        if nwin != 9:
+            raise ValueError("27-tap form uses 9 shared windows")
+        return tuple(k % 9 for k in range(27))
+    return tuple(int(g) for g in window_group_map(nwin))
+
+
+def _win_fwd_kernel(gmap: tuple, w8: int, t: int,
+                    starts_ref, src_ref, rb_ref, w9_ref, out_ref,
+                    win, sems):
+    """One tile: DMA the shared windows, Z-transform, one-hot matmul.
+
+    ``gmap[a]`` is the shared-window slot for anchor ``a`` (see
+    tdwss.ops.coords.window_group_map) — len(set(gmap)) DMAs feed 9
+    anchors; the scalar core pays ~2 us per DMA descriptor, so fewer
+    windows win even though each is wider.
+    """
+    step = pl.program_id(0)
+    w = w8 * 8
+    nwin = max(gmap) + 1
+
+    def get_dma(buf, tile, j):
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(starts_ref[tile * nwin + j], w8)],
+            win.at[buf, j], sems.at[buf, j])
+
+    cur = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        for j in range(nwin):
+            get_dma(0, 0, j).start()
+
+    @pl.when(step + 1 < pl.num_programs(0))
+    def _():
+        for j in range(nwin):
+            get_dma(nxt, step + 1, j).start()
+
+    for j in range(nwin):
+        get_dma(cur, step, j).wait()
+
+    l = win.shape[-1]
+    cout = w9_ref.shape[-1]
+    acc = jnp.zeros((t, cout), jnp.float32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+    for a in range(len(gmap)):
+        win_a = win[cur, gmap[a]].reshape(w, l)
+        z = jnp.dot(win_a, w9_ref[a],
+                    preferred_element_type=jnp.float32).astype(win_a.dtype)
+        oh = (rb_ref[a, :][:, None] == iota).astype(win_a.dtype)
+        acc = acc + jnp.dot(oh, z, preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "tile", "interpret"))
+def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
+                    rb_local_t: jnp.ndarray, w9: jnp.ndarray,
+                    window: int, tile: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """sum_a onehot(rb_local[:, a], W) @ (window_{g(a)} @ w9[a]) -> (V, Cout).
+
+    feats3     (V, C3)  source rows (x-triples for the 9-anchor form,
+               plain feats for the 27-tap form); V % 8 == 0
+    starts     (tiles * nwin,) int32 shared-window starts, multiples of 8,
+               in [0, V - window]; anchor->window map: _anchor_gmap
+    rb_local_t (nanchor, V) int32 window-local positions (sentinel >=
+               window); nanchor in {9, 27}
+    w9         (nanchor, C3p, Cout) weight blocks, C3p = lane-padded C3
+               (zero rows beyond C3)
+    """
+    v, c3 = feats3.shape
+    cout = w9.shape[-1]
+    nanchor = rb_local_t.shape[0]
+    if v % tile or window % 8 or v % 8:
+        raise ValueError("v % tile, window % 8 and v % 8 must be 0")
+    tiles = v // tile
+    nwin = starts.shape[0] // tiles
+    gmap = _anchor_gmap(nanchor, nwin)
+    l = _lane_pad(c3)
+    if w9.shape[1] != l:
+        raise ValueError(f"w9 second dim must be lane-padded to {l}")
+    if c3 != l:
+        feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
+    src = feats3.reshape(v // 8, 8, l)
+    starts = starts // 8  # block index into the (V/8, 8, L) view
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                  # src
+            pl.BlockSpec((nanchor, tile), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),              # rb_local_t
+            pl.BlockSpec((nanchor, l, cout), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),              # w9
+        ],
+        out_specs=pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, nwin, window // 8, 8, l), feats3.dtype),
+            pltpu.SemaphoreType.DMA((2, nwin)),
+        ],
+    )
+    kernel = functools.partial(_win_fwd_kernel, gmap, window // 8, tile)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((v, cout), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, src, rb_local_t, w9)
+
+
+def _win_dw_kernel(gmap: tuple, w8: int, t: int,
+                   starts_ref, src_ref, rb_ref, dout_ref, dw_ref,
+                   win, acc, sems):
+    """dW9_a += win_{g(a)}^T @ (onehot_a^T @ dout_tile), emitted at last
+    step.  ``gmap`` as in :func:`_win_fwd_kernel`."""
+    step = pl.program_id(0)
+    w = w8 * 8
+    nwin = max(gmap) + 1
+
+    def get_dma(buf, tile, j):
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(starts_ref[tile * nwin + j], w8)],
+            win.at[buf, j], sems.at[buf, j])
+
+    cur = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        for j in range(nwin):
+            get_dma(0, 0, j).start()
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(step + 1 < pl.num_programs(0))
+    def _():
+        for j in range(nwin):
+            get_dma(nxt, step + 1, j).start()
+
+    for j in range(nwin):
+        get_dma(cur, step, j).wait()
+
+    l = win.shape[-1]
+    dout = dout_ref[...]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (w, t), 0)
+    for a in range(len(gmap)):
+        win_a = win[cur, gmap[a]].reshape(w, l)
+        oh_t = (rb_ref[a, :][None, :] == iota).astype(dout.dtype)
+        s = jnp.dot(oh_t, dout,
+                    preferred_element_type=jnp.float32).astype(dout.dtype)
+        acc[a] += jax.lax.dot_general(
+            win_a, s, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(step + 1 == pl.num_programs(0))
+    def _():
+        dw_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "tile", "interpret"))
+def windowed_dw(feats3: jnp.ndarray, starts: jnp.ndarray,
+                rb_local_t: jnp.ndarray, dout: jnp.ndarray,
+                window: int, tile: int,
+                interpret: bool = False) -> jnp.ndarray:
+    """dW (nanchor, C3p, Cout) f32 = sum_v windows^T (x) dout rows."""
+    v, c3 = feats3.shape
+    cout = dout.shape[-1]
+    nanchor = rb_local_t.shape[0]
+    if v % tile or window % 8 or v % 8:
+        raise ValueError("v % tile, window % 8 and v % 8 must be 0")
+    tiles = v // tile
+    nwin = starts.shape[0] // tiles
+    gmap = _anchor_gmap(nanchor, nwin)
+    l = _lane_pad(c3)
+    if c3 != l:
+        feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
+    src = feats3.reshape(v // 8, 8, l)
+    starts = starts // 8  # block index into the (V/8, 8, L) view
+    dout = dout.astype(feats3.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                  # src
+            pl.BlockSpec((nanchor, tile), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),              # rb_local_t
+            pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),              # dout
+        ],
+        out_specs=pl.BlockSpec((nanchor, l, cout), lambda t, *_: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, nwin, window // 8, 8, l), feats3.dtype),
+            pltpu.VMEM((nanchor, l, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nwin)),
+        ],
+    )
+    kernel = functools.partial(_win_dw_kernel, gmap, window // 8, tile)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nanchor, l, cout), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, src, rb_local_t, dout)
+
+
+def pad_w9(w9: jnp.ndarray) -> jnp.ndarray:
+    """(9, C3, Cout) -> (9, lane_pad(C3), Cout) with zero padding rows."""
+    c3 = w9.shape[1]
+    l = _lane_pad(c3)
+    if l == c3:
+        return w9
+    return jnp.pad(w9, ((0, 0), (0, l - c3), (0, 0)))

@@ -41,8 +41,11 @@ class WindowedSubm:
     monotone, so a tile's anchors live in a narrow window), and (c) a
     compact residual list for the exact entries the first two miss.
 
-    starts:   (tiles, 9) int32  window start per (row-tile, anchor tap),
-                                clamped to [0, V - window]
+    starts:   (tiles, nwin) int32  shared-window start per row-tile,
+                                nwin in {1, 3, 9}; anchor tap -> window
+                                slot via tdwss.ops.coords.window_group_map
+                                (fewer, wider windows = fewer DMA
+                                descriptors); clamped to [0, V - window]
     rb_local: (V, 9) int32      anchor pos - start, or == window (sentinel
                                 -> one_hot yields a zero row)
     xprev_ok/xnext_ok: (V,) bool  physical row v-+1 is my x-+1 neighbor
@@ -74,13 +77,55 @@ class WindowedSubm:
 
 
 @flax.struct.dataclass
+class Windowed27:
+    """Metadata for the 27-tap windowed-MXU submanifold conv (host-built).
+
+    Successor of :class:`WindowedSubm`: instead of anchoring x-triples on
+    the 9 dx==0 taps (which floods the residual list with ~7% of entries —
+    on surfaces the dx==0 anchor is often missing while a diagonal
+    neighbor exists; measured 1.03M of 1.07M residuals at V=636k), every
+    one of the 27 taps is evaluated as a windowed one-hot matmul.  Taps
+    sharing (dy, dz) differ by +-1 physical row (x is the fastest key
+    dim), so the 27 taps ride the same 9 shared windows (group = tap % 9,
+    :func:`tdwss.ops.coords.kernel_offsets` ordering with x slowest in the
+    tap index).  The only residuals left are window spills (~0.3-0.7% of
+    entries), kept as a compact overflow list — no aligned per-voxel tier.
+
+    starts:    (tiles, 9) int32  shared-window start per (row-tile,
+                                 (dy,dz) group), 8-aligned, clamped to
+                                 [0, V - window]
+    rb_local:  (V, 27) int32     tap source pos - start[tile, k % 9], or
+                                 == window (sentinel -> zero one-hot row)
+    res_ovf:   (E2, 3) int32     spilled entries [v, tap27, src], sorted
+                                 by v (pad rows carry v == src == V)
+    ovf_v:     (H,) int32        voxels owning spills (pad V)
+    ovf_count: (H,) int32        entries per such voxel (prefix-run layout)
+    window:    static int        W (multiple of 8)
+
+    The backward reuses the SAME metadata: the decomposition is an exact
+    cover of rb27's entries, so the transposed conv is this same evaluation
+    applied to the cotangent with the flipped-transposed weight table
+    W'[k] = W[26-k]^T.
+    """
+
+    starts: jnp.ndarray
+    rb_local: jnp.ndarray
+    res_ovf: jnp.ndarray
+    ovf_v: jnp.ndarray
+    ovf_count: jnp.ndarray
+    window: int = flax.struct.field(pytree_node=False, default=512)
+
+
+@flax.struct.dataclass
 class GridLevel:
     grid: SparseGrid
     subm_rb: jnp.ndarray                     # (V, K) neighbor idx or -1
     parent: Optional[jnp.ndarray]            # (V,) idx into next level (or None at coarsest)
     child_offset: Optional[jnp.ndarray]      # (V,) linearized offset within parent cell
     down_rb: Optional[jnp.ndarray]           # (V_next, f^3) idx into THIS level
-    win: Optional[WindowedSubm] = None       # host-built windowed-conv metadata
+    # host-built windowed-conv metadata (Windowed27 preferred; WindowedSubm
+    # is the older x-triple form kept for comparison benchmarks)
+    win: Optional[object] = None
 
 
 @flax.struct.dataclass

@@ -209,25 +209,27 @@ def _pick_group(tiles: int, limit: int = 8) -> int:
 def _win_gather_groups(src3, rb_local, starts, window, group):
     """Yields the windowed gather machinery shared by fwd / dW.
 
-    ``src3`` is the precomputed (V, 3C) x-triple array — windows slice it
-    contiguously (building triples per-window would re-interleave ~11x the
-    rows, windows overlap heavily).
+    ``src3`` is the gather source: the (V, 3C) x-triple array for the
+    9-anchor form (windows slice it contiguously — building triples
+    per-window would re-interleave ~11x the rows), or plain (V, C) feats
+    for the 27-tap form.  The anchor count comes from rb_local's last dim.
     """
     v = src3.shape[0]
     tiles = starts.shape[0]
     t = v // tiles
     c3 = src3.shape[1]
+    na = rb_local.shape[-1]
 
     def gather_group(st, rl):
         win = jax.vmap(jax.vmap(
             lambda s: jax.lax.dynamic_slice(src3, (s, 0), (window, c3))
-        ))(st)                                              # (G, 9, W, 3C)
-        oh = jax.nn.one_hot(rl, window, dtype=src3.dtype)   # (G, T, 9, W)
+        ))(st)                                              # (G, na, W, C)
+        oh = jax.nn.one_hot(rl, window, dtype=src3.dtype)   # (G, T, na, W)
         g = jnp.einsum('gtkw,gkwc->gtkc', oh, win)
-        return g.reshape(group * t, 9 * c3)
+        return g.reshape(group * t, na * c3)
 
-    st3 = starts.reshape(tiles // group, group, 9)
-    rl4 = rb_local.reshape(tiles // group, group, t, 9)
+    st3 = starts.reshape(tiles // group, group, na)
+    rl4 = rb_local.reshape(tiles // group, group, t, na)
     return gather_group, st3, rl4
 
 
@@ -264,7 +266,7 @@ def _win_dw(src3, rb_local, starts, dout, window):
         dc = jax.lax.dynamic_index_in_dim(d3, i, keepdims=False)
         return acc + jnp.dot(g.T, dc, preferred_element_type=jnp.float32)
 
-    init = jnp.zeros((9 * src3.shape[1], cout), jnp.float32)
+    init = jnp.zeros((rb_local.shape[-1] * src3.shape[1], cout), jnp.float32)
     return jax.lax.fori_loop(0, tiles // group, body, init)
 
 
@@ -386,7 +388,198 @@ def _res_dw(feats, res_pad, res_ovf, dout):
         0, chunks, body, jnp.zeros((27 * cin, cout), jnp.float32))
 
 
+def _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout):
+    """Overflow-list-only residual corrections -> (V, Cout) f32.
+
+    The compact spill list of the 27-tap windowed form
+    (tdwss.ops.plan.Windowed27): per-entry contributions, blocked-prefix
+    run sums per owning voxel, one small scatter-add into the owners.
+    """
+    v = feats.shape[0]
+    c2 = _entry_contrib(feats, res_ovf[:, 1], res_ovf[:, 2], w2d)
+    prefix = _prefix_rows(c2)
+    ends = jnp.cumsum(ovf_count)
+    sums = (jnp.take(prefix, ends, axis=0)
+            - jnp.take(prefix, ends - ovf_count, axis=0))    # (H, Cout)
+    out = jnp.zeros((v, cout), jnp.float32)
+    return out.at[_oob(ovf_v, v)].add(sums, mode="drop")
+
+
+def _res_ovf_dw(feats, res_ovf, dout):
+    """Spill-list dW contribution -> (27C, Cout) f32 (raw tap order)."""
+    v = feats.shape[0]
+    cin = feats.shape[-1]
+    cout = dout.shape[-1]
+    taps = res_ovf[:, 1]
+    srcs = res_ovf[:, 2]
+    tgts = jnp.where(srcs < v, res_ovf[:, 0], dout.shape[0])
+    e = taps.shape[0]
+    chunks = _num_chunks(e, 27 * cin * feats.dtype.itemsize)
+    if chunks <= 1 or e % chunks != 0:
+        z = _entry_z(feats, taps, srcs)
+        dv = jnp.take(dout, tgts, axis=0, mode="fill",
+                      fill_value=0).astype(feats.dtype)
+        return jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
+
+    cv = e // chunks
+    t3 = taps.reshape(chunks, cv)
+    s3 = srcs.reshape(chunks, cv)
+    g3 = tgts.reshape(chunks, cv)
+
+    def body(i, acc):
+        z = _entry_z(feats,
+                     jax.lax.dynamic_index_in_dim(t3, i, keepdims=False),
+                     jax.lax.dynamic_index_in_dim(s3, i, keepdims=False))
+        dv = jnp.take(dout,
+                      jax.lax.dynamic_index_in_dim(g3, i, keepdims=False),
+                      axis=0, mode="fill", fill_value=0).astype(feats.dtype)
+        return acc + jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
+
+    return jax.lax.fori_loop(
+        0, chunks, body, jnp.zeros((27 * cin, cout), jnp.float32))
+
+
 from functools import partial
+
+
+def _use_pallas_kernel(v: int, tiles: int, window: int) -> bool:
+    """Route the windowed conv through the fused Pallas kernel on TPU.
+
+    Requires host-aligned metadata (starts % 8 == 0, guaranteed by
+    tdwss.ops.host_plan.build_windowed_subm) and tile-divisible capacity.
+    """
+    import os
+
+    if os.environ.get("TDWSS_NO_PALLAS"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return tiles > 0 and v % tiles == 0 and window % 8 == 0 and v % 8 == 0
+
+
+def _expand_starts(starts):
+    """(tiles, nwin) shared-window starts -> (tiles, 9) per-anchor starts."""
+    from tdwss.ops.coords import window_group_map
+
+    nwin = starts.shape[1]
+    if nwin == 9:
+        return starts
+    return starts[:, window_group_map(nwin)]
+
+
+def _win_matmul_any(feats3, rb_local, starts, w9, window):
+    """Windowed gather-GEMM: fused Pallas kernel on TPU, einsum elsewhere.
+
+    feats3 (V, 3C); w9 (27C?, Cout) tap-permuted 2D weights;
+    starts (tiles, nwin) shared-window starts.
+    """
+    v = feats3.shape[0]
+    tiles = starts.shape[0]
+    if _use_pallas_kernel(v, tiles, window):
+        from tdwss.ops.pallas_subm import pad_w9, windowed_matmul
+
+        c3 = feats3.shape[1]
+        w9p = pad_w9(w9.reshape(9, c3, -1))
+        return windowed_matmul(
+            feats3, starts.reshape(-1), rb_local.T, w9p,
+            window=window, tile=v // tiles)
+    return _win_matmul(feats3, rb_local, _expand_starts(starts), w9, window)
+
+
+def _win_dw_any(feats3, rb_local, starts, dout, window):
+    """Windowed dW: fused Pallas kernel on TPU, einsum elsewhere."""
+    v = feats3.shape[0]
+    tiles = starts.shape[0]
+    if _use_pallas_kernel(v, tiles, window):
+        from tdwss.ops.pallas_subm import windowed_dw
+
+        c3 = feats3.shape[1]
+        dw = windowed_dw(feats3, starts.reshape(-1), rb_local.T, dout,
+                         window=window, tile=v // tiles)
+        return dw[:, :c3, :].reshape(9 * c3, -1)
+    return _win_dw(feats3, rb_local, _expand_starts(starts), dout, window)
+
+
+_GMAP27 = np.arange(27, dtype=np.int32) % 9   # tap -> (dy,dz) window group
+
+
+def _w27_matmul_any(feats, rb_local, starts, w2d, window):
+    """27-tap windowed gather-GEMM -> (V, Cout) f32.
+
+    feats (V, C); rb_local (V, 27); starts (tiles, 9) per-group shared
+    windows; w2d (27C, Cout) raw-tap-order weights.
+    """
+    v = feats.shape[0]
+    tiles = starts.shape[0]
+    if _use_pallas_kernel(v, tiles, window):
+        from tdwss.ops.pallas_subm import pad_w9, windowed_matmul
+
+        c = feats.shape[1]
+        w27p = pad_w9(w2d.reshape(27, c, -1))
+        return windowed_matmul(
+            feats, starts.reshape(-1), rb_local.T, w27p,
+            window=window, tile=v // tiles)
+    return _win_matmul(feats, rb_local, starts[:, _GMAP27], w2d, window)
+
+
+def _w27_dw_any(feats, rb_local, starts, dout, window):
+    """27-tap windowed dW -> (27C, Cout) f32 (raw tap order)."""
+    v = feats.shape[0]
+    tiles = starts.shape[0]
+    if _use_pallas_kernel(v, tiles, window):
+        from tdwss.ops.pallas_subm import windowed_dw
+
+        c = feats.shape[1]
+        dw = windowed_dw(feats, starts.reshape(-1), rb_local.T, dout,
+                         window=window, tile=v // tiles)
+        return dw[:, :c, :].reshape(27 * c, -1)
+    return _win_dw(feats, rb_local, starts[:, _GMAP27], dout, window)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _subm_conv_w27(window, feats, starts, rb_local, res_ovf, ovf_v,
+                   ovf_count, weight):
+    """27-tap windowed submanifold conv (tdwss.ops.plan.Windowed27)."""
+    k, cin, cout = weight.shape
+    w2d = weight.reshape(k * cin, cout)
+    out = _w27_matmul_any(feats, rb_local, starts, w2d, window)
+    out = out + _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout)
+    return out.astype(feats.dtype)
+
+
+def _subm_conv_w27_fwd(window, feats, starts, rb_local, res_ovf, ovf_v,
+                       ovf_count, weight):
+    out = _subm_conv_w27(window, feats, starts, rb_local, res_ovf, ovf_v,
+                         ovf_count, weight)
+    return out, (feats, starts, rb_local, res_ovf, ovf_v, ovf_count, weight)
+
+
+def _subm_conv_w27_bwd(window, res, dout):
+    feats, starts, rb_local, res_ovf, ovf_v, ovf_count, weight = res
+    k, cin, cout = weight.shape
+    feats, dout = jax.lax.optimization_barrier((feats, dout))
+    dout_c = dout.astype(feats.dtype)
+
+    dw = _w27_dw_any(feats, rb_local, starts, dout_c, window)
+    dw = dw + _res_ovf_dw(feats, res_ovf, dout_c)
+    dw = dw.reshape(k, cin, cout).astype(weight.dtype)
+
+    # dfeats: the decomposition exactly covers rb27, and the transposed
+    # conv runs over the SAME rulebook with Wt[m] = W[26-m]^T — so the
+    # same windows / locals / spill list evaluate it (plain-path backward
+    # derivation, tdwss/ops/plan.py Windowed27 docstring).
+    wt2d = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
+    dfeats = _w27_matmul_any(dout_c, rb_local, starts, wt2d, window)
+    dfeats = dfeats + _res_ovf_apply(dout_c, res_ovf, ovf_v, ovf_count,
+                                     wt2d, cin)
+    dfeats = dfeats.astype(feats.dtype)
+
+    zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
+    return (dfeats, zeros(starts), zeros(rb_local), zeros(res_ovf),
+            zeros(ovf_v), zeros(ovf_count), dw)
+
+
+_subm_conv_w27.defvjp(_subm_conv_w27_fwd, _subm_conv_w27_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -396,7 +589,7 @@ def _subm_conv_windowed(window, feats, starts, rb_local, xprev, xnext,
     w2d = weight.reshape(k * cin, cout)
     w9 = _permute_taps(w2d, cin, _TRIPLE_PERM)
     feats3 = build_xtriples(feats, xprev, xnext)
-    out = _win_matmul(feats3, rb_local, starts, w9, window)
+    out = _win_matmul_any(feats3, rb_local, starts, w9, window)
     out = out + _res_apply(feats, res_pad, res_ovf, ovf_v, ovf_count, w2d)
     return out.astype(feats.dtype)
 
@@ -418,7 +611,7 @@ def _subm_conv_windowed_bwd(window, res, dout):
 
     # dW: windowed part (permuted tap order) + residual part (raw order).
     feats3 = build_xtriples(feats, xprev, xnext)
-    dw9 = _win_dw(feats3, rb_local, starts, dout_c, window)
+    dw9 = _win_dw_any(feats3, rb_local, starts, dout_c, window)
     dw = _permute_taps(dw9, cin, _TRIPLE_PERM_INV)
     dw = dw + _res_dw(feats, res_pad, res_ovf, dout_c)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
@@ -430,7 +623,7 @@ def _subm_conv_windowed_bwd(window, res, dout):
     wt2d = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
     wt9 = _permute_taps(wt2d, cout, _TRIPLE_PERM)
     dout3 = build_xtriples(dout_c, xprev, xnext)
-    dfeats = _win_matmul(dout3, rb_local, starts, wt9, window)
+    dfeats = _win_matmul_any(dout3, rb_local, starts, wt9, window)
     # transposed-conv residuals: same entries against the flipped-
     # transposed weight table (see the plain-path backward derivation).
     dfeats = dfeats + _res_apply(dout_c, res_pad, res_ovf, ovf_v, ovf_count,
@@ -453,10 +646,17 @@ def subm_conv_apply(feats: jnp.ndarray, rulebook: jnp.ndarray,
     feats (V, Cin); rulebook (V, K) — must come from a centred odd cubic
     kernel over a single coordinate set (the transpose-symmetry the
     backward relies on); weight (K, Cin, Cout) -> (V, Cout).  ``win``
-    (tdwss.ops.plan.WindowedSubm, host-built) selects the windowed-MXU
-    path; without it the plain gather-GEMM path runs.
+    (tdwss.ops.plan.Windowed27 or the older WindowedSubm, host-built)
+    selects the windowed-MXU path; without it the plain gather-GEMM path
+    runs.
     """
     if win is not None and rulebook.shape[-1] == 27:
+        from tdwss.ops.plan import Windowed27
+
+        if isinstance(win, Windowed27):
+            return _subm_conv_w27(
+                win.window, feats, win.starts, win.rb_local, win.res_ovf,
+                win.ovf_v, win.ovf_count, weight)
         return _subm_conv_windowed(
             win.window, feats, win.starts, win.rb_local, win.xprev_ok,
             win.xnext_ok, win.res_pad, win.res_ovf, win.ovf_v,

@@ -50,9 +50,9 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
     every WindowedSubm to the max caps (pad rows carry src == V -> inert,
     counts 0).
     """
-    from tdwss.ops.plan import WindowedSubm
+    from tdwss.ops.plan import Windowed27, WindowedSubm
 
-    is_win = lambda x: isinstance(x, WindowedSubm)  # noqa: E731
+    is_win = lambda x: isinstance(x, (WindowedSubm, Windowed27))  # noqa: E731
     flat0, _ = jax.tree_util.tree_flatten(batches[0], is_leaf=is_win)
     caps = {}
     for i, leaf in enumerate(flat0):

@@ -126,7 +126,7 @@ def test_voxelize_sorted_order(rng):
 
 
 class TestWindowedConv:
-    def _setup(self, rng, n=1024, size=24, cin=5, cout=4):
+    def _setup(self, rng, n=1024, size=24, cin=5, cout=4, nwin=9):
         import jax
 
         from tdwss.ops.host_plan import build_windowed_subm
@@ -136,7 +136,8 @@ class TestWindowedConv:
                                               invalid_frac=0.05)
         grid, vfeats, _ = voxelize_np(coords, feats[:, :3], valid, n)
         rb = build_subm_rulebook_np(grid, 3)
-        win = build_windowed_subm(rb, grid, tile=128, window=256, res_cap=27 * n)
+        win = build_windowed_subm(rb, grid, tile=128, window=256,
+                                  res_cap=27 * n, nwin=nwin)
         assert win is not None
         vf = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
         w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
@@ -167,6 +168,15 @@ class TestWindowedConv:
                                    rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
                                    rtol=2e-4, atol=2e-4)
+
+    def test_shared_windows_match_plain(self, rng):
+        """Grouped windows (nwin=3 / nwin=1) stay exact vs the plain path."""
+        for nwin in (3, 1):
+            rb, win, vf, w, conv = self._setup(rng, nwin=nwin)
+            assert win.starts.shape[1] == nwin
+            ref = np.asarray(conv(vf, jnp.asarray(rb), w))
+            out = np.asarray(conv(vf, jnp.asarray(rb), w, win))
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
     def test_dense_data_exercises_residuals(self, rng):
         """Dense small grid -> spills + missing anchors both occur."""
@@ -281,3 +291,60 @@ def test_brick_conv_matches_plain(rng):
     valid_rows = np.asarray(grid.valid)
     np.testing.assert_allclose(out[valid_rows], ref[valid_rows],
                                rtol=1e-4, atol=1e-4)
+
+
+class TestWindowed27:
+    def _setup(self, rng, n=1024, size=24, cin=5, cout=4, window=256,
+               tile=128):
+        import jax
+
+        from tdwss.ops.host_plan import build_windowed_subm27
+        from tdwss.ops.sparse_conv import subm_conv_apply
+
+        coords, feats, valid = _random_coords(rng, n=n, size=size,
+                                              invalid_frac=0.05)
+        grid, _, _ = voxelize_np(coords, feats[:, :3], valid, n)
+        rb = build_subm_rulebook_np(grid, 3)
+        win = build_windowed_subm27(rb, grid, tile=tile, window=window,
+                                    res_cap=27 * n)
+        assert win is not None
+        vf = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+        win = jax.tree_util.tree_map(jnp.asarray, win)
+        return rb, win, vf, w, subm_conv_apply
+
+    def test_forward_and_grads_match_plain(self, rng):
+        import jax
+
+        rb, win, vf, w, conv = self._setup(rng)
+        ref = np.asarray(conv(vf, jnp.asarray(rb), w))
+        out = np.asarray(conv(vf, jnp.asarray(rb), w, win))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+        cot = jnp.asarray(rng.normal(size=(vf.shape[0], 4)).astype(np.float32))
+        gp = jax.grad(lambda f, w_: jnp.sum(conv(f, jnp.asarray(rb), w_) * cot),
+                      argnums=(0, 1))(vf, w)
+        gw = jax.grad(lambda f, w_: jnp.sum(conv(f, jnp.asarray(rb), w_, win) * cot),
+                      argnums=(0, 1))(vf, w)
+        np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gp[0]),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gp[1]),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_dense_data_exercises_spills(self, rng):
+        import jax
+
+        rb, win, vf, w, conv = self._setup(rng, n=512, size=6, cin=3,
+                                           cout=2, window=128)
+        assert int((np.asarray(win.res_ovf[:, 0]) < 512).sum()) > 0
+        ref = np.asarray(conv(vf, jnp.asarray(rb), w))
+        out = np.asarray(conv(vf, jnp.asarray(rb), w, win))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+        gp = jax.grad(lambda f, w_: jnp.sum(conv(f, jnp.asarray(rb), w_) ** 2),
+                      argnums=(0, 1))(vf, w)
+        gw = jax.grad(lambda f, w_: jnp.sum(conv(f, jnp.asarray(rb), w_, win) ** 2),
+                      argnums=(0, 1))(vf, w)
+        np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gp[0]),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gp[1]),
+                                   rtol=2e-4, atol=2e-4)
