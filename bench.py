@@ -29,7 +29,14 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
+
+# Persistent executable cache: the axon remote-compile relay costs ~20-40s
+# per XLA compile; the full train step plus per-level Pallas kernels can
+# exceed a 10-minute budget cold.  Cached, a re-run starts in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 GPU_SCN_BASELINE_MPTS = 2.0  # documented estimate, see module docstring
 

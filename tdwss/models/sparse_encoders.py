@@ -98,7 +98,7 @@ class UNetBody(nn.Module):
             feats = jnp.concatenate([identity, h], axis=-1)
             for i in range(self.reps):
                 feats = ConvBlock(planes[0], self.residual, name=f"dec{i}")(
-                    feats, lvl.subm_rb, valid, train
+                    feats, lvl.subm_rb, valid, train, lvl.win
                 )
         return feats
 

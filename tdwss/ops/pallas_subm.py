@@ -68,7 +68,7 @@ def _anchor_gmap(nanchor: int, nwin: int) -> tuple:
     return tuple(int(g) for g in window_group_map(nwin))
 
 
-def _win_fwd_kernel(gmap: tuple, w8: int, t: int,
+def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str,
                     starts_ref, src_ref, rb_ref, w9_ref, out_ref,
                     win, sems):
     """One tile: DMA the shared windows, Z-transform, one-hot matmul.
@@ -77,6 +77,10 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int,
     tdwss.ops.coords.window_group_map) — len(set(gmap)) DMAs feed 9
     anchors; the scalar core pays ~2 us per DMA descriptor, so fewer
     windows win even though each is wider.
+
+    ``ablate`` is a benchmarking aid ("" production): "dma" skips the
+    matmuls, "compute" skips the DMAs (reads whatever is in scratch),
+    "z" runs DMAs + Z-transforms but no one-hot matmuls.
     """
     step = pl.program_id(0)
     w = w8 * 8
@@ -90,38 +94,46 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int,
     cur = jax.lax.rem(step, 2)
     nxt = jax.lax.rem(step + 1, 2)
 
-    @pl.when(step == 0)
-    def _():
-        for j in range(nwin):
-            get_dma(0, 0, j).start()
+    if ablate != "compute":
+        @pl.when(step == 0)
+        def _():
+            for j in range(nwin):
+                get_dma(0, 0, j).start()
 
-    @pl.when(step + 1 < pl.num_programs(0))
-    def _():
-        for j in range(nwin):
-            get_dma(nxt, step + 1, j).start()
+        @pl.when(step + 1 < pl.num_programs(0))
+        def _():
+            for j in range(nwin):
+                get_dma(nxt, step + 1, j).start()
 
-    for j in range(nwin):
-        get_dma(cur, step, j).wait()
+        for j in range(nwin):
+            get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
     cout = w9_ref.shape[-1]
+    if ablate == "dma":
+        out_ref[:] = win[cur, 0, :1].reshape(8, l)[:1, :cout] * jnp.zeros(
+            (t, cout), jnp.float32)
+        return
     acc = jnp.zeros((t, cout), jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
     for a in range(len(gmap)):
         win_a = win[cur, gmap[a]].reshape(w, l)
         z = jnp.dot(win_a, w9_ref[a],
                     preferred_element_type=jnp.float32).astype(win_a.dtype)
+        if ablate == "z":
+            acc = acc + z[:t, :cout].astype(jnp.float32)
+            continue
         oh = (rb_ref[a, :][:, None] == iota).astype(win_a.dtype)
         acc = acc + jnp.dot(oh, z, preferred_element_type=jnp.float32)
     out_ref[:] = acc
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("window", "tile", "interpret"))
+                   static_argnames=("window", "tile", "interpret", "ablate"))
 def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
                     rb_local_t: jnp.ndarray, w9: jnp.ndarray,
                     window: int, tile: int,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False, ablate: str = "") -> jnp.ndarray:
     """sum_a onehot(rb_local[:, a], W) @ (window_{g(a)} @ w9[a]) -> (V, Cout).
 
     feats3     (V, C3)  source rows (x-triples for the 9-anchor form,
@@ -166,7 +178,8 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2, nwin)),
         ],
     )
-    kernel = functools.partial(_win_fwd_kernel, gmap, window // 8, tile)
+    kernel = functools.partial(_win_fwd_kernel, gmap, window // 8, tile,
+                               ablate)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((v, cout), jnp.float32),
