@@ -62,11 +62,16 @@ class StridedConv(nn.Module):
 
     @nn.compact
     def __call__(self, fine_feats: jnp.ndarray, down_rb: jnp.ndarray,
-                 parent=None, child_offset=None) -> jnp.ndarray:
+                 parent=None, child_offset=None, wg_down=None,
+                 wg_up=None) -> jnp.ndarray:
         w = self.param(
             "kernel", _conv_init,
             (self.kernel_volume, fine_feats.shape[-1], self.out_channels),
         )
+        if wg_down is not None and wg_up is not None:
+            from tdwss.ops.sparse_conv import wg_conv_apply
+
+            return wg_conv_apply(fine_feats, w, wg_down, wg_up)
         return strided_conv_apply(fine_feats, down_rb, w, parent,
                                   child_offset)
 
@@ -82,11 +87,15 @@ class Deconv(nn.Module):
 
     @nn.compact
     def __call__(self, coarse_feats, parent, child_offset, fine_valid,
-                 down_rb=None):
+                 down_rb=None, wg_up=None, wg_down=None):
         w = self.param(
             "kernel", _conv_init,
             (self.kernel_volume, coarse_feats.shape[-1], self.out_channels),
         )
+        if wg_up is not None and wg_down is not None:
+            from tdwss.ops.sparse_conv import wg_conv_apply
+
+            return wg_conv_apply(coarse_feats, w, wg_up, wg_down)
         return deconv_apply(coarse_feats, parent, child_offset, w,
                             fine_valid, down_rb)
 

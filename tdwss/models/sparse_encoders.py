@@ -84,7 +84,8 @@ class UNetBody(nn.Module):
             identity = feats
             h = BatchNormReLU(name="down_bnrelu")(feats, valid, train)
             h = StridedConv(planes[1], lvl.down_rb.shape[-1], name="down_conv")(
-                h, lvl.down_rb, lvl.parent, lvl.child_offset
+                h, lvl.down_rb, lvl.parent, lvl.child_offset,
+                lvl.wg_down, lvl.wg_up
             )
             h = UNetBody(planes[1:], self.reps, self.residual, name="inner")(
                 h, plans, level + 1, train
@@ -93,7 +94,8 @@ class UNetBody(nn.Module):
                 h, plans.levels[level + 1].grid.valid, train
             )
             h = Deconv(planes[0], lvl.down_rb.shape[-1], name="up_deconv")(
-                h, lvl.parent, lvl.child_offset, valid, lvl.down_rb
+                h, lvl.parent, lvl.child_offset, valid, lvl.down_rb,
+                lvl.wg_up, lvl.wg_down
             )
             feats = jnp.concatenate([identity, h], axis=-1)
             for i in range(self.reps):
@@ -126,14 +128,21 @@ class FCNBody(nn.Module):
             identity = feats
             h = BatchNormReLU(name="down_bnrelu")(feats, valid, train)
             h = StridedConv(planes[1], lvl.down_rb.shape[-1], name="down_conv")(
-                h, lvl.down_rb, lvl.parent, lvl.child_offset
+                h, lvl.down_rb, lvl.parent, lvl.child_offset,
+                lvl.wg_down, lvl.wg_up
             )
             h = FCNBody(planes[1:], self.reps, self.residual, name="inner")(
                 h, plans, level + 1, train
             )
-            from tdwss.ops.sparse_conv import unpool
+            if lvl.wg_up is not None and lvl.wg_down is not None:
+                from tdwss.ops.sparse_conv import wg_unpool_apply
 
-            h = unpool(h, lvl.parent, fine_valid=valid, down_rb=lvl.down_rb)
+                h = wg_unpool_apply(h, lvl.wg_up, lvl.wg_down)
+            else:
+                from tdwss.ops.sparse_conv import unpool
+
+                h = unpool(h, lvl.parent, fine_valid=valid,
+                           down_rb=lvl.down_rb)
             feats = jnp.concatenate([identity, h], axis=-1)
         return feats
 
@@ -161,14 +170,21 @@ class DirectUpPoolBody(nn.Module):
         if len(planes) > 1:
             h = BatchNormReLU(name="down_bnrelu")(feats, valid, train)
             h = StridedConv(planes[1], lvl.down_rb.shape[-1], name="down_conv")(
-                h, lvl.down_rb, lvl.parent, lvl.child_offset
+                h, lvl.down_rb, lvl.parent, lvl.child_offset,
+                lvl.wg_down, lvl.wg_up
             )
             h = DirectUpPoolBody(planes[1:], self.reps, self.residual, name="inner")(
                 h, plans, level + 1, train
             )
-            from tdwss.ops.sparse_conv import unpool
+            if lvl.wg_up is not None and lvl.wg_down is not None:
+                from tdwss.ops.sparse_conv import wg_unpool_apply
 
-            feats = unpool(h, lvl.parent, fine_valid=valid, down_rb=lvl.down_rb)
+                feats = wg_unpool_apply(h, lvl.wg_up, lvl.wg_down)
+            else:
+                from tdwss.ops.sparse_conv import unpool
+
+                feats = unpool(h, lvl.parent, fine_valid=valid,
+                               down_rb=lvl.down_rb)
         return feats
 
 

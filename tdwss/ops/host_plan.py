@@ -245,14 +245,27 @@ def build_plans_np(
                 win = build_windowed_subm(subm_rb, grid, tile=t,
                                           window=max(window, 0), nwin=nwin,
                                           auto_window=window <= 0)
+        wg_down = wg_up = None
         if lvl + 1 < num_levels:
             coarse_grid, parent, child_offset, down_rb = downsample_level_np(
                 grid, int(capacities[lvl + 1]), f, s)
+            if windowed:
+                vf = grid.coords.shape[0]
+                vc = down_rb.shape[0]
+                wg_down = build_windowed_gather(
+                    down_rb, v_src=vf, tile=tile,
+                    sticky_key=(vc, vf, f, "dn"))
+                rb_up = parent_rulebook(parent, child_offset, vc, f ** 3)
+                wg_up = build_windowed_gather(
+                    rb_up, v_src=vc, tile=tile,
+                    sticky_key=(vf, vc, f, "up"))
+                if wg_down is None or wg_up is None:
+                    wg_down = wg_up = None   # both or neither (paired VJP)
         else:
             coarse_grid = parent = child_offset = down_rb = None
         levels.append(GridLevel(grid=grid, subm_rb=subm_rb, parent=parent,
                                 child_offset=child_offset, down_rb=down_rb,
-                                win=win))
+                                win=win, wg_down=wg_down, wg_up=wg_up))
         if coarse_grid is not None:
             grid = coarse_grid
     return LevelPlans(levels=tuple(levels), downsample=(f, s))
@@ -559,3 +572,105 @@ def build_windowed_subm27(
         starts=starts, rb_local=rb_local, res_ovf=res_ovf, ovf_v=ovf_v,
         ovf_count=ovf_count, window=window,
     )
+
+
+def build_windowed_gather(
+    rb: np.ndarray,
+    v_src: int,
+    tile: int = 512,
+    window: int = 0,
+    res_cap: Optional[int] = None,
+    auto_quantile: float = 0.97,
+    auto_max: int = 4096,
+    sticky_key: Optional[tuple] = None,
+):
+    """Windowed decomposition of an arbitrary (V_out, K) rulebook.
+
+    Used for the cross-level maps (strided conv down_rb, deconv parent
+    map): source rows of consecutive output rows are spatially local
+    under the shared key sort, so all K taps of an out-tile read one
+    shared source window.  ``window <= 0`` auto-sizes from per-tile span
+    quantiles (spills fall to the overflow list).
+
+    Returns tdwss.ops.plan.WindowedGather, or None for unsuitable shapes.
+    """
+    from tdwss.ops.plan import WindowedGather
+
+    v_out, k = rb.shape
+    if v_out == 0 or v_src % 8 != 0:
+        return None
+    t = tile
+    while t > 32 and v_out % t != 0:
+        t //= 2
+    if v_out % t != 0:
+        return None
+    tiles = v_out // t
+
+    masked = np.where(rb >= 0, rb.astype(np.int64), np.iinfo(np.int64).max)
+    starts = masked.reshape(tiles, t * k).min(axis=1)
+    starts = (starts // 8) * 8
+    auto = window <= 0
+    if auto:
+        loc = np.where(rb >= 0, rb - np.repeat(starts, t)[:, None], -1)
+        span = (loc.reshape(tiles, t * k).max(axis=1) + 1) if tiles \
+            else np.zeros((1,), np.int64)
+        need = float(np.quantile(span, auto_quantile))
+        window = int(np.clip(need, 128, max(min(auto_max, v_src), 128)))
+        window = ((window + 127) // 128) * 128
+        window = _sticky_window(
+            sticky_key or (v_out, v_src, t, k, "wg"), window)
+    if v_src < window:
+        return None
+    starts = np.clip(starts, 0, max(v_src - window, 0)).astype(np.int32)
+
+    local = rb - np.repeat(starts, t)[:, None]
+    cover = (rb >= 0) & (local >= 0) & (local < window)
+    rb_local = np.where(cover, local, window).astype(np.int32)
+
+    sp_v, sp_t = np.nonzero((rb >= 0) & ~cover)
+    sp_s = rb[sp_v, sp_t]
+    order = np.argsort(sp_v, kind="stable")
+    ovf_entries = np.stack(
+        [sp_v[order], sp_t[order], sp_s[order]], axis=1).astype(np.int32)
+    heavy, heavy_counts = np.unique(ovf_entries[:, 0], return_counts=True)
+
+    if res_cap is not None:
+        if ovf_entries.shape[0] > res_cap:
+            return None
+        e2_cap = max(res_cap, 32)
+        h_cap = max(res_cap, 32)
+    else:
+        key = sticky_key or (v_out, v_src, t, k, "wg")
+        e2_cap = _sticky_ecap(key + ("ovf",), ovf_entries.shape[0],
+                              max(64, v_out // 64))
+        h_cap = _sticky_ecap(key + ("heavy",), heavy.shape[0],
+                             max(64, v_out // 128))
+
+    res_ovf = np.full((e2_cap, 3), v_out, np.int32)
+    res_ovf[:, 2] = v_src
+    res_ovf[: ovf_entries.shape[0]] = ovf_entries
+    ovf_v = np.full((h_cap,), v_out, np.int32)
+    ovf_count = np.zeros((h_cap,), np.int32)
+    ovf_v[: heavy.shape[0]] = heavy
+    ovf_count[: heavy.shape[0]] = heavy_counts
+
+    return WindowedGather(
+        starts=starts, rb_local=rb_local, res_ovf=res_ovf, ovf_v=ovf_v,
+        ovf_count=ovf_count, window=window, v_src=int(v_src),
+    )
+
+
+def parent_rulebook(parent: np.ndarray, child_offset: np.ndarray,
+                    v_coarse: int, k: int) -> np.ndarray:
+    """(Vf,) parent + (Vf,) child_offset -> (Vf, K) one-live-tap rulebook.
+
+    Row f has parent[f] at column child_offset[f] and -1 elsewhere — the
+    deconv's per-row tap selection expressed as a plain rulebook so the
+    windowed gather machinery evaluates it (out[f] = sum_k rb-gather @ W_k
+    has exactly one live term).
+    """
+    vf = parent.shape[0]
+    rbu = np.full((vf, k), -1, np.int32)
+    ok = (parent >= 0) & (parent < v_coarse)
+    rbu[np.arange(vf)[ok], child_offset[ok]] = parent[ok]
+    return rbu

@@ -58,12 +58,15 @@ def _lane_pad(c: int) -> int:
 
 
 def _anchor_gmap(nanchor: int, nwin: int) -> tuple:
-    """Static anchor->window map for 9-anchor and 27-tap forms."""
+    """Static anchor->window map: subm forms (9 or 27 anchors on 9/3/1
+    windows) and cross-level gathers (any K taps on 1 window)."""
     from tdwss.ops.coords import window_group_map
 
+    if nwin == 1:
+        return (0,) * nanchor
     if nanchor == 27:
         if nwin != 9:
-            raise ValueError("27-tap form uses 9 shared windows")
+            raise ValueError("27-tap form uses 9 or 1 shared windows")
         return tuple(k % 9 for k in range(27))
     return tuple(int(g) for g in window_group_map(nwin))
 
@@ -145,12 +148,13 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
     w9         (nanchor, C3p, Cout) weight blocks, C3p = lane-padded C3
                (zero rows beyond C3)
     """
-    v, c3 = feats3.shape
+    v_src, c3 = feats3.shape
+    v_out = rb_local_t.shape[1]
     cout = w9.shape[-1]
     nanchor = rb_local_t.shape[0]
-    if v % tile or window % 8 or v % 8:
-        raise ValueError("v % tile, window % 8 and v % 8 must be 0")
-    tiles = v // tile
+    if v_out % tile or window % 8 or v_src % 8:
+        raise ValueError("v_out % tile, window % 8, v_src % 8 must be 0")
+    tiles = v_out // tile
     nwin = starts.shape[0] // tiles
     gmap = _anchor_gmap(nanchor, nwin)
     l = _lane_pad(c3)
@@ -158,7 +162,7 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
         raise ValueError(f"w9 second dim must be lane-padded to {l}")
     if c3 != l:
         feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
-    src = feats3.reshape(v // 8, 8, l)
+    src = feats3.reshape(v_src // 8, 8, l)
     starts = starts // 8  # block index into the (V/8, 8, L) view
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -182,7 +186,7 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
                                ablate)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((v, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((v_out, cout), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -244,18 +248,19 @@ def windowed_dw(feats3: jnp.ndarray, starts: jnp.ndarray,
                 window: int, tile: int,
                 interpret: bool = False) -> jnp.ndarray:
     """dW (nanchor, C3p, Cout) f32 = sum_v windows^T (x) dout rows."""
-    v, c3 = feats3.shape
+    v_src, c3 = feats3.shape
+    v_out = rb_local_t.shape[1]
     cout = dout.shape[-1]
     nanchor = rb_local_t.shape[0]
-    if v % tile or window % 8 or v % 8:
-        raise ValueError("v % tile, window % 8 and v % 8 must be 0")
-    tiles = v // tile
+    if v_out % tile or window % 8 or v_src % 8:
+        raise ValueError("v_out % tile, window % 8, v_src % 8 must be 0")
+    tiles = v_out // tile
     nwin = starts.shape[0] // tiles
     gmap = _anchor_gmap(nanchor, nwin)
     l = _lane_pad(c3)
     if c3 != l:
         feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
-    src = feats3.reshape(v // 8, 8, l)
+    src = feats3.reshape(v_src // 8, 8, l)
     starts = starts // 8  # block index into the (V/8, 8, L) view
     dout = dout.astype(feats3.dtype)
 

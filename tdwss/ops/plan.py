@@ -117,6 +117,35 @@ class Windowed27:
 
 
 @flax.struct.dataclass
+class WindowedGather:
+    """Windowed one-hot evaluation of an arbitrary (V_out, K) rulebook.
+
+    Generalizes :class:`Windowed27` to cross-level rulebooks whose source
+    rows live in a DIFFERENT coordinate system (strided conv's down_rb
+    into the fine level; deconv/unpool's parent map into the coarse
+    level).  Source rows of consecutive output rows are spatially local
+    under the shared b,z,y,x key sort, so all K taps of an output tile
+    read from ONE shared window of the source array.
+
+    starts:    (tiles,) int32   shared-window start per out-row tile,
+                                8-aligned, in [0, V_src - window]
+    rb_local:  (V_out, K) int32 src pos - start[tile], or == window
+    res_ovf / ovf_v / ovf_count: spill list as in :class:`Windowed27`
+                                (entries [v_out, tap, src])
+    window:    static int
+    v_src:     static int       source-array capacity (for sanity checks)
+    """
+
+    starts: jnp.ndarray
+    rb_local: jnp.ndarray
+    res_ovf: jnp.ndarray
+    ovf_v: jnp.ndarray
+    ovf_count: jnp.ndarray
+    window: int = flax.struct.field(pytree_node=False, default=512)
+    v_src: int = flax.struct.field(pytree_node=False, default=0)
+
+
+@flax.struct.dataclass
 class GridLevel:
     grid: SparseGrid
     subm_rb: jnp.ndarray                     # (V, K) neighbor idx or -1
@@ -126,6 +155,12 @@ class GridLevel:
     # host-built windowed-conv metadata (Windowed27 preferred; WindowedSubm
     # is the older x-triple form kept for comparison benchmarks)
     win: Optional[object] = None
+    # windowed cross-level gathers (WindowedGather): down = this level's
+    # down_rb (coarse out, fine src) for the strided conv / unpool-sum
+    # direction; up = the (parent, child_offset) map as a (Vf, f^3)
+    # rulebook (fine out, coarse src) for the deconv / unpool direction.
+    wg_down: Optional[WindowedGather] = None
+    wg_up: Optional[WindowedGather] = None
 
 
 @flax.struct.dataclass

@@ -214,9 +214,8 @@ def _win_gather_groups(src3, rb_local, starts, window, group):
     per-window would re-interleave ~11x the rows), or plain (V, C) feats
     for the 27-tap form.  The anchor count comes from rb_local's last dim.
     """
-    v = src3.shape[0]
     tiles = starts.shape[0]
-    t = v // tiles
+    t = rb_local.shape[0] // tiles          # out rows per tile
     c3 = src3.shape[1]
     na = rb_local.shape[-1]
 
@@ -246,17 +245,16 @@ def _win_matmul(src3, rb_local, starts, w9, window):
                        preferred_element_type=jnp.float32)
 
     out = jax.lax.map(per_group, (st3, rl4))
-    return out.reshape(src3.shape[0], -1)
+    return out.reshape(rb_local.shape[0], -1)
 
 
 def _win_dw(src3, rb_local, starts, dout, window):
-    """sum_v gathered_v^T dout_v over windowed taps -> (27C, Cout) f32."""
-    v = src3.shape[0]
+    """sum_v gathered_v^T dout_v over windowed taps -> (K*C, Cout) f32."""
     tiles = starts.shape[0]
     group = _pick_group(tiles)
     gather_group, st3, rl4 = _win_gather_groups(
         src3, rb_local, starts, window, group)
-    t = v // tiles
+    t = rb_local.shape[0] // tiles
     cout = dout.shape[-1]
     d3 = dout.astype(src3.dtype).reshape(tiles // group, group * t, cout)
 
@@ -290,11 +288,11 @@ def _prefix_rows(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
     return jnp.concatenate([jnp.zeros((1, c), x.dtype), inclusive], axis=0)
 
 
-def _entry_z(feats, taps, srcs):
-    """One-hot-masked (E, 27C) operand for per-entry tap selection."""
+def _entry_z(feats, taps, srcs, k=27):
+    """One-hot-masked (E, K*C) operand for per-entry tap selection."""
     f = jnp.take(feats, _oob(srcs, feats.shape[0]), axis=0,
                  mode="fill", fill_value=0)                  # (E, C)
-    oh = jax.nn.one_hot(taps, 27, dtype=feats.dtype)         # (E, 27)
+    oh = jax.nn.one_hot(taps, k, dtype=feats.dtype)          # (E, K)
     return (oh[:, :, None] * f[:, None, :]).reshape(taps.shape[0], -1)
 
 
@@ -305,16 +303,17 @@ def _entry_contrib(feats, taps, srcs, w2d):
     per-entry weight tables would be O(E*C^2) and OOM at C>=128.
     """
     cin = feats.shape[-1]
+    k = w2d.shape[0] // cin
     e = taps.shape[0]
-    chunks = _num_chunks(e, 27 * cin * feats.dtype.itemsize)
+    chunks = _num_chunks(e, k * cin * feats.dtype.itemsize)
     if chunks == 1:
-        z = _entry_z(feats, taps, srcs)
+        z = _entry_z(feats, taps, srcs, k)
         return jnp.dot(z, w2d.astype(feats.dtype),
                        preferred_element_type=jnp.float32)
 
     def chunk_fn(args):
         t, s = args
-        z = _entry_z(feats, t, s)
+        z = _entry_z(feats, t, s, k)
         return jnp.dot(z, w2d.astype(feats.dtype),
                        preferred_element_type=jnp.float32)
 
@@ -388,14 +387,17 @@ def _res_dw(feats, res_pad, res_ovf, dout):
         0, chunks, body, jnp.zeros((27 * cin, cout), jnp.float32))
 
 
-def _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout):
-    """Overflow-list-only residual corrections -> (V, Cout) f32.
+def _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout,
+                   out_len=None):
+    """Overflow-list-only residual corrections -> (out_len, Cout) f32.
 
-    The compact spill list of the 27-tap windowed form
-    (tdwss.ops.plan.Windowed27): per-entry contributions, blocked-prefix
-    run sums per owning voxel, one small scatter-add into the owners.
+    The compact spill list of the windowed forms (Windowed27 /
+    WindowedGather): per-entry contributions, blocked-prefix run sums per
+    owning row, one small scatter-add into the owners.  ``out_len``
+    defaults to the source length (submanifold case); cross-level gathers
+    pass the output-domain capacity.
     """
-    v = feats.shape[0]
+    v = out_len if out_len is not None else feats.shape[0]
     c2 = _entry_contrib(feats, res_ovf[:, 1], res_ovf[:, 2], w2d)
     prefix = _prefix_rows(c2)
     ends = jnp.cumsum(ovf_count)
@@ -405,8 +407,8 @@ def _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout):
     return out.at[_oob(ovf_v, v)].add(sums, mode="drop")
 
 
-def _res_ovf_dw(feats, res_ovf, dout):
-    """Spill-list dW contribution -> (27C, Cout) f32 (raw tap order)."""
+def _res_ovf_dw(feats, res_ovf, dout, k=27):
+    """Spill-list dW contribution -> (K*C, Cout) f32 (raw tap order)."""
     v = feats.shape[0]
     cin = feats.shape[-1]
     cout = dout.shape[-1]
@@ -414,9 +416,9 @@ def _res_ovf_dw(feats, res_ovf, dout):
     srcs = res_ovf[:, 2]
     tgts = jnp.where(srcs < v, res_ovf[:, 0], dout.shape[0])
     e = taps.shape[0]
-    chunks = _num_chunks(e, 27 * cin * feats.dtype.itemsize)
+    chunks = _num_chunks(e, k * cin * feats.dtype.itemsize)
     if chunks <= 1 or e % chunks != 0:
-        z = _entry_z(feats, taps, srcs)
+        z = _entry_z(feats, taps, srcs, k)
         dv = jnp.take(dout, tgts, axis=0, mode="fill",
                       fill_value=0).astype(feats.dtype)
         return jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
@@ -429,24 +431,46 @@ def _res_ovf_dw(feats, res_ovf, dout):
     def body(i, acc):
         z = _entry_z(feats,
                      jax.lax.dynamic_index_in_dim(t3, i, keepdims=False),
-                     jax.lax.dynamic_index_in_dim(s3, i, keepdims=False))
+                     jax.lax.dynamic_index_in_dim(s3, i, keepdims=False), k)
         dv = jnp.take(dout,
                       jax.lax.dynamic_index_in_dim(g3, i, keepdims=False),
                       axis=0, mode="fill", fill_value=0).astype(feats.dtype)
         return acc + jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
 
     return jax.lax.fori_loop(
-        0, chunks, body, jnp.zeros((27 * cin, cout), jnp.float32))
+        0, chunks, body, jnp.zeros((k * cin, cout), jnp.float32))
 
 
 from functools import partial
 
 
-def _use_pallas_kernel(v: int, tiles: int, window: int) -> bool:
+_VMEM_BUDGET = 13 * 1024 * 1024   # ~16 MB physical minus pipeline slack
+
+
+def _kernel_vmem_fits(nanchor: int, window: int, c3: int, cout: int,
+                      tile: int, nwin: int = 9) -> bool:
+    """Conservative VMEM estimate for the fused windowed kernels.
+
+    Counts the double-buffered window scratch, the weight / dW-accumulator
+    block, and the pipelined rb/dout/out blocks.  Wide deep-level convs
+    (L=384, Cout=160) overflow the 16 MB VMEM otherwise (observed compile
+    failure: 18.56M > 16M in windowed_dw).
+    """
+    l = ((c3 + 127) // 128) * 128
+    scratch = 2 * nwin * window * l * 2                # bf16 windows
+    w9 = nanchor * l * cout * 2                        # fwd weight block
+    acc = nanchor * l * cout * 4                       # dw f32 accumulator
+    blocks = 2 * (nanchor * tile * 4 + tile * cout * 6)
+    return scratch + max(w9, acc + cout * l * 2) + blocks < _VMEM_BUDGET
+
+
+def _use_pallas_kernel(v: int, tiles: int, window: int,
+                       nanchor: int = 27, c3: int = 0, cout: int = 0) -> bool:
     """Route the windowed conv through the fused Pallas kernel on TPU.
 
     Requires host-aligned metadata (starts % 8 == 0, guaranteed by
-    tdwss.ops.host_plan.build_windowed_subm) and tile-divisible capacity.
+    tdwss.ops.host_plan builders), tile-divisible capacity, and a kernel
+    instance that fits VMEM (else the XLA einsum path runs).
     """
     import os
 
@@ -454,7 +478,11 @@ def _use_pallas_kernel(v: int, tiles: int, window: int) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
-    return tiles > 0 and v % tiles == 0 and window % 8 == 0 and v % 8 == 0
+    if not (tiles > 0 and v % tiles == 0 and window % 8 == 0 and v % 8 == 0):
+        return False
+    if c3 and cout:
+        return _kernel_vmem_fits(nanchor, window, c3, cout, v // tiles)
+    return True
 
 
 def _expand_starts(starts):
@@ -475,7 +503,8 @@ def _win_matmul_any(feats3, rb_local, starts, w9, window):
     """
     v = feats3.shape[0]
     tiles = starts.shape[0]
-    if _use_pallas_kernel(v, tiles, window):
+    if _use_pallas_kernel(v, tiles, window, 9, feats3.shape[1],
+                          w9.shape[-1]):
         from tdwss.ops.pallas_subm import pad_w9, windowed_matmul
 
         c3 = feats3.shape[1]
@@ -490,7 +519,8 @@ def _win_dw_any(feats3, rb_local, starts, dout, window):
     """Windowed dW: fused Pallas kernel on TPU, einsum elsewhere."""
     v = feats3.shape[0]
     tiles = starts.shape[0]
-    if _use_pallas_kernel(v, tiles, window):
+    if _use_pallas_kernel(v, tiles, window, 9, feats3.shape[1],
+                          dout.shape[-1]):
         from tdwss.ops.pallas_subm import windowed_dw
 
         c3 = feats3.shape[1]
@@ -511,7 +541,8 @@ def _w27_matmul_any(feats, rb_local, starts, w2d, window):
     """
     v = feats.shape[0]
     tiles = starts.shape[0]
-    if _use_pallas_kernel(v, tiles, window):
+    if _use_pallas_kernel(v, tiles, window, 27, feats.shape[1],
+                          w2d.shape[-1]):
         from tdwss.ops.pallas_subm import pad_w9, windowed_matmul
 
         c = feats.shape[1]
@@ -526,7 +557,8 @@ def _w27_dw_any(feats, rb_local, starts, dout, window):
     """27-tap windowed dW -> (27C, Cout) f32 (raw tap order)."""
     v = feats.shape[0]
     tiles = starts.shape[0]
-    if _use_pallas_kernel(v, tiles, window):
+    if _use_pallas_kernel(v, tiles, window, 27, feats.shape[1],
+                          dout.shape[-1]):
         from tdwss.ops.pallas_subm import windowed_dw
 
         c = feats.shape[1]
@@ -863,3 +895,187 @@ def avg_pool(fine_feats: jnp.ndarray, down_rb: jnp.ndarray) -> jnp.ndarray:
     cnt = jnp.sum((down_rb >= 0).astype(jnp.float32), axis=1)
     summed = jnp.sum(g.astype(jnp.float32), axis=1)
     return (summed / jnp.maximum(cnt, 1.0)[:, None]).astype(fine_feats.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Windowed cross-level convolution (metadata: tdwss.ops.plan.WindowedGather)
+# ---------------------------------------------------------------------------
+# Strided conv, deconv and unpool all evaluate a (V_out, K) rulebook whose
+# source rows live in the OTHER level's coordinate system.  Source rows of
+# consecutive output rows are spatially local under the shared key sort, so
+# all K taps of an output tile read one shared source window — the same
+# one-hot-matmul machinery as the submanifold conv, with nwin=1.  The
+# backward direction is the transposed rulebook, which the host provides
+# as its own WindowedGather (down_rb <-> the (parent, child_offset) map),
+# with weights W[k]^T and NO tap flip (tap index == child_offset on both
+# sides).
+
+
+def _use_pallas_wg(v_src, v_out, tiles, window, k, c, cout) -> bool:
+    import os
+
+    if os.environ.get("TDWSS_NO_PALLAS"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if not (tiles > 0 and v_out % tiles == 0 and window % 8 == 0
+            and v_src % 8 == 0):
+        return False
+    return _kernel_vmem_fits(k, window, c, cout, v_out // tiles, nwin=1)
+
+
+def _wg_matmul_any(src, rb_local, starts, w2d, window):
+    """Windowed rulebook eval -> (V_out, Cout) f32.  starts (tiles,)."""
+    v_src, c = src.shape
+    v_out, k = rb_local.shape
+    tiles = starts.shape[0]
+    if _use_pallas_wg(v_src, v_out, tiles, window, k, c, w2d.shape[-1]):
+        from tdwss.ops.pallas_subm import pad_w9, windowed_matmul
+
+        wp = pad_w9(w2d.reshape(k, c, -1))
+        return windowed_matmul(src, starts, rb_local.T, wp,
+                               window=window, tile=v_out // tiles)
+    return _win_matmul(src, rb_local,
+                       jnp.repeat(starts[:, None], k, axis=1), w2d, window)
+
+
+def _wg_dw_any(src, rb_local, starts, dout, window):
+    """Windowed rulebook dW -> (K*C, Cout) f32 (raw tap order)."""
+    v_src, c = src.shape
+    v_out, k = rb_local.shape
+    tiles = starts.shape[0]
+    if _use_pallas_wg(v_src, v_out, tiles, window, k, c, dout.shape[-1]):
+        from tdwss.ops.pallas_subm import windowed_dw
+
+        dw = windowed_dw(src, starts, rb_local.T, dout,
+                         window=window, tile=v_out // tiles)
+        return dw[:, :c, :].reshape(k * c, -1)
+    return _win_dw(src, rb_local,
+                   jnp.repeat(starts[:, None], k, axis=1), dout, window)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _wg_conv(window_f, window_b, feats,
+             f_starts, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
+             b_starts, b_rb, b_ovf, b_ovf_v, b_ovf_cnt, weight):
+    """Forward-direction windowed rulebook conv with transposed backward.
+
+    ``f_*`` metadata evaluates the forward rulebook (out domain = f_rb
+    rows, src domain = feats rows); ``b_*`` is the host-built transposed
+    rulebook used only in the backward for dfeats.
+    """
+    k, cin, cout = weight.shape
+    w2d = weight.reshape(k * cin, cout)
+    out = _wg_matmul_any(feats, f_rb, f_starts, w2d, window_f)
+    out = out + _res_ovf_apply(feats, f_ovf, f_ovf_v, f_ovf_cnt, w2d, cout,
+                               out_len=f_rb.shape[0])
+    return out.astype(feats.dtype)
+
+
+def _wg_conv_fwd(window_f, window_b, feats, f_starts, f_rb, f_ovf, f_ovf_v,
+                 f_ovf_cnt, b_starts, b_rb, b_ovf, b_ovf_v, b_ovf_cnt,
+                 weight):
+    out = _wg_conv(window_f, window_b, feats, f_starts, f_rb, f_ovf,
+                   f_ovf_v, f_ovf_cnt, b_starts, b_rb, b_ovf, b_ovf_v,
+                   b_ovf_cnt, weight)
+    return out, (feats, f_starts, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
+                 b_starts, b_rb, b_ovf, b_ovf_v, b_ovf_cnt, weight)
+
+
+def _wg_conv_bwd(window_f, window_b, res, dout):
+    (feats, f_starts, f_rb, f_ovf, f_ovf_v, f_ovf_cnt, b_starts, b_rb,
+     b_ovf, b_ovf_v, b_ovf_cnt, weight) = res
+    k, cin, cout = weight.shape
+    feats, dout = jax.lax.optimization_barrier((feats, dout))
+    dout_c = dout.astype(feats.dtype)
+
+    dw = _wg_dw_any(feats, f_rb, f_starts, dout_c, window_f)
+    dw = dw + _res_ovf_dw(feats, f_ovf, dout_c, k)
+    dw = dw.reshape(k, cin, cout).astype(weight.dtype)
+
+    # dfeats via the transposed rulebook: tap index (child_offset) is the
+    # same on both sides, so W transposes WITHOUT the tap flip.
+    wt2d = weight.transpose(0, 2, 1).reshape(k * cout, cin)
+    dfeats = _wg_matmul_any(dout_c, b_rb, b_starts, wt2d, window_b)
+    dfeats = dfeats + _res_ovf_apply(dout_c, b_ovf, b_ovf_v, b_ovf_cnt,
+                                     wt2d, cin, out_len=b_rb.shape[0])
+    dfeats = dfeats.astype(feats.dtype)
+
+    zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
+    return (dfeats, zeros(f_starts), zeros(f_rb), zeros(f_ovf),
+            zeros(f_ovf_v), zeros(f_ovf_cnt), zeros(b_starts), zeros(b_rb),
+            zeros(b_ovf), zeros(b_ovf_v), zeros(b_ovf_cnt), dw)
+
+
+_wg_conv.defvjp(_wg_conv_fwd, _wg_conv_bwd)
+
+
+def wg_conv_apply(feats: jnp.ndarray, weight: jnp.ndarray, wg_fwd,
+                  wg_bwd) -> jnp.ndarray:
+    """Cross-level conv through WindowedGather metadata.
+
+    strided conv: ``wg_conv_apply(fine_feats, W, lvl.wg_down, lvl.wg_up)``
+    deconv:       ``wg_conv_apply(coarse_feats, W, lvl.wg_up, lvl.wg_down)``
+    with W (f^3, Cin, Cout) in child-offset tap order either way.
+    """
+    return _wg_conv(wg_fwd.window, wg_bwd.window, feats,
+                    wg_fwd.starts, wg_fwd.rb_local, wg_fwd.res_ovf,
+                    wg_fwd.ovf_v, wg_fwd.ovf_count,
+                    wg_bwd.starts, wg_bwd.rb_local, wg_bwd.res_ovf,
+                    wg_bwd.ovf_v, wg_bwd.ovf_count, weight)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _wg_unpool(window_f, window_b, c, feats,
+               f_starts, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
+               b_starts, b_rb, b_ovf, b_ovf_v, b_ovf_cnt):
+    """Windowed unpool: out[f] = feats[parent[f]] via the up rulebook.
+
+    Tap-tiled identity weights ride the generic machinery; the backward
+    (sum over children) is the transposed rulebook with the same identity.
+    """
+    k = f_rb.shape[1]
+    eye = jnp.tile(jnp.eye(c, dtype=feats.dtype), (k, 1))
+    out = _wg_matmul_any(feats, f_rb, f_starts, eye, window_f)
+    out = out + _res_ovf_apply(feats, f_ovf, f_ovf_v, f_ovf_cnt, eye, c,
+                               out_len=f_rb.shape[0])
+    return out.astype(feats.dtype)
+
+
+def _wg_unpool_fwd(window_f, window_b, c, feats, f_starts, f_rb, f_ovf,
+                   f_ovf_v, f_ovf_cnt, b_starts, b_rb, b_ovf, b_ovf_v,
+                   b_ovf_cnt):
+    out = _wg_unpool(window_f, window_b, c, feats, f_starts, f_rb, f_ovf,
+                     f_ovf_v, f_ovf_cnt, b_starts, b_rb, b_ovf, b_ovf_v,
+                     b_ovf_cnt)
+    return out, (feats, f_starts, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
+                 b_starts, b_rb, b_ovf, b_ovf_v, b_ovf_cnt)
+
+
+def _wg_unpool_bwd(window_f, window_b, c, res, dout):
+    (feats, f_starts, f_rb, f_ovf, f_ovf_v, f_ovf_cnt, b_starts, b_rb,
+     b_ovf, b_ovf_v, b_ovf_cnt) = res
+    k = b_rb.shape[1]
+    dout_c = jax.lax.optimization_barrier(dout).astype(feats.dtype)
+    eye = jnp.tile(jnp.eye(c, dtype=dout_c.dtype), (k, 1))
+    dfeats = _wg_matmul_any(dout_c, b_rb, b_starts, eye, window_b)
+    dfeats = dfeats + _res_ovf_apply(dout_c, b_ovf, b_ovf_v, b_ovf_cnt,
+                                     eye, c, out_len=b_rb.shape[0])
+    dfeats = dfeats.astype(feats.dtype)
+    zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
+    return (dfeats, zeros(f_starts), zeros(f_rb), zeros(f_ovf),
+            zeros(f_ovf_v), zeros(f_ovf_cnt), zeros(b_starts), zeros(b_rb),
+            zeros(b_ovf), zeros(b_ovf_v), zeros(b_ovf_cnt))
+
+
+_wg_unpool.defvjp(_wg_unpool_fwd, _wg_unpool_bwd)
+
+
+def wg_unpool_apply(coarse_feats: jnp.ndarray, wg_up, wg_down) -> jnp.ndarray:
+    """Unpool coarse -> fine through WindowedGather metadata."""
+    return _wg_unpool(wg_up.window, wg_down.window, coarse_feats.shape[-1],
+                      coarse_feats,
+                      wg_up.starts, wg_up.rb_local, wg_up.res_ovf,
+                      wg_up.ovf_v, wg_up.ovf_count,
+                      wg_down.starts, wg_down.rb_local, wg_down.res_ovf,
+                      wg_down.ovf_v, wg_down.ovf_count)

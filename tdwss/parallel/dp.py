@@ -42,17 +42,53 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices[:n]), (axis,))
 
 
-def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
-    """Pad windowed-conv residual lists to a common static capacity.
+def _expand_window(win, new_w: int):
+    """Re-express windowed metadata with a LARGER window, exactly.
 
-    The host plan builder buckets overflow capacities per batch (sticky,
-    geometric); stacking across devices requires identical shapes, so pad
-    every WindowedSubm to the max caps (pad rows carry src == V -> inert,
-    counts 0).
+    Coverage is preserved: a start may only move DOWN (the v_src - W clip
+    tightens), by at most new_w - old_w, so every previously-covered
+    local index stays inside the bigger window after shifting.  Sentinels
+    (== old window) remap to the new window.
     """
-    from tdwss.ops.plan import Windowed27, WindowedSubm
+    from tdwss.ops.coords import window_group_map
+    from tdwss.ops.plan import Windowed27, WindowedGather, WindowedSubm
 
-    is_win = lambda x: isinstance(x, (WindowedSubm, Windowed27))  # noqa: E731
+    old_w = win.window
+    if new_w == old_w:
+        return win
+    rb = np.asarray(win.rb_local)
+    starts = np.asarray(win.starts)
+    v_src = win.v_src if isinstance(win, WindowedGather) else rb.shape[0]
+    new_starts = np.minimum(starts, max(v_src - new_w, 0)).astype(np.int32)
+    delta = (starts - new_starts).astype(np.int32)      # >= 0
+    tiles = starts.shape[0]
+    t = rb.shape[0] // tiles
+    if starts.ndim == 1:                                # WindowedGather
+        drows = np.repeat(delta, t)[:, None]
+    elif isinstance(win, Windowed27):
+        gmap = np.arange(27, dtype=np.int32) % 9
+        drows = np.repeat(delta[:, gmap], t, axis=0)
+    else:                                               # WindowedSubm
+        gmap = window_group_map(starts.shape[1])
+        drows = np.repeat(delta[:, gmap], t, axis=0)
+    rb_new = np.where(rb == old_w, new_w, rb + drows).astype(np.int32)
+    return win.replace(starts=new_starts, rb_local=rb_new, window=new_w)
+
+
+def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
+    """Unify windowed-conv metadata shapes for cross-device stacking.
+
+    The host plan builder buckets overflow capacities and auto-window
+    sizes per batch (sticky, monotone); stacking across devices requires
+    identical shapes AND identical static windows, so every windowed
+    leaf expands to the stack-wide max window (exact, see
+    :func:`_expand_window`) and pads its residual lists to the max caps
+    (pad rows carry src == V -> inert, counts 0).
+    """
+    from tdwss.ops.plan import Windowed27, WindowedGather, WindowedSubm
+
+    is_win = lambda x: isinstance(  # noqa: E731
+        x, (WindowedSubm, Windowed27, WindowedGather))
     flat0, _ = jax.tree_util.tree_flatten(batches[0], is_leaf=is_win)
     caps = {}
     for i, leaf in enumerate(flat0):
@@ -60,19 +96,22 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
             wins = [jax.tree_util.tree_flatten(b, is_leaf=is_win)[0][i]
                     for b in batches]
             caps[i] = (max(w.res_ovf.shape[0] for w in wins),
-                       max(w.ovf_v.shape[0] for w in wins))
+                       max(w.ovf_v.shape[0] for w in wins),
+                       max(w.window for w in wins))
     if not caps:
         return list(batches)
 
     out = []
     for b in batches:
         flat, treedef = jax.tree_util.tree_flatten(b, is_leaf=is_win)
-        for i, (e_cap, h_cap) in caps.items():
-            win = flat[i]
+        for i, (e_cap, h_cap, w_max) in caps.items():
+            win = _expand_window(flat[i], w_max)
             v = win.rb_local.shape[0]
+            src_pad = win.v_src if isinstance(win, WindowedGather) else v
             e, h = win.res_ovf.shape[0], win.ovf_v.shape[0]
             if e < e_cap:
                 pad = np.full((e_cap - e, 3), v, np.int32)
+                pad[:, 2] = src_pad
                 win = win.replace(
                     res_ovf=np.concatenate([np.asarray(win.res_ovf), pad]))
             if h < h_cap:

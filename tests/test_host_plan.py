@@ -348,3 +348,85 @@ class TestWindowed27:
                                    rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gp[1]),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestWindowedGather:
+    """Cross-level windowed ops == plain strided/deconv/unpool paths."""
+
+    def _setup(self, rng, n=1024, nc=512, size=24, cin=5, cout=4):
+        import jax
+
+        from tdwss.ops.host_plan import (build_windowed_gather,
+                                         downsample_level_np,
+                                         parent_rulebook)
+
+        coords, feats, valid = _random_coords(rng, n=n, size=size,
+                                              invalid_frac=0.05)
+        grid, _, _ = voxelize_np(coords, feats[:, :3], valid, n)
+        cg, parent, child_off, down_rb = downsample_level_np(grid, nc, 2, 2)
+        wgd = build_windowed_gather(down_rb, v_src=n, tile=64,
+                                    res_cap=8 * n)
+        rbu = parent_rulebook(parent, child_off, nc, 8)
+        wgu = build_windowed_gather(rbu, v_src=nc, tile=64, res_cap=8 * n)
+        assert wgd is not None and wgu is not None
+        j = jax.tree_util.tree_map
+        return (grid, jnp.asarray(parent), jnp.asarray(child_off),
+                jnp.asarray(down_rb), j(jnp.asarray, wgd),
+                j(jnp.asarray, wgu))
+
+    def test_strided_matches_plain(self, rng):
+        import jax
+
+        from tdwss.ops.sparse_conv import strided_conv_apply, wg_conv_apply
+
+        grid, parent, off, drb, wgd, wgu = self._setup(rng)
+        n = drb.shape[0] * 2
+        fine = jnp.asarray(rng.normal(size=(1024, 5)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(8, 5, 4)).astype(np.float32))
+        ref = np.asarray(strided_conv_apply(fine, drb, w, parent, off))
+        out = np.asarray(wg_conv_apply(fine, w, wgd, wgu))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+        gp = jax.grad(lambda f, w_: jnp.sum(
+            strided_conv_apply(f, drb, w_, parent, off) ** 2),
+            argnums=(0, 1))(fine, w)
+        gw = jax.grad(lambda f, w_: jnp.sum(
+            wg_conv_apply(f, w_, wgd, wgu) ** 2), argnums=(0, 1))(fine, w)
+        np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gp[0]),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gp[1]),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_deconv_and_unpool_match_plain(self, rng):
+        import jax
+
+        from tdwss.ops.sparse_conv import (deconv_apply, unpool,
+                                           wg_conv_apply, wg_unpool_apply)
+
+        grid, parent, off, drb, wgd, wgu = self._setup(rng)
+        fval = jnp.asarray(grid.valid)
+        coarse = jnp.asarray(rng.normal(size=(512, 5)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(8, 5, 4)).astype(np.float32))
+        ref = np.asarray(deconv_apply(coarse, parent, off, w,
+                                      fine_valid=fval, down_rb=drb))
+        out = np.asarray(wg_conv_apply(coarse, w, wgu, wgd))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+        gp = jax.grad(lambda c, w_: jnp.sum(deconv_apply(
+            c, parent, off, w_, fine_valid=fval, down_rb=drb) ** 2),
+            argnums=(0, 1))(coarse, w)
+        gw = jax.grad(lambda c, w_: jnp.sum(
+            wg_conv_apply(c, w_, wgu, wgd) ** 2), argnums=(0, 1))(coarse, w)
+        np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gp[0]),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gp[1]),
+                                   rtol=2e-4, atol=2e-4)
+
+        ref = np.asarray(unpool(coarse, parent, fine_valid=fval,
+                                down_rb=drb))
+        out = np.asarray(wg_unpool_apply(coarse, wgu, wgd))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        gpu = jax.grad(lambda c: jnp.sum(unpool(
+            c, parent, fine_valid=fval, down_rb=drb) ** 2))(coarse)
+        gwu = jax.grad(lambda c: jnp.sum(
+            wg_unpool_apply(c, wgu, wgd) ** 2))(coarse)
+        np.testing.assert_allclose(np.asarray(gwu), np.asarray(gpu),
+                                   rtol=1e-4, atol=1e-4)

@@ -378,3 +378,36 @@ def test_pallas_w27_interpret(rng):
     np.testing.assert_allclose(
         np.asarray(dw[:, :c, :].reshape(27 * c, cout)), np.asarray(dref),
         rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_wg_cross_domain_interpret(rng):
+    """nwin=1 cross-domain kernel (v_out != v_src) == einsum path."""
+    from tdwss.ops.pallas_subm import pad_w9, windowed_dw, windowed_matmul
+    from tdwss.ops.sparse_conv import _win_dw, _win_matmul
+
+    v_src, v_out, tile, window, c, cout, k = 64, 32, 8, 24, 12, 8, 8
+    tiles = v_out // tile
+    src = jnp.asarray(rng.normal(size=(v_src, c)).astype(np.float32))
+    starts = jnp.asarray(
+        (rng.integers(0, (v_src - window) // 8 + 1, size=(tiles,)) * 8)
+        .astype(np.int32))
+    rb_local = jnp.asarray(
+        rng.integers(0, window + 1, size=(v_out, k)).astype(np.int32))
+    w2d = jnp.asarray(rng.normal(size=(k * c, cout)).astype(np.float32))
+
+    ref = _win_matmul(src, rb_local,
+                      jnp.repeat(starts[:, None], k, axis=1), w2d, window)
+    out = windowed_matmul(src, starts, rb_local.T,
+                          pad_w9(w2d.reshape(k, c, cout)),
+                          window=window, tile=tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    dout = jnp.asarray(rng.normal(size=(v_out, cout)).astype(np.float32))
+    dref = _win_dw(src, rb_local,
+                   jnp.repeat(starts[:, None], k, axis=1), dout, window)
+    dw = windowed_dw(src, starts, rb_local.T, dout,
+                     window=window, tile=tile, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(dw[:, :c, :].reshape(k * c, cout)), np.asarray(dref),
+        rtol=1e-4, atol=1e-4)
