@@ -240,7 +240,9 @@ def build_plans_np(
             if form == "w27":
                 win = build_windowed_subm27(subm_rb, grid, tile=t,
                                             window=max(window, 0),
-                                            auto_window=window <= 0)
+                                            auto_window=window <= 0,
+                                            nwin=nwin if nwin in (9, 3)
+                                            else 9)
             else:
                 win = build_windowed_subm(subm_rb, grid, tile=t,
                                           window=max(window, 0), nwin=nwin,
@@ -497,6 +499,7 @@ def build_windowed_subm27(
     auto_window: bool = False,
     auto_quantile: float = 0.97,
     auto_max: int = 4096,
+    nwin: int = 9,
 ):
     """Host-side 27-tap windowed decomposition (tdwss.ops.plan.Windowed27).
 
@@ -510,18 +513,28 @@ def build_windowed_subm27(
     """
     from tdwss.ops.plan import Windowed27
 
+    if nwin not in (9, 3):
+        raise ValueError("w27 nwin must be 9 or 3")
     v = rb27.shape[0]
     if v % tile != 0 or v % 8 != 0 or (not auto_window and v < window + 2):
         return None
     tiles = v // tile
 
-    gmap27 = np.arange(27, dtype=np.int32) % 9              # tap -> group
+    # tap -> shared-window group: per-(dy,dz) at nwin=9; per-dz at nwin=3
+    # (the dy shift moves physical rows by only ~one x-run under the
+    # b,z,y,x key sort — measured spans: q50 626 vs 543 rows at tile=512,
+    # spills 1.1% vs 0.88% at W=640 — so sharing across dy costs almost
+    # nothing and cuts DMA descriptors 3x).
+    gmap27 = (np.arange(27, dtype=np.int32) % 9 if nwin == 9
+              else (np.arange(27, dtype=np.int32) % 9) % 3)
     masked = np.where(rb27 >= 0, rb27, np.iinfo(np.int32).max)
-    # per-(tile, group) min over the 3 member taps
-    starts = np.empty((tiles, 9), np.int64)
-    for g in range(9):
-        member = masked[:, [g, 9 + g, 18 + g]].min(axis=1)  # (V,)
-        starts[:, g] = member.reshape(tiles, tile).min(axis=1)
+    # per-(tile, group) min over the member taps
+    starts = np.full((tiles, nwin), np.iinfo(np.int64).max, np.int64)
+    for k in range(27):
+        g = gmap27[k]
+        np.minimum(starts[:, g],
+                   masked[:, k].reshape(tiles, tile).min(axis=1),
+                   out=starts[:, g])
     starts = (starts // 8) * 8                               # DMA alignment
     if auto_window:
         s27 = starts[:, gmap27]
@@ -531,7 +544,7 @@ def build_windowed_subm27(
         need = float(np.quantile(span, auto_quantile))
         window = int(np.clip(need, 128, max(min(auto_max, v), 128)))
         window = ((window + 127) // 128) * 128
-        window = _sticky_window((v, tile, 27, "win"), window)
+        window = _sticky_window((v, tile, 27, nwin, "win"), window)
         if v < window + 2:
             return None
     starts = np.clip(starts, 0, max(v - window, 0)).astype(np.int32)
@@ -556,9 +569,9 @@ def build_windowed_subm27(
         e2_cap = max(res_cap, 32)
         h_cap = max(res_cap, 32)
     else:
-        e2_cap = _sticky_ecap((v, tile, window, 27, "ovf"),
+        e2_cap = _sticky_ecap((v, tile, window, 27, nwin, "ovf"),
                               ovf_entries.shape[0], max(64, v // 64))
-        h_cap = _sticky_ecap((v, tile, window, 27, "heavy"),
+        h_cap = _sticky_ecap((v, tile, window, 27, nwin, "heavy"),
                              heavy.shape[0], max(64, v // 128))
 
     res_ovf = np.full((e2_cap, 3), v, np.int32)

@@ -65,9 +65,11 @@ def _anchor_gmap(nanchor: int, nwin: int) -> tuple:
     if nwin == 1:
         return (0,) * nanchor
     if nanchor == 27:
-        if nwin != 9:
-            raise ValueError("27-tap form uses 9 or 1 shared windows")
-        return tuple(k % 9 for k in range(27))
+        if nwin == 9:
+            return tuple(k % 9 for k in range(27))
+        if nwin == 3:                       # per-dz shared windows
+            return tuple((k % 9) % 3 for k in range(27))
+        raise ValueError("27-tap form uses 9, 3 or 1 shared windows")
     return tuple(int(g) for g in window_group_map(nwin))
 
 

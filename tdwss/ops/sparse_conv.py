@@ -533,6 +533,12 @@ def _win_dw_any(feats3, rb_local, starts, dout, window):
 _GMAP27 = np.arange(27, dtype=np.int32) % 9   # tap -> (dy,dz) window group
 
 
+def _w27_expand(starts):
+    """(tiles, nwin) shared starts -> (tiles, 27) per-tap starts."""
+    nwin = starts.shape[1]
+    return starts[:, _GMAP27 if nwin == 9 else _GMAP27 % 3]
+
+
 def _w27_matmul_any(feats, rb_local, starts, w2d, window):
     """27-tap windowed gather-GEMM -> (V, Cout) f32.
 
@@ -550,7 +556,7 @@ def _w27_matmul_any(feats, rb_local, starts, w2d, window):
         return windowed_matmul(
             feats, starts.reshape(-1), rb_local.T, w27p,
             window=window, tile=v // tiles)
-    return _win_matmul(feats, rb_local, starts[:, _GMAP27], w2d, window)
+    return _win_matmul(feats, rb_local, _w27_expand(starts), w2d, window)
 
 
 def _w27_dw_any(feats, rb_local, starts, dout, window):
@@ -565,7 +571,7 @@ def _w27_dw_any(feats, rb_local, starts, dout, window):
         dw = windowed_dw(feats, starts.reshape(-1), rb_local.T, dout,
                          window=window, tile=v // tiles)
         return dw[:, :c, :].reshape(27 * c, -1)
-    return _win_dw(feats, rb_local, starts[:, _GMAP27], dout, window)
+    return _win_dw(feats, rb_local, _w27_expand(starts), dout, window)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))

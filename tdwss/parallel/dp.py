@@ -67,6 +67,8 @@ def _expand_window(win, new_w: int):
         drows = np.repeat(delta, t)[:, None]
     elif isinstance(win, Windowed27):
         gmap = np.arange(27, dtype=np.int32) % 9
+        if starts.shape[1] == 3:
+            gmap = gmap % 3
         drows = np.repeat(delta[:, gmap], t, axis=0)
     else:                                               # WindowedSubm
         gmap = window_group_map(starts.shape[1])

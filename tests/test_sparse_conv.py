@@ -349,35 +349,38 @@ def test_pallas_windowed_matmul_interpret(rng):
 
 
 def test_pallas_w27_interpret(rng):
-    """27-tap fused kernel == einsum path (interpret mode)."""
+    """27-tap fused kernel == einsum path (interpret mode), nwin 9 and 3."""
     from tdwss.ops.pallas_subm import pad_w9, windowed_dw, windowed_matmul
     from tdwss.ops.sparse_conv import _GMAP27, _win_dw, _win_matmul
 
     v, tile, window, c, cout = 64, 16, 24, 12, 8
     tiles = v // tile
     feats = jnp.asarray(rng.normal(size=(v, c)).astype(np.float32))
-    starts = jnp.asarray(
-        (rng.integers(0, (v - window) // 8 + 1, size=(tiles * 9,)) * 8)
-        .astype(np.int32))
     rb_local = jnp.asarray(
         rng.integers(0, window + 1, size=(v, 27)).astype(np.int32))
     w2d = jnp.asarray(rng.normal(size=(27 * c, cout)).astype(np.float32))
-    starts27 = starts.reshape(tiles, 9)[:, _GMAP27]
-
-    ref = _win_matmul(feats, rb_local, starts27, w2d, window)
-    out = windowed_matmul(feats, starts, rb_local.T,
-                          pad_w9(w2d.reshape(27, c, cout)),
-                          window=window, tile=tile, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
-
     dout = jnp.asarray(rng.normal(size=(v, cout)).astype(np.float32))
-    dref = _win_dw(feats, rb_local, starts27, dout, window)
-    dw = windowed_dw(feats, starts, rb_local.T, dout,
-                     window=window, tile=tile, interpret=True)
-    np.testing.assert_allclose(
-        np.asarray(dw[:, :c, :].reshape(27 * c, cout)), np.asarray(dref),
-        rtol=1e-4, atol=1e-4)
+
+    for nwin in (9, 3):
+        starts = jnp.asarray(
+            (rng.integers(0, (v - window) // 8 + 1, size=(tiles * nwin,)) * 8)
+            .astype(np.int32))
+        gmap = _GMAP27 if nwin == 9 else _GMAP27 % 3
+        starts27 = starts.reshape(tiles, nwin)[:, gmap]
+
+        ref = _win_matmul(feats, rb_local, starts27, w2d, window)
+        out = windowed_matmul(feats, starts, rb_local.T,
+                              pad_w9(w2d.reshape(27, c, cout)),
+                              window=window, tile=tile, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        dref = _win_dw(feats, rb_local, starts27, dout, window)
+        dw = windowed_dw(feats, starts, rb_local.T, dout,
+                         window=window, tile=tile, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(dw[:, :c, :].reshape(27 * c, cout)), np.asarray(dref),
+            rtol=1e-4, atol=1e-4)
 
 
 def test_pallas_wg_cross_domain_interpret(rng):
