@@ -527,19 +527,21 @@ def build_windowed_subm27(
     # nothing and cuts DMA descriptors 3x).
     gmap27 = (np.arange(27, dtype=np.int32) % 9 if nwin == 9
               else (np.arange(27, dtype=np.int32) % 9) % 3)
-    masked = np.where(rb27 >= 0, rb27, np.iinfo(np.int32).max)
-    # per-(tile, group) min over the member taps
-    starts = np.full((tiles, nwin), np.iinfo(np.int64).max, np.int64)
+    # int32 throughout + broadcast over a (tiles, tile, 27) view — int64
+    # temporaries, np.repeat materializations and astype round-trips cost
+    # ~30 s/batch at V=786k on one core (profiled).
+    rb3 = rb27.reshape(tiles, tile, 27)
+    live3 = rb3 >= 0
+    masked3 = np.where(live3, rb3, np.int32(np.iinfo(np.int32).max))
+    tapmin = masked3.min(axis=1)                             # (tiles, 27)
+    starts = np.full((tiles, nwin), np.iinfo(np.int32).max, np.int32)
     for k in range(27):
         g = gmap27[k]
-        np.minimum(starts[:, g],
-                   masked[:, k].reshape(tiles, tile).min(axis=1),
-                   out=starts[:, g])
-    starts = (starts // 8) * 8                               # DMA alignment
+        np.minimum(starts[:, g], tapmin[:, k], out=starts[:, g])
+    starts &= ~np.int32(7)                                   # 8-aligned
     if auto_window:
-        s27 = starts[:, gmap27]
-        loc = np.where(rb27 >= 0, rb27 - np.repeat(s27, tile, axis=0), -1)
-        span = (loc.reshape(tiles, tile * 27).max(axis=1) + 1) if tiles \
+        loc3 = np.where(live3, rb3 - starts[:, None, gmap27], -1)
+        span = (loc3.reshape(tiles, tile * 27).max(axis=1) + 1) if tiles \
             else np.zeros((1,), np.int64)
         need = float(np.quantile(span, auto_quantile))
         window = int(np.clip(need, 128, max(min(auto_max, v), 128)))
@@ -547,20 +549,19 @@ def build_windowed_subm27(
         window = _sticky_window((v, tile, 27, nwin, "win"), window)
         if v < window + 2:
             return None
-    starts = np.clip(starts, 0, max(v - window, 0)).astype(np.int32)
+    np.clip(starts, 0, max(v - window, 0), out=starts)
 
-    local = rb27 - np.repeat(starts[:, gmap27], tile, axis=0)
-    cover = (rb27 >= 0) & (local >= 0) & (local < window)
-    rb_local = np.where(cover, local, window).astype(np.int32)
+    local3 = rb3 - starts[:, None, gmap27]                   # (tiles,tile,27)
+    cover3 = live3 & (local3 >= 0) & (local3 < window)
+    rb_local = np.where(cover3, local3, np.int32(window)).reshape(v, 27)
 
     # Spills -> compact v-sorted overflow list (no aligned tier: the
     # aligned (V, R) tier costs O(V*R) on device regardless of how few
     # slots are real, and spills are ~0.3-0.7% of entries).
-    sp_v, sp_t = np.nonzero((rb27 >= 0) & ~cover)
+    sp_v, sp_t = np.nonzero((live3 & ~cover3).reshape(v, 27))
     sp_s = rb27[sp_v, sp_t]
-    order = np.argsort(sp_v, kind="stable")
-    ovf_entries = np.stack(
-        [sp_v[order], sp_t[order], sp_s[order]], axis=1).astype(np.int32)
+    # np.nonzero already yields row-major (v-sorted) order
+    ovf_entries = np.stack([sp_v, sp_t, sp_s], axis=1).astype(np.int32)
     heavy, heavy_counts = np.unique(ovf_entries[:, 0], return_counts=True)
 
     if res_cap is not None:

@@ -464,19 +464,32 @@ def _kernel_vmem_fits(nanchor: int, window: int, c3: int, cout: int,
     return scratch + max(w9, acc + cout * l * 2) + blocks < _VMEM_BUDGET
 
 
+# Fused kernels only where they pay: each distinct kernel shape costs a
+# Mosaic compile through the (slow) remote relay — ~90 instantiations for
+# a full 7-level UNet fwd+bwd put the cold step compile past 90 minutes.
+# Below this out-domain size the XLA einsum windowed path is within a few
+# ms of the kernel anyway.
+_PALLAS_MIN_V = int(__import__("os").environ.get("TDWSS_PALLAS_MIN_V",
+                                                 100_000))
+
+
 def _use_pallas_kernel(v: int, tiles: int, window: int,
-                       nanchor: int = 27, c3: int = 0, cout: int = 0) -> bool:
+                       nanchor: int = 27, c3: int = 0, cout: int = 0,
+                       v_out: int = 0) -> bool:
     """Route the windowed conv through the fused Pallas kernel on TPU.
 
     Requires host-aligned metadata (starts % 8 == 0, guaranteed by
-    tdwss.ops.host_plan builders), tile-divisible capacity, and a kernel
-    instance that fits VMEM (else the XLA einsum path runs).
+    tdwss.ops.host_plan builders), tile-divisible capacity, a kernel
+    instance that fits VMEM, and a large enough out domain (else the XLA
+    einsum path runs).
     """
     import os
 
     if os.environ.get("TDWSS_NO_PALLAS"):
         return False
     if jax.default_backend() != "tpu":
+        return False
+    if max(v_out or v, v) < _PALLAS_MIN_V:
         return False
     if not (tiles > 0 and v % tiles == 0 and window % 8 == 0 and v % 8 == 0):
         return False
@@ -923,6 +936,8 @@ def _use_pallas_wg(v_src, v_out, tiles, window, k, c, cout) -> bool:
     if os.environ.get("TDWSS_NO_PALLAS"):
         return False
     if jax.default_backend() != "tpu":
+        return False
+    if max(v_src, v_out) < _PALLAS_MIN_V:
         return False
     if not (tiles > 0 and v_out % tiles == 0 and window % 8 == 0
             and v_src % 8 == 0):
