@@ -104,12 +104,15 @@ def main():
         t, w = parts[0], parts[1]
         nw = parts[2] if len(parts) > 2 else 9
         w27_nwin = parts[3] if len(parts) > 3 else 9
+        sub = parts[4] if len(parts) > 4 else 0
+        subwin = parts[5] if len(parts) > 5 else 0
         if cap % t or cap < w + 2:
             print(f"tile={t} window={w}: skipped (cap {cap})")
             continue
         if nw == 27:   # 27-tap single-stage form (tdwss.ops.plan.Windowed27)
             win = build_windowed_subm27(rb27, grid, tile=t, window=max(w, 0),
-                                        auto_window=w <= 0, nwin=w27_nwin)
+                                        auto_window=w <= 0, nwin=w27_nwin,
+                                        sub=sub, subwin=subwin)
         else:
             win = build_windowed_subm(rb27, grid, tile=t, window=max(w, 0),
                                       nwin=nw, auto_window=w <= 0)
@@ -129,7 +132,8 @@ def main():
             return jnp.sum(
                 subm_conv_apply(f, rb, wgt, win=wj).astype(jnp.float32) ** 2)
 
-        key = f"win t={t} w={w} n={nw}/{w27_nwin} (pad={n_pad} ovf={n_ovf})"
+        key = (f"win t={t} w={w} n={nw}/{w27_nwin} s={sub}/{subwin} "
+               f"(pad={n_pad} ovf={n_ovf})")
         results[key + " fwd"] = timed(jax.jit(fwd_win), feats, weight)
         if not args.fwd_only:
             gw = jax.jit(jax.grad(loss_win, argnums=(0, 1)))

@@ -500,8 +500,15 @@ def build_windowed_subm27(
     auto_quantile: float = 0.97,
     auto_max: int = 4096,
     nwin: int = 9,
+    sub: int = 0,
+    subwin: int = 0,
 ):
     """Host-side 27-tap windowed decomposition (tdwss.ops.plan.Windowed27).
+
+    ``sub``/``subwin`` enable two-level sub-windows (see Windowed27): rows
+    split into ``sub``-row sub-tiles whose taps read a ``subwin``-wide
+    8-aligned slice of the big window; entries outside their sub-window
+    spill to the overflow list.
 
     Every rb27 entry is either covered by a (tile, group) shared window
     (group = tap % 9 — the (dy, dz) pair; the three dx taps of a group sit
@@ -551,9 +558,35 @@ def build_windowed_subm27(
             return None
     np.clip(starts, 0, max(v - window, 0), out=starts)
 
-    local3 = rb3 - starts[:, None, gmap27]                   # (tiles,tile,27)
-    cover3 = live3 & (local3 >= 0) & (local3 < window)
-    rb_local = np.where(cover3, local3, np.int32(window)).reshape(v, 27)
+    sub_off = None
+    if sub:
+        if tile % sub or subwin % 8 or subwin > window:
+            raise ValueError("sub must divide tile; subwin 8-aligned and "
+                             "<= window")
+        nsub = v // sub
+        rbs = rb27.reshape(nsub, sub, 27)
+        lives = rbs >= 0
+        ms = np.where(lives, rbs, np.int32(np.iinfo(np.int32).max))
+        smin = ms.min(axis=1)                                # (nsub, 27)
+        gm = np.full((nsub, nwin), np.iinfo(np.int32).max, np.int32)
+        for k in range(27):
+            g = gmap27[k]
+            np.minimum(gm[:, g], smin[:, k], out=gm[:, g])
+        spt = tile // sub                                    # subs per tile
+        big = np.repeat(starts, spt, axis=0)                 # (nsub, nwin)
+        sub_off = gm - big
+        sub_off &= ~np.int32(7)
+        np.clip(sub_off, 0, window - subwin, out=sub_off)
+        base = big + sub_off                                 # (nsub, nwin)
+        local3 = rbs - base[:, None, gmap27]                 # (nsub,sub,27)
+        cover3 = lives & (local3 >= 0) & (local3 < subwin)
+        rb_local = np.where(cover3, local3,
+                            np.int32(subwin)).reshape(v, 27)
+        live3 = lives
+    else:
+        local3 = rb3 - starts[:, None, gmap27]               # (tiles,tile,27)
+        cover3 = live3 & (local3 >= 0) & (local3 < window)
+        rb_local = np.where(cover3, local3, np.int32(window)).reshape(v, 27)
 
     # Spills -> compact v-sorted overflow list (no aligned tier: the
     # aligned (V, R) tier costs O(V*R) on device regardless of how few
@@ -570,9 +603,9 @@ def build_windowed_subm27(
         e2_cap = max(res_cap, 32)
         h_cap = max(res_cap, 32)
     else:
-        e2_cap = _sticky_ecap((v, tile, window, 27, nwin, "ovf"),
+        e2_cap = _sticky_ecap((v, tile, window, 27, nwin, sub, "ovf"),
                               ovf_entries.shape[0], max(64, v // 64))
-        h_cap = _sticky_ecap((v, tile, window, 27, nwin, "heavy"),
+        h_cap = _sticky_ecap((v, tile, window, 27, nwin, sub, "heavy"),
                              heavy.shape[0], max(64, v // 128))
 
     res_ovf = np.full((e2_cap, 3), v, np.int32)
@@ -584,7 +617,8 @@ def build_windowed_subm27(
 
     return Windowed27(
         starts=starts, rb_local=rb_local, res_ovf=res_ovf, ovf_v=ovf_v,
-        ovf_count=ovf_count, window=window,
+        ovf_count=ovf_count, window=window, sub_off=sub_off,
+        sub=int(sub), subwin=int(subwin),
     )
 
 

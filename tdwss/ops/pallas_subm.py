@@ -301,3 +301,241 @@ def pad_w9(w9: jnp.ndarray) -> jnp.ndarray:
     if l == c3:
         return w9
     return jnp.pad(w9, ((0, 0), (0, l - c3), (0, 0)))
+
+
+def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
+                    soff_base: int,
+                    scal_ref, src_ref, rb_ref, w9_ref, out_ref,
+                    win, zbuf, sems):
+    """Two-level tile: big-window DMAs + full-width Z, sub-window one-hots.
+
+    The one-hot construction (VPU) and its matmul scale with T x width;
+    sub-tiles of ``sub`` rows read a ``swk8*8``-wide slice of the Z
+    buffer (measured: the one-hot build is ~17 ms of the 25 ms kernel at
+    W=640 — sub-windows cut that width 2.5-5x at ~equal spill rates).
+    """
+    step = pl.program_id(0)
+    w = w8 * 8
+    swk = swk8 * 8
+    nwin = max(gmap) + 1
+    nsub = t // sub
+
+    def get_dma(buf, tile, j):
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(scal_ref[tile * nwin + j], w8)],
+            win.at[buf, j], sems.at[buf, j])
+
+    cur = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        for j in range(nwin):
+            get_dma(0, 0, j).start()
+
+    @pl.when(step + 1 < pl.num_programs(0))
+    def _():
+        for j in range(nwin):
+            get_dma(nxt, step + 1, j).start()
+
+    for j in range(nwin):
+        get_dma(cur, step, j).wait()
+
+    l = win.shape[-1]
+    cout = w9_ref.shape[-1]
+    for a in range(len(gmap)):
+        win_a = win[cur, gmap[a]].reshape(w, l)
+        z = jnp.dot(win_a, w9_ref[a], preferred_element_type=jnp.float32)
+        zbuf[a] = z.astype(win_a.dtype).reshape(w8, 8, cout)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (sub, swk), 1)
+    for s_i in range(nsub):
+        acc = jnp.zeros((sub, cout), jnp.float32)
+        for a in range(len(gmap)):
+            off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
+            zs = zbuf[a, pl.ds(off8, swk8)].reshape(swk, cout)
+            rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
+            oh = (rbs[:, None] == iota).astype(zs.dtype)
+            acc = acc + jnp.dot(oh, zs, preferred_element_type=jnp.float32)
+        out_ref[s_i * sub:(s_i + 1) * sub] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "tile", "sub", "subwin",
+                                    "interpret"))
+def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
+                        soff: jnp.ndarray, rb_local_t: jnp.ndarray,
+                        w9: jnp.ndarray, window: int, tile: int, sub: int,
+                        subwin: int, interpret: bool = False) -> jnp.ndarray:
+    """Two-level windowed gather-GEMM -> (V_out, Cout) f32.
+
+    soff (tiles * (tile/sub) * nwin,) int32 8-aligned sub-window offsets
+    within the big window; rb_local_t (nanchor, V_out) relative to
+    (start + soff), sentinel >= subwin.
+    """
+    v_src, c3 = feats3.shape
+    v_out = rb_local_t.shape[1]
+    cout = w9.shape[-1]
+    nanchor = rb_local_t.shape[0]
+    if (v_out % tile or window % 8 or v_src % 8 or tile % sub
+            or subwin % 8 or subwin > window):
+        raise ValueError("bad sub-window geometry")
+    tiles = v_out // tile
+    nsub = tile // sub
+    nwin = soff.shape[0] // (tiles * nsub)
+    gmap = _anchor_gmap(nanchor, nwin)
+    l = _lane_pad(c3)
+    if w9.shape[1] != l:
+        raise ValueError(f"w9 second dim must be lane-padded to {l}")
+    if c3 != l:
+        feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
+    src = feats3.reshape(v_src // 8, 8, l)
+    scal = jnp.concatenate([starts // 8, soff // 8])
+    nstarts = starts.shape[0]
+
+    kernel = functools.partial(_sub_fwd_kernel, gmap, window // 8, tile,
+                               sub, subwin // 8, nstarts)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                  # src
+            pl.BlockSpec((nanchor, tile), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),              # rb_local_t
+            pl.BlockSpec((nanchor, l, cout), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),              # w9
+        ],
+        out_specs=pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, max(gmap) + 1, window // 8, 8, l), feats3.dtype),
+            pltpu.VMEM((nanchor, window // 8, 8, cout), feats3.dtype),
+            pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((v_out, cout), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(scal, src, rb_local_t, w9)
+
+
+def _sub_dw_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
+                   soff_base: int,
+                   scal_ref, src_ref, rb_ref, dout_ref, dw_ref,
+                   win, sbuf, acc, sems):
+    """Two-level dW: per-sub scatter-accumulate oh^T @ dout into a
+    full-width per-anchor buffer, then win^T @ sbuf per anchor."""
+    step = pl.program_id(0)
+    w = w8 * 8
+    swk = swk8 * 8
+    nwin = max(gmap) + 1
+    nsub = t // sub
+
+    def get_dma(buf, tile, j):
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(scal_ref[tile * nwin + j], w8)],
+            win.at[buf, j], sems.at[buf, j])
+
+    cur = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        for j in range(nwin):
+            get_dma(0, 0, j).start()
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(step + 1 < pl.num_programs(0))
+    def _():
+        for j in range(nwin):
+            get_dma(nxt, step + 1, j).start()
+
+    for j in range(nwin):
+        get_dma(cur, step, j).wait()
+
+    l = win.shape[-1]
+    cout = dout_ref.shape[-1]
+    sbuf[...] = jnp.zeros_like(sbuf)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
+    for s_i in range(nsub):
+        dsub = dout_ref[s_i * sub:(s_i + 1) * sub, :]
+        for a in range(len(gmap)):
+            off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
+            rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
+            oh_t = (rbs[None, :] == iota).astype(dsub.dtype)
+            contrib = jnp.dot(oh_t, dsub, preferred_element_type=jnp.float32)
+            curs = sbuf[a, pl.ds(off8, swk8)].reshape(swk, cout)
+            sbuf[a, pl.ds(off8, swk8)] = (
+                curs + contrib).reshape(swk8, 8, cout)
+
+    for a in range(len(gmap)):
+        win_a = win[cur, gmap[a]].reshape(w, l)
+        s_a = sbuf[a].reshape(w, cout).astype(win_a.dtype)
+        acc[a] += jax.lax.dot_general(
+            win_a, s_a, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(step + 1 == pl.num_programs(0))
+    def _():
+        dw_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "tile", "sub", "subwin",
+                                    "interpret"))
+def windowed_dw_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
+                    soff: jnp.ndarray, rb_local_t: jnp.ndarray,
+                    dout: jnp.ndarray, window: int, tile: int, sub: int,
+                    subwin: int, interpret: bool = False) -> jnp.ndarray:
+    """Two-level dW (nanchor, C3p, Cout) f32."""
+    v_src, c3 = feats3.shape
+    v_out = rb_local_t.shape[1]
+    cout = dout.shape[-1]
+    nanchor = rb_local_t.shape[0]
+    if (v_out % tile or window % 8 or v_src % 8 or tile % sub
+            or subwin % 8 or subwin > window):
+        raise ValueError("bad sub-window geometry")
+    tiles = v_out // tile
+    nsub = tile // sub
+    nwin = soff.shape[0] // (tiles * nsub)
+    gmap = _anchor_gmap(nanchor, nwin)
+    l = _lane_pad(c3)
+    if c3 != l:
+        feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
+    src = feats3.reshape(v_src // 8, 8, l)
+    scal = jnp.concatenate([starts // 8, soff // 8])
+    nstarts = starts.shape[0]
+    dout = dout.astype(feats3.dtype)
+
+    kernel = functools.partial(_sub_dw_kernel, gmap, window // 8, tile,
+                               sub, subwin // 8, nstarts)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                  # src
+            pl.BlockSpec((nanchor, tile), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),              # rb_local_t
+            pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),              # dout
+        ],
+        out_specs=pl.BlockSpec((nanchor, l, cout), lambda t, *_: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, max(gmap) + 1, window // 8, 8, l), feats3.dtype),
+            pltpu.VMEM((nanchor, window // 8, 8, cout), jnp.float32),
+            pltpu.VMEM((nanchor, l, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nanchor, l, cout), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(scal, src, rb_local_t, dout)

@@ -114,6 +114,18 @@ class Windowed27:
     ovf_v: jnp.ndarray
     ovf_count: jnp.ndarray
     window: int = flax.struct.field(pytree_node=False, default=512)
+    # Two-level sub-windows (0 = disabled): rows are additionally split
+    # into sub-tiles of ``sub`` rows whose taps read a ``subwin``-wide
+    # slice of the big window.  The one-hot build + matmul then run at
+    # width subwin instead of window — the VPU one-hot construction is
+    # the measured kernel bottleneck (~17 of 25 ms at W=640) and scales
+    # with T x W.  ``sub_off`` is (tiles * S, nwin) int32: the 8-aligned
+    # slice offset of each (sub-tile, window-group) within its big
+    # window, clamped to [0, window - subwin]; rb_local is then relative
+    # to (start + sub_off) with sentinel == subwin.
+    sub_off: Optional[jnp.ndarray] = None
+    sub: int = flax.struct.field(pytree_node=False, default=0)
+    subwin: int = flax.struct.field(pytree_node=False, default=0)
 
 
 @flax.struct.dataclass

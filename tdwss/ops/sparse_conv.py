@@ -552,66 +552,97 @@ def _w27_expand(starts):
     return starts[:, _GMAP27 if nwin == 9 else _GMAP27 % 3]
 
 
-def _w27_matmul_any(feats, rb_local, starts, w2d, window):
+def _w27_big_locals(rb_local, sub_off, window, sub, subwin):
+    """Sub-relative (V, 27) locals -> big-window-relative (einsum path)."""
+    nwin = sub_off.shape[1]
+    gmap = _GMAP27 if nwin == 9 else _GMAP27 % 3
+    big = jnp.repeat(sub_off, sub, axis=0)[:, gmap]          # (V, 27)
+    return jnp.where(rb_local == subwin, window, rb_local + big)
+
+
+def _w27_matmul_any(feats, rb_local, starts, w2d, window, sub=0, subwin=0,
+                    sub_off=None):
     """27-tap windowed gather-GEMM -> (V, Cout) f32.
 
-    feats (V, C); rb_local (V, 27); starts (tiles, 9) per-group shared
-    windows; w2d (27C, Cout) raw-tap-order weights.
+    feats (V, C); rb_local (V, 27); starts (tiles, nwin) per-group shared
+    windows; w2d (27C, Cout) raw-tap-order weights.  With ``sub``, locals
+    are sub-window-relative and ``sub_off`` carries slice offsets.
     """
     v = feats.shape[0]
     tiles = starts.shape[0]
     if _use_pallas_kernel(v, tiles, window, 27, feats.shape[1],
                           w2d.shape[-1]):
-        from tdwss.ops.pallas_subm import pad_w9, windowed_matmul
+        from tdwss.ops.pallas_subm import (pad_w9, windowed_matmul,
+                                           windowed_matmul_sub)
 
         c = feats.shape[1]
         w27p = pad_w9(w2d.reshape(27, c, -1))
+        if sub:
+            return windowed_matmul_sub(
+                feats, starts.reshape(-1), sub_off.reshape(-1),
+                rb_local.T, w27p, window=window, tile=v // tiles,
+                sub=sub, subwin=subwin)
         return windowed_matmul(
             feats, starts.reshape(-1), rb_local.T, w27p,
             window=window, tile=v // tiles)
+    if sub:
+        rb_local = _w27_big_locals(rb_local, sub_off, window, sub, subwin)
     return _win_matmul(feats, rb_local, _w27_expand(starts), w2d, window)
 
 
-def _w27_dw_any(feats, rb_local, starts, dout, window):
+def _w27_dw_any(feats, rb_local, starts, dout, window, sub=0, subwin=0,
+                sub_off=None):
     """27-tap windowed dW -> (27C, Cout) f32 (raw tap order)."""
     v = feats.shape[0]
     tiles = starts.shape[0]
     if _use_pallas_kernel(v, tiles, window, 27, feats.shape[1],
                           dout.shape[-1]):
-        from tdwss.ops.pallas_subm import windowed_dw
+        from tdwss.ops.pallas_subm import windowed_dw, windowed_dw_sub
 
         c = feats.shape[1]
-        dw = windowed_dw(feats, starts.reshape(-1), rb_local.T, dout,
-                         window=window, tile=v // tiles)
+        if sub:
+            dw = windowed_dw_sub(
+                feats, starts.reshape(-1), sub_off.reshape(-1),
+                rb_local.T, dout, window=window, tile=v // tiles,
+                sub=sub, subwin=subwin)
+        else:
+            dw = windowed_dw(feats, starts.reshape(-1), rb_local.T, dout,
+                             window=window, tile=v // tiles)
         return dw[:, :c, :].reshape(27 * c, -1)
+    if sub:
+        rb_local = _w27_big_locals(rb_local, sub_off, window, sub, subwin)
     return _win_dw(feats, rb_local, _w27_expand(starts), dout, window)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _subm_conv_w27(window, feats, starts, rb_local, res_ovf, ovf_v,
-                   ovf_count, weight):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _subm_conv_w27(window, sub, subwin, feats, starts, sub_off, rb_local,
+                   res_ovf, ovf_v, ovf_count, weight):
     """27-tap windowed submanifold conv (tdwss.ops.plan.Windowed27)."""
     k, cin, cout = weight.shape
     w2d = weight.reshape(k * cin, cout)
-    out = _w27_matmul_any(feats, rb_local, starts, w2d, window)
+    out = _w27_matmul_any(feats, rb_local, starts, w2d, window, sub, subwin,
+                          sub_off)
     out = out + _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout)
     return out.astype(feats.dtype)
 
 
-def _subm_conv_w27_fwd(window, feats, starts, rb_local, res_ovf, ovf_v,
-                       ovf_count, weight):
-    out = _subm_conv_w27(window, feats, starts, rb_local, res_ovf, ovf_v,
-                         ovf_count, weight)
-    return out, (feats, starts, rb_local, res_ovf, ovf_v, ovf_count, weight)
+def _subm_conv_w27_fwd(window, sub, subwin, feats, starts, sub_off,
+                       rb_local, res_ovf, ovf_v, ovf_count, weight):
+    out = _subm_conv_w27(window, sub, subwin, feats, starts, sub_off,
+                         rb_local, res_ovf, ovf_v, ovf_count, weight)
+    return out, (feats, starts, sub_off, rb_local, res_ovf, ovf_v,
+                 ovf_count, weight)
 
 
-def _subm_conv_w27_bwd(window, res, dout):
-    feats, starts, rb_local, res_ovf, ovf_v, ovf_count, weight = res
+def _subm_conv_w27_bwd(window, sub, subwin, res, dout):
+    (feats, starts, sub_off, rb_local, res_ovf, ovf_v, ovf_count,
+     weight) = res
     k, cin, cout = weight.shape
     feats, dout = jax.lax.optimization_barrier((feats, dout))
     dout_c = dout.astype(feats.dtype)
 
-    dw = _w27_dw_any(feats, rb_local, starts, dout_c, window)
+    dw = _w27_dw_any(feats, rb_local, starts, dout_c, window, sub, subwin,
+                     sub_off)
     dw = dw + _res_ovf_dw(feats, res_ovf, dout_c)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
 
@@ -620,14 +651,15 @@ def _subm_conv_w27_bwd(window, res, dout):
     # same windows / locals / spill list evaluate it (plain-path backward
     # derivation, tdwss/ops/plan.py Windowed27 docstring).
     wt2d = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
-    dfeats = _w27_matmul_any(dout_c, rb_local, starts, wt2d, window)
+    dfeats = _w27_matmul_any(dout_c, rb_local, starts, wt2d, window, sub,
+                             subwin, sub_off)
     dfeats = dfeats + _res_ovf_apply(dout_c, res_ovf, ovf_v, ovf_count,
                                      wt2d, cin)
     dfeats = dfeats.astype(feats.dtype)
 
     zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
-    return (dfeats, zeros(starts), zeros(rb_local), zeros(res_ovf),
-            zeros(ovf_v), zeros(ovf_count), dw)
+    return (dfeats, zeros(starts), zeros(sub_off), zeros(rb_local),
+            zeros(res_ovf), zeros(ovf_v), zeros(ovf_count), dw)
 
 
 _subm_conv_w27.defvjp(_subm_conv_w27_fwd, _subm_conv_w27_bwd)
@@ -705,8 +737,11 @@ def subm_conv_apply(feats: jnp.ndarray, rulebook: jnp.ndarray,
         from tdwss.ops.plan import Windowed27
 
         if isinstance(win, Windowed27):
+            sub_off = (win.sub_off if win.sub_off is not None
+                       else jnp.zeros((0, win.starts.shape[1]), jnp.int32))
             return _subm_conv_w27(
-                win.window, feats, win.starts, win.rb_local, win.res_ovf,
+                win.window, win.sub, win.subwin, feats, win.starts,
+                sub_off, win.rb_local, win.res_ovf,
                 win.ovf_v, win.ovf_count, weight)
         return _subm_conv_windowed(
             win.window, feats, win.starts, win.rb_local, win.xprev_ok,

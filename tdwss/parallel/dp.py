@@ -66,6 +66,15 @@ def _expand_window(win, new_w: int):
     if starts.ndim == 1:                                # WindowedGather
         drows = np.repeat(delta, t)[:, None]
     elif isinstance(win, Windowed27):
+        if win.sub:
+            # sub-relative locals are unchanged: shift the sub offsets so
+            # (start + sub_off) keeps its absolute position (the clamp
+            # bound only grows with the window).
+            spt = t // win.sub
+            soff = np.asarray(win.sub_off) + np.repeat(delta, spt, axis=0)
+            return win.replace(starts=new_starts,
+                               sub_off=soff.astype(np.int32),
+                               window=new_w)
         gmap = np.arange(27, dtype=np.int32) % 9
         if starts.shape[1] == 3:
             gmap = gmap % 3

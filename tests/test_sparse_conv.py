@@ -414,3 +414,75 @@ def test_pallas_wg_cross_domain_interpret(rng):
     np.testing.assert_allclose(
         np.asarray(dw[:, :c, :].reshape(k * c, cout)), np.asarray(dref),
         rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_w27_sub_interpret(rng):
+    """Two-level sub-window kernels == reconstructed einsum path."""
+    from tdwss.ops.pallas_subm import (pad_w9, windowed_dw_sub,
+                                       windowed_matmul_sub)
+    from tdwss.ops.sparse_conv import (_w27_big_locals, _w27_expand,
+                                       _win_dw, _win_matmul)
+
+    v, tile, window, sub, swk, c, cout = 128, 32, 48, 8, 16, 12, 8
+    tiles = v // tile
+    nsub = tile // sub
+    feats = jnp.asarray(rng.normal(size=(v, c)).astype(np.float32))
+    starts = jnp.asarray(
+        (rng.integers(0, (v - window) // 8 + 1, size=(tiles, 9)) * 8)
+        .astype(np.int32))
+    sub_off = jnp.asarray(
+        (rng.integers(0, (window - swk) // 8 + 1, size=(tiles * nsub, 9)) * 8)
+        .astype(np.int32))
+    rb_sub = jnp.asarray(
+        rng.integers(0, swk + 1, size=(v, 27)).astype(np.int32))
+    w2d = jnp.asarray(rng.normal(size=(27 * c, cout)).astype(np.float32))
+
+    rb_big = _w27_big_locals(rb_sub, sub_off, window, sub, swk)
+    ref = _win_matmul(feats, rb_big, _w27_expand(starts), w2d, window)
+    out = windowed_matmul_sub(
+        feats, starts.reshape(-1), sub_off.reshape(-1), rb_sub.T,
+        pad_w9(w2d.reshape(27, c, cout)), window=window, tile=tile,
+        sub=sub, subwin=swk, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    dout = jnp.asarray(rng.normal(size=(v, cout)).astype(np.float32))
+    dref = _win_dw(feats, rb_big, _w27_expand(starts), dout, window)
+    dw = windowed_dw_sub(
+        feats, starts.reshape(-1), sub_off.reshape(-1), rb_sub.T, dout,
+        window=window, tile=tile, sub=sub, subwin=swk, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(dw[:, :c, :].reshape(27 * c, cout)), np.asarray(dref),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_w27_sub_form_matches_plain(rng):
+    """Sub-window Windowed27 == plain conv path (fwd + grads, CPU)."""
+    from tests.test_host_plan import _random_coords
+    from tdwss.ops.host_plan import (build_subm_rulebook_np,
+                                     build_windowed_subm27, voxelize_np)
+
+    rng2 = np.random.default_rng(5)
+    n = 1024
+    coords, feats, valid = _random_coords(rng2, n=n, size=24,
+                                          invalid_frac=0.05)
+    grid, _, _ = voxelize_np(coords, feats[:, :3], valid, n)
+    rb = build_subm_rulebook_np(grid, 3)
+    win = build_windowed_subm27(rb, grid, tile=128, window=256,
+                                res_cap=27 * n, sub=32, subwin=64)
+    assert win.sub_off is not None
+    vf = jnp.asarray(rng2.normal(size=(n, 5)).astype(np.float32))
+    w = jnp.asarray(rng2.normal(size=(27, 5, 4)).astype(np.float32))
+    winj = jax.tree_util.tree_map(jnp.asarray, win)
+    ref = np.asarray(subm_conv_apply(vf, jnp.asarray(rb), w))
+    out = np.asarray(subm_conv_apply(vf, jnp.asarray(rb), w, winj))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    gp = jax.grad(lambda f, w_: jnp.sum(
+        subm_conv_apply(f, jnp.asarray(rb), w_) ** 2), argnums=(0, 1))(vf, w)
+    gw = jax.grad(lambda f, w_: jnp.sum(
+        subm_conv_apply(f, jnp.asarray(rb), w_, winj) ** 2),
+        argnums=(0, 1))(vf, w)
+    np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gp[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gp[1]),
+                               rtol=2e-4, atol=2e-4)
