@@ -238,11 +238,16 @@ def build_plans_np(
             while t > 32 and v % t != 0:
                 t //= 2
             if form == "w27":
+                # sub-windows: measured 32.5 -> 22.8 ms fwd (88 -> 61
+                # fwd+bwd) at V=636k C=32 vs the flat big-window kernel
+                sub = 128 if t % 128 == 0 else 0
                 win = build_windowed_subm27(subm_rb, grid, tile=t,
                                             window=max(window, 0),
                                             auto_window=window <= 0,
                                             nwin=nwin if nwin in (9, 3)
-                                            else 9)
+                                            else 9,
+                                            sub=sub,
+                                            subwin=256 if sub else 0)
             else:
                 win = build_windowed_subm(subm_rb, grid, tile=t,
                                           window=max(window, 0), nwin=nwin,

@@ -560,28 +560,42 @@ def _w27_big_locals(rb_local, sub_off, window, sub, subwin):
     return jnp.where(rb_local == subwin, window, rb_local + big)
 
 
+def _sub_vmem_fits(window: int, c: int, cout: int, dw: bool) -> bool:
+    """Extra scratch of the sub-window kernels (zbuf / f32 sbuf + acc)."""
+    l = ((c + 127) // 128) * 128
+    zbuf = 27 * window * cout * 2
+    sbuf = 27 * window * cout * 4 + 27 * l * cout * 4 if dw else 0
+    win = 2 * 9 * window * l * 2
+    return win + max(zbuf, sbuf) < _VMEM_BUDGET
+
+
 def _w27_matmul_any(feats, rb_local, starts, w2d, window, sub=0, subwin=0,
                     sub_off=None):
     """27-tap windowed gather-GEMM -> (V, Cout) f32.
 
     feats (V, C); rb_local (V, 27); starts (tiles, nwin) per-group shared
     windows; w2d (27C, Cout) raw-tap-order weights.  With ``sub``, locals
-    are sub-window-relative and ``sub_off`` carries slice offsets.
+    are sub-window-relative and ``sub_off`` carries slice offsets; if the
+    sub kernel's extra scratch would overflow VMEM the flat kernel (or
+    einsum) evaluates the reconstructed big-window locals instead.
     """
     v = feats.shape[0]
     tiles = starts.shape[0]
-    if _use_pallas_kernel(v, tiles, window, 27, feats.shape[1],
-                          w2d.shape[-1]):
+    c = feats.shape[1]
+    cout = w2d.shape[-1]
+    if _use_pallas_kernel(v, tiles, window, 27, c, cout):
         from tdwss.ops.pallas_subm import (pad_w9, windowed_matmul,
                                            windowed_matmul_sub)
 
-        c = feats.shape[1]
         w27p = pad_w9(w2d.reshape(27, c, -1))
-        if sub:
+        if sub and _sub_vmem_fits(window, c, cout, dw=False):
             return windowed_matmul_sub(
                 feats, starts.reshape(-1), sub_off.reshape(-1),
                 rb_local.T, w27p, window=window, tile=v // tiles,
                 sub=sub, subwin=subwin)
+        if sub:
+            rb_local = _w27_big_locals(rb_local, sub_off, window, sub,
+                                       subwin)
         return windowed_matmul(
             feats, starts.reshape(-1), rb_local.T, w27p,
             window=window, tile=v // tiles)
@@ -595,18 +609,20 @@ def _w27_dw_any(feats, rb_local, starts, dout, window, sub=0, subwin=0,
     """27-tap windowed dW -> (27C, Cout) f32 (raw tap order)."""
     v = feats.shape[0]
     tiles = starts.shape[0]
-    if _use_pallas_kernel(v, tiles, window, 27, feats.shape[1],
-                          dout.shape[-1]):
+    c = feats.shape[1]
+    cout = dout.shape[-1]
+    if _use_pallas_kernel(v, tiles, window, 27, c, cout):
         from tdwss.ops.pallas_subm import windowed_dw, windowed_dw_sub
 
-        c = feats.shape[1]
-        if sub:
+        if sub and _sub_vmem_fits(window, c, cout, dw=True):
             dw = windowed_dw_sub(
                 feats, starts.reshape(-1), sub_off.reshape(-1),
                 rb_local.T, dout, window=window, tile=v // tiles,
                 sub=sub, subwin=subwin)
         else:
-            dw = windowed_dw(feats, starts.reshape(-1), rb_local.T, dout,
+            rb = (_w27_big_locals(rb_local, sub_off, window, sub, subwin)
+                  if sub else rb_local)
+            dw = windowed_dw(feats, starts.reshape(-1), rb.T, dout,
                              window=window, tile=v // tiles)
         return dw[:, :c, :].reshape(27 * c, -1)
     if sub:
