@@ -12,15 +12,13 @@ for GPU SparseConvNet fwd+bwd on this config (16 GB-class GPU; ~1M-point
 batch in ~0.5 s).  BASELINE.json's target is >=5x GPU-SCN on a v5e-8, i.e.
 ``vs_baseline >= 5`` with 8-chip data parallelism.
 
-Round-1 progression on one v5e chip (see the tpu-gather-performance-model
-memory note): naive in-graph plan building never finished compiling;
-host-built rulebooks + scatter-free transposed-rulebook VJPs reached
-0.063 Mpts/s; the windowed-MXU gather path with tiered residual
-corrections 0.077 Mpts/s; per-level capacity schedules 0.086 Mpts/s.
-The remaining wall is XLA's TPU gather/indexing
-throughput (~15-60 ns per indexed row in every formulation measured); the
-round-2 plan removes per-row indexing from the conv path (dense 8^3 brick
-tensors + XLA conv3d + coalesced Pallas DMA halos).
+Round-1 progression on one v5e chip: naive in-graph plan building never
+finished compiling; host-built rulebooks + scatter-free
+transposed-rulebook VJPs 0.063 Mpts/s; windowed-MXU x-triple engine
+0.077-0.086; 27-tap windowed Pallas engine + windowed cross-level
+transitions 0.46; two-level sub-window kernels 0.595.  Remaining levers
+(docs/DESIGN.md): VPU one-hot construction, MXU lane use at Cout=32,
+the einsum fallback at small levels, and 8-chip data parallelism.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpoints/s", "vs_baseline": N}
