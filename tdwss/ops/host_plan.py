@@ -259,9 +259,13 @@ def build_plans_np(
             if windowed:
                 vf = grid.coords.shape[0]
                 vc = down_rb.shape[0]
+                # group children by fine-z parity (oz is the fastest
+                # child_offset dim): a coarse tile's children straddle
+                # ``s`` fine slabs, which blows a single window to the
+                # slab distance (measured 4096 vs 1024 grouped).
                 wg_down = build_windowed_gather(
-                    down_rb, v_src=vf, tile=tile,
-                    sticky_key=(vc, vf, f, "dn"))
+                    down_rb, v_src=vf, tile=256, group_mod=s,
+                    sticky_key=(vc, vf, f, s, "dn"))
                 rb_up = parent_rulebook(parent, child_offset, vc, f ** 3)
                 wg_up = build_windowed_gather(
                     rb_up, v_src=vc, tile=tile,
@@ -636,21 +640,28 @@ def build_windowed_gather(
     auto_quantile: float = 0.97,
     auto_max: int = 4096,
     sticky_key: Optional[tuple] = None,
+    group_mod: int = 1,
 ):
     """Windowed decomposition of an arbitrary (V_out, K) rulebook.
 
     Used for the cross-level maps (strided conv down_rb, deconv parent
     map): source rows of consecutive output rows are spatially local
-    under the shared key sort, so all K taps of an out-tile read one
-    shared source window.  ``window <= 0`` auto-sizes from per-tile span
-    quantiles (spills fall to the overflow list).
+    under the shared key sort, so the taps of an out-tile read shared
+    source windows.  ``group_mod`` splits taps onto ``group_mod`` windows
+    by tap % group_mod — for down_rb pass the stride: children in
+    different fine z-slabs (child_offset has oz fastest) get their own
+    window, since a coarse tile's children straddle ``stride`` fine
+    slabs, which blows a single window up to the slab distance (measured
+    W=4096 at 2.3% spills single-window vs W=1024 at 0.86% oz-grouped).
+    ``window <= 0`` auto-sizes from per-tile span quantiles (spills fall
+    to the overflow list).
 
     Returns tdwss.ops.plan.WindowedGather, or None for unsuitable shapes.
     """
     from tdwss.ops.plan import WindowedGather
 
     v_out, k = rb.shape
-    if v_out == 0 or v_src % 8 != 0:
+    if v_out == 0 or v_src % 8 != 0 or k % group_mod != 0:
         return None
     t = tile
     while t > 32 and v_out % t != 0:
@@ -658,27 +669,35 @@ def build_windowed_gather(
     if v_out % t != 0:
         return None
     tiles = v_out // t
+    gmap = np.arange(k, dtype=np.int32) % group_mod
 
-    masked = np.where(rb >= 0, rb.astype(np.int64), np.iinfo(np.int64).max)
-    starts = masked.reshape(tiles, t * k).min(axis=1)
-    starts = (starts // 8) * 8
+    rb3 = rb.reshape(tiles, t, k)
+    live3 = rb3 >= 0
+    masked3 = np.where(live3, rb3, np.int32(np.iinfo(np.int32).max))
+    tapmin = masked3.min(axis=1)                             # (tiles, k)
+    starts = np.full((tiles, group_mod), np.iinfo(np.int32).max, np.int32)
+    for kk in range(k):
+        g = gmap[kk]
+        np.minimum(starts[:, g], tapmin[:, kk], out=starts[:, g])
+    starts &= ~np.int32(7)
     auto = window <= 0
     if auto:
-        loc = np.where(rb >= 0, rb - np.repeat(starts, t)[:, None], -1)
-        span = (loc.reshape(tiles, t * k).max(axis=1) + 1) if tiles \
+        loc3 = np.where(live3, rb3 - starts[:, None, gmap], -1)
+        span = (loc3.reshape(tiles, t * k).max(axis=1) + 1) if tiles \
             else np.zeros((1,), np.int64)
         need = float(np.quantile(span, auto_quantile))
         window = int(np.clip(need, 128, max(min(auto_max, v_src), 128)))
         window = ((window + 127) // 128) * 128
         window = _sticky_window(
-            sticky_key or (v_out, v_src, t, k, "wg"), window)
+            sticky_key or (v_out, v_src, t, k, group_mod, "wg"), window)
     if v_src < window:
         return None
-    starts = np.clip(starts, 0, max(v_src - window, 0)).astype(np.int32)
+    np.clip(starts, 0, max(v_src - window, 0), out=starts)
 
-    local = rb - np.repeat(starts, t)[:, None]
-    cover = (rb >= 0) & (local >= 0) & (local < window)
-    rb_local = np.where(cover, local, window).astype(np.int32)
+    local3 = rb3 - starts[:, None, gmap]
+    cover3 = live3 & (local3 >= 0) & (local3 < window)
+    rb_local = np.where(cover3, local3, np.int32(window)).reshape(v_out, k)
+    cover = cover3.reshape(v_out, k)
 
     sp_v, sp_t = np.nonzero((rb >= 0) & ~cover)
     sp_s = rb[sp_v, sp_t]
@@ -693,7 +712,7 @@ def build_windowed_gather(
         e2_cap = max(res_cap, 32)
         h_cap = max(res_cap, 32)
     else:
-        key = sticky_key or (v_out, v_src, t, k, "wg")
+        key = sticky_key or (v_out, v_src, t, k, group_mod, "wg")
         e2_cap = _sticky_ecap(key + ("ovf",), ovf_entries.shape[0],
                               max(64, v_out // 64))
         h_cap = _sticky_ecap(key + ("heavy",), heavy.shape[0],

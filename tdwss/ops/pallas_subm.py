@@ -58,19 +58,18 @@ def _lane_pad(c: int) -> int:
 
 
 def _anchor_gmap(nanchor: int, nwin: int) -> tuple:
-    """Static anchor->window map: subm forms (9 or 27 anchors on 9/3/1
-    windows) and cross-level gathers (any K taps on 1 window)."""
-    from tdwss.ops.coords import window_group_map
+    """Static anchor->window map: group = tap % nwin.
 
-    if nwin == 1:
-        return (0,) * nanchor
-    if nanchor == 27:
-        if nwin == 9:
-            return tuple(k % 9 for k in range(27))
-        if nwin == 3:                       # per-dz shared windows
-            return tuple((k % 9) % 3 for k in range(27))
-        raise ValueError("27-tap form uses 9, 3 or 1 shared windows")
-    return tuple(int(g) for g in window_group_map(nwin))
+    One rule covers every form because tap orderings put the
+    smallest-row-shift dimension fastest: the 27-tap subm form (x fastest
+    -> k%9 is the (dy,dz) pair, k%3 the dz), the 9-anchor x-triple form
+    (j%3 = dz), and cross-level gathers grouped by the child z parity
+    (child_offset has oz fastest, so k % stride separates the fine
+    z-slabs a coarse tile's children straddle).
+    """
+    if nanchor % nwin:
+        raise ValueError(f"nwin {nwin} must divide anchor count {nanchor}")
+    return tuple(k % nwin for k in range(nanchor))
 
 
 def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str,

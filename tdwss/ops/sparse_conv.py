@@ -561,7 +561,15 @@ def _w27_big_locals(rb_local, sub_off, window, sub, subwin):
 
 
 def _sub_vmem_fits(window: int, c: int, cout: int, dw: bool) -> bool:
-    """Extra scratch of the sub-window kernels (zbuf / f32 sbuf + acc)."""
+    """Extra scratch of the sub-window kernels (zbuf / f32 sbuf + acc).
+
+    Budget is tighter than _VMEM_BUDGET: the unrolled per-sub loops add
+    Mosaic stack temporaries the estimate cannot see (observed: the
+    declared ~8 MB of scratch at tile=1024/window=1280 compiled to a
+    20.9 MB scoped allocation).
+    """
+    if window > 768:        # observed stack blow-up at window=1280
+        return False
     l = ((c + 127) // 128) * 128
     zbuf = 27 * window * cout * 2
     sbuf = 27 * window * cout * 4 + 27 * l * cout * 4 if dw else 0
@@ -981,7 +989,8 @@ def avg_pool(fine_feats: jnp.ndarray, down_rb: jnp.ndarray) -> jnp.ndarray:
 # sides).
 
 
-def _use_pallas_wg(v_src, v_out, tiles, window, k, c, cout) -> bool:
+def _use_pallas_wg(v_src, v_out, tiles, window, k, c, cout,
+                   nwin=1) -> bool:
     import os
 
     if os.environ.get("TDWSS_NO_PALLAS"):
@@ -993,22 +1002,32 @@ def _use_pallas_wg(v_src, v_out, tiles, window, k, c, cout) -> bool:
     if not (tiles > 0 and v_out % tiles == 0 and window % 8 == 0
             and v_src % 8 == 0):
         return False
-    return _kernel_vmem_fits(k, window, c, cout, v_out // tiles, nwin=1)
+    return _kernel_vmem_fits(k, window, c, cout, v_out // tiles, nwin=nwin)
+
+
+def _wg_expand(starts, k):
+    """(tiles, nwin) shared-window starts -> (tiles, K) per-tap starts."""
+    if starts.ndim == 1:
+        starts = starts[:, None]
+    nwin = starts.shape[1]
+    return starts[:, np.arange(k, dtype=np.int32) % nwin]
 
 
 def _wg_matmul_any(src, rb_local, starts, w2d, window):
-    """Windowed rulebook eval -> (V_out, Cout) f32.  starts (tiles,)."""
+    """Windowed rulebook eval -> (V_out, Cout) f32.  starts (tiles, nwin)
+    with tap -> window group = tap % nwin (z-parity grouped children)."""
     v_src, c = src.shape
     v_out, k = rb_local.shape
     tiles = starts.shape[0]
-    if _use_pallas_wg(v_src, v_out, tiles, window, k, c, w2d.shape[-1]):
+    nwin = starts.shape[1] if starts.ndim > 1 else 1
+    if _use_pallas_wg(v_src, v_out, tiles, window, k, c, w2d.shape[-1],
+                      nwin):
         from tdwss.ops.pallas_subm import pad_w9, windowed_matmul
 
         wp = pad_w9(w2d.reshape(k, c, -1))
-        return windowed_matmul(src, starts, rb_local.T, wp,
+        return windowed_matmul(src, starts.reshape(-1), rb_local.T, wp,
                                window=window, tile=v_out // tiles)
-    return _win_matmul(src, rb_local,
-                       jnp.repeat(starts[:, None], k, axis=1), w2d, window)
+    return _win_matmul(src, rb_local, _wg_expand(starts, k), w2d, window)
 
 
 def _wg_dw_any(src, rb_local, starts, dout, window):
@@ -1016,14 +1035,15 @@ def _wg_dw_any(src, rb_local, starts, dout, window):
     v_src, c = src.shape
     v_out, k = rb_local.shape
     tiles = starts.shape[0]
-    if _use_pallas_wg(v_src, v_out, tiles, window, k, c, dout.shape[-1]):
+    nwin = starts.shape[1] if starts.ndim > 1 else 1
+    if _use_pallas_wg(v_src, v_out, tiles, window, k, c, dout.shape[-1],
+                      nwin):
         from tdwss.ops.pallas_subm import windowed_dw
 
-        dw = windowed_dw(src, starts, rb_local.T, dout,
+        dw = windowed_dw(src, starts.reshape(-1), rb_local.T, dout,
                          window=window, tile=v_out // tiles)
         return dw[:, :c, :].reshape(k * c, -1)
-    return _win_dw(src, rb_local,
-                   jnp.repeat(starts[:, None], k, axis=1), dout, window)
+    return _win_dw(src, rb_local, _wg_expand(starts, k), dout, window)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))

@@ -63,8 +63,13 @@ def _expand_window(win, new_w: int):
     delta = (starts - new_starts).astype(np.int32)      # >= 0
     tiles = starts.shape[0]
     t = rb.shape[0] // tiles
-    if starts.ndim == 1:                                # WindowedGather
-        drows = np.repeat(delta, t)[:, None]
+    if isinstance(win, WindowedGather):
+        k = rb.shape[1]
+        if starts.ndim == 1:
+            drows = np.repeat(delta, t)[:, None]
+        else:
+            gmap = np.arange(k, dtype=np.int32) % starts.shape[1]
+            drows = np.repeat(delta[:, gmap], t, axis=0)
     elif isinstance(win, Windowed27):
         if win.sub:
             # sub-relative locals are unchanged: shift the sub offsets so

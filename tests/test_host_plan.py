@@ -430,3 +430,31 @@ class TestWindowedGather:
             wg_unpool_apply(c, wgu, wgd) ** 2))(coarse)
         np.testing.assert_allclose(np.asarray(gwu), np.asarray(gpu),
                                    rtol=1e-4, atol=1e-4)
+
+    def test_grouped_down_gather_matches_plain(self, rng):
+        """oz-parity grouped down windows (group_mod=stride) stay exact."""
+        import jax
+
+        from tdwss.ops.host_plan import (build_windowed_gather,
+                                         downsample_level_np,
+                                         parent_rulebook)
+        from tdwss.ops.sparse_conv import strided_conv_apply, wg_conv_apply
+
+        coords, feats, valid = _random_coords(rng, n=1024, size=24,
+                                              invalid_frac=0.05)
+        grid, _, _ = voxelize_np(coords, feats[:, :3], valid, 1024)
+        cg, parent, child_off, down_rb = downsample_level_np(grid, 512, 2, 2)
+        wgd = build_windowed_gather(down_rb, v_src=1024, tile=64,
+                                    group_mod=2, res_cap=8 * 1024)
+        rbu = parent_rulebook(parent, child_off, 512, 8)
+        wgu = build_windowed_gather(rbu, v_src=512, tile=64, res_cap=8 * 1024)
+        assert wgd is not None and wgd.starts.shape[1] == 2
+        j = jax.tree_util.tree_map
+        wgdj, wguj = j(jnp.asarray, wgd), j(jnp.asarray, wgu)
+        fine = jnp.asarray(rng.normal(size=(1024, 5)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(8, 5, 4)).astype(np.float32))
+        ref = np.asarray(strided_conv_apply(
+            fine, jnp.asarray(down_rb), w, jnp.asarray(parent),
+            jnp.asarray(child_off)))
+        out = np.asarray(wg_conv_apply(fine, w, wgdj, wguj))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
