@@ -16,7 +16,8 @@ Round-1 progression on one v5e chip: naive in-graph plan building never
 finished compiling; host-built rulebooks + scatter-free
 transposed-rulebook VJPs 0.063 Mpts/s; windowed-MXU x-triple engine
 0.077-0.086; 27-tap windowed Pallas engine + windowed cross-level
-transitions 0.46; two-level sub-window kernels 0.595.  Remaining levers
+transitions 0.46; two-level sub-window kernels + z-parity
+grouped transition windows 0.602.  Remaining levers
 (docs/DESIGN.md): VPU one-hot construction, MXU lane use at Cout=32,
 the einsum fallback at small levels, and 8-chip data parallelism.
 
