@@ -74,6 +74,7 @@ def compute_loss(cfg: Config, model, params, batch_stats, batch: PointBatch):
                 text_mask = jnp.logical_and(batch.text.valid[:, None], slot_used)
             text_loss = TextContrastive(
                 gfeats, tfeats, has_text, text_mask=text_mask,
+                scene_mask=batch.scene_mask,
             )
             loss = loss + text_loss
             aux["text_loss"] = text_loss

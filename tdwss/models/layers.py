@@ -148,8 +148,12 @@ class MaskedBatchNorm(nn.Module):
             mean = jnp.sum(x32 * mask, axis=0) / count
             var = jnp.sum(jnp.square(x32 - mean) * mask, axis=0) / count
             if not self.is_initializing():
+                # torch.nn.BatchNorm1d semantics: running_var tracks the
+                # UNBIASED batch variance (n/(n-1)) while normalization uses
+                # the biased one.
+                var_unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var_unbiased
 
         inv = jax.lax.rsqrt(var + self.eps) * scale
         out = (feats.astype(jnp.float32) - mean) * inv + bias

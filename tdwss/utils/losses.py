@@ -81,13 +81,19 @@ def Classification(logits: jnp.ndarray, labels: jnp.ndarray,
 
 @LOSS_REGISTRY.register()
 def TextContrastive(pc: jnp.ndarray, text: jnp.ndarray, has_text: jnp.ndarray,
-                    text_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                    text_mask: Optional[jnp.ndarray] = None,
+                    scene_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Scene-text contrastive loss (reference utils/loss.py:6-18).
 
-    pc:       (B, m)   per-scene pooled point-cloud features
-    text:     (B', T, m) text features for scenes that have descriptions
-    has_text: (B',)    index of the owning scene within the batch
-    text_mask:(B',) or (B', T) optional validity (padded rows/slots)
+    pc:        (B, m)   per-scene pooled point-cloud features
+    text:      (B', T, m) text features for scenes that have descriptions
+    has_text:  (B',)    index of the owning scene within the batch
+    text_mask: (B',) or (B', T) optional validity (padded rows/slots)
+    scene_mask:(B,)     optional scene validity — padded scenes are removed
+               from the softmax's column axis (the reference runs with a
+               dynamic batch, so its softmax only ever sees real scenes;
+               without the mask a padded scene's zero pooled feature leaks
+               probability mass at logit 0).
 
     similarity[b', t, b] = <text[b', t], pc[b]>; cross-entropy against the
     owning-scene index, averaged over all valid (b', t).
@@ -95,6 +101,9 @@ def TextContrastive(pc: jnp.ndarray, text: jnp.ndarray, has_text: jnp.ndarray,
     if text.ndim != 3:
         raise ValueError(f"text must be (B', T, m), got {text.shape}")
     similarity = jnp.einsum("btm,cm->btc", text, pc)
+    if scene_mask is not None:
+        neg = jnp.asarray(jnp.finfo(similarity.dtype).min, similarity.dtype)
+        similarity = jnp.where(scene_mask[None, None, :], similarity, neg)
     logp = jax.nn.log_softmax(similarity, axis=-1)  # over scenes
     num_text = text.shape[1]
     labels = jnp.tile(has_text[:, None], (1, num_text))  # (B', T)
