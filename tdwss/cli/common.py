@@ -19,4 +19,6 @@ def parse_config(description: str, default_config: str = "configs/3DUNetWithText
     overrides = {}
     if args.epochs is not None:
         overrides["epochs"] = args.epochs
+    if args.pretrain:
+        overrides["pretrain"] = args.pretrain
     return load_config(args.config, **overrides)

@@ -117,6 +117,10 @@ class Config:
     text_model: TextModelConfig = field(default_factory=TextModelConfig)
     loss: LossConfig = field(default_factory=LossConfig)
     # Training
+    # --pretrain CLI flag (reference utils/config.py:17 — declared there
+    # but never consumed; here it actually loads): path to a checkpoint
+    # directory whose params/batch_stats seed a fresh run.
+    pretrain: str = ""
     epochs: int = 512
     lr: float = 1e-3
     lr_decay_epochs: int = 100       # StepLR(step_size=100, gamma=0.1) parity

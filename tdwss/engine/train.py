@@ -34,7 +34,7 @@ from tdwss.engine.steps import (
     make_train_step,
 )
 from tdwss.models import build_model
-from tdwss.utils.checkpoint import Checkpointer
+from tdwss.utils.checkpoint import Checkpointer, load_pretrain
 from tdwss.utils.flops import mega_mul_add, param_count
 from tdwss.utils.logging_util import ScalarLogger
 
@@ -77,6 +77,13 @@ class Trainer:
             self.state, self.start_epoch = self.ckpt.restore_latest(self.state)
             if verbose:
                 print("Start from epoch", self.start_epoch)
+        if cfg.pretrain and self.start_epoch == 1:
+            # --pretrain seeds params/batch_stats for a FRESH run only; a
+            # resumed run keeps its own state (reference utils/config.py:17
+            # declares the flag but never loads it — here it works).
+            self.state = load_pretrain(cfg.pretrain, self.state)
+            if verbose:
+                print("Loaded pretrain weights from", cfg.pretrain)
         self.logger = ScalarLogger(os.path.join("exp", cfg.training_name))
 
     def run_epoch(self, epoch: int) -> float:

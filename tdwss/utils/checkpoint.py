@@ -43,3 +43,23 @@ class Checkpointer:
 
     def close(self) -> None:
         self._mngr.close()
+
+
+def load_pretrain(path: str, state: Any) -> Any:
+    """Seed ``state``'s params + batch_stats from a checkpoint directory.
+
+    ``path`` is a Checkpointer directory (any epoch count); the latest
+    epoch's params and batch_stats replace the fresh init while the
+    optimizer state and step counter stay fresh — the --pretrain semantics
+    (finetune), as opposed to auto-resume (continue).
+    """
+    mngr = ocp.CheckpointManager(os.path.abspath(path))
+    try:
+        step = mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found under {path}")
+        restored = mngr.restore(step, args=ocp.args.StandardRestore(state))
+    finally:
+        mngr.close()
+    return state.replace(params=restored.params,
+                         batch_stats=restored.batch_stats)

@@ -1,0 +1,32 @@
+"""Config-grid smoke test: every YAML in configs/ parses and its model
+builds (reference config/ directory parity — 22 grid points + smoke)."""
+
+import glob
+import os
+
+import pytest
+
+from tdwss.config import load_config
+from tdwss.models import build_model
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIGS = sorted(glob.glob(os.path.join(REPO, "configs", "*.yaml")))
+
+
+def test_config_grid_covers_reference():
+    names = {os.path.basename(p) for p in CONFIGS}
+    # the reference's 22 grid points, incl. the two round-2 additions
+    for ref in ("3DUNetWithText_scannet_test.yaml",
+                "3DUNetWithText_scannet_fcnet_baseline_finer_narrower.yaml",
+                "3DUNetWithText_scannet_default.yaml",
+                "3DUNetWithText_scannet_subcloud_uppool_4chip.yaml"):
+        assert ref in names, f"missing config {ref}"
+    assert len([n for n in names if not n.startswith("smoke")]) >= 22
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
+def test_config_parses_and_model_builds(path):
+    cfg = load_config(path)
+    model = build_model(cfg)
+    assert model is not None
+    assert cfg.epochs > 0

@@ -143,3 +143,27 @@ def test_profiling_helpers(tmp_path):
         jnp.ones((8, 8)).sum().block_until_ready()
     import os
     assert os.path.isdir(tmp_path / "prof")
+
+
+def test_pretrain_seeds_fresh_run(tmp_path, scenes, monkeypatch):
+    """--pretrain loads params/batch_stats but NOT the optimizer/epoch."""
+    import dataclasses
+
+    train, val = scenes
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg()
+    t1 = Trainer(cfg, train, val, use_checkpoints=True, verbose=False)
+    t1.fit(epochs=2)
+    t1.ckpt.close()
+    src_dir = os.path.join("exp", cfg.training_name, "checkpoints")
+
+    cfg2 = dataclasses.replace(cfg, training_name="finetune_run",
+                               pretrain=src_dir)
+    t2 = Trainer(cfg2, train, val, use_checkpoints=True, verbose=False)
+    assert t2.start_epoch == 1          # fresh run, seeded weights
+    p1 = jax.tree_util.tree_leaves(t1.state.params)
+    p2 = jax.tree_util.tree_leaves(t2.state.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(t2.state.step) == 0      # optimizer state stays fresh
+    t2.ckpt.close()
