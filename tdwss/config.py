@@ -30,6 +30,12 @@ class PointcloudDataConfig:
     val_reps: int = 1                # multi-view voting repetitions
     batch_size: int = 16
     elastic_deformation: bool = False
+    # GSS proposal boxes in the train batch (reference dataset/data.py:55,
+    # 199,223-238 always carries them; here gated — the wired-in reference
+    # models never consume them, SURVEY §3.5).  Boxes are padded to
+    # ``max_boxes`` per scene with a validity mask.
+    with_boxes: bool = False
+    max_boxes: int = 64
 
 
 @dataclass
@@ -112,6 +118,9 @@ class Config:
     pseudo_label_path: str = ""
     pseudo_label_suffix: str = "_pseudo_label.npy"
     data_root: str = "dataset/ScanNet"
+    # GSS proposal directory holding <scene>_prop.npy files (reference
+    # dataset/data.py:45 hardcodes an absolute fv path).
+    box_path: str = ""
     # STRUCTURE
     pointcloud_model: PointcloudModelConfig = field(default_factory=PointcloudModelConfig)
     text_model: TextModelConfig = field(default_factory=TextModelConfig)

@@ -7,8 +7,9 @@ membership is an int index per point instead of offsets.
 
 Train schema parity (trainMerge, data.py:223-238):
   coords<->locs, feats<->feature, point_label<->y_orig, scene_label<->y,
-  texts/has_text<->text, point boxes are carried by the GSS pipeline
-  separately (dead weight in the wired-in reference models, SURVEY §3.5).
+  texts/has_text<->text, box<->boxes+transform (gated by
+  cfg.pointcloud_data.with_boxes — the wired-in reference models never
+  consume them, SURVEY §3.5).
 Val schema parity (valMerge, data.py:300-310): + point_ids for vote
 accumulation.
 """
@@ -33,6 +34,51 @@ class TextBatch:
     tokens: jnp.ndarray
     has_text: jnp.ndarray
     valid: jnp.ndarray
+
+
+@flax.struct.dataclass
+class BoxBatch:
+    """GSS proposal boxes + the inverse augmentation per scene.
+
+    Reference trainMerge carries ``boxes`` (NumBoxes, 6+1 concat over
+    scenes) and ``transform = [align_matrices, centers, rots, offsets]``
+    (dataset/data.py:199,223-238; train.py:59-61 uploads both).  Static-
+    shape equivalent: per-scene padded boxes + a validity mask; the
+    transform quartet inverts the train augmentation so grid coords map
+    back to the axis-aligned world space the boxes live in.
+
+    boxes:    (B, K, 6) float32  [centre xyz, extent xyz] world space
+    valid:    (B, K) bool        real proposals (padding mask)
+    align:    (B, 4, 4) float32  scan axis-align matrix
+    center:   (B, 3) float32     mean subtracted during prep
+    rot_inv:  (B, 3, 3) float32  inverse of the augmentation rotation
+    offset:   (B, 3) float32     augmentation translation
+    """
+
+    boxes: jnp.ndarray
+    valid: jnp.ndarray
+    align: jnp.ndarray
+    center: jnp.ndarray
+    rot_inv: jnp.ndarray
+    offset: jnp.ndarray
+
+    def concat_boxes(self) -> "jnp.ndarray":
+        """(M, 7) [centre, extent, scene_idx] over valid rows — the
+        reference's concatenated layout (crop_box input)."""
+        import numpy as np
+
+        b, k, _ = self.boxes.shape
+        scene = np.repeat(np.arange(b, dtype=np.float32), k)
+        flat = np.asarray(self.boxes).reshape(b * k, 6)
+        keep = np.asarray(self.valid).reshape(b * k)
+        return np.concatenate([flat, scene[:, None]], axis=1)[keep]
+
+    def transform_tuple(self):
+        """(align, centers, rot_inv, offsets) — crop_box's transform arg."""
+        import numpy as np
+
+        return (np.asarray(self.align), np.asarray(self.center),
+                np.asarray(self.rot_inv), np.asarray(self.offset))
 
 
 @flax.struct.dataclass
@@ -64,6 +110,8 @@ class PointBatch:
     point_label: jnp.ndarray
     point_ids: jnp.ndarray
     text: Optional[TextBatch] = None
+    # GSS proposals + inverse augmentation (cfg.pointcloud_data.with_boxes)
+    box: Optional[BoxBatch] = None
     plans: Optional[Any] = None
     vox_feats: Optional[jnp.ndarray] = None
     point2voxel: Optional[jnp.ndarray] = None

@@ -25,7 +25,7 @@ from tdwss.data.augment import (
     train_transform,
     val_transform,
 )
-from tdwss.data.batch import PointBatch, TextBatch
+from tdwss.data.batch import BoxBatch, PointBatch, TextBatch
 from tdwss.data.synthetic import Scene
 from tdwss.data.tokenizer import tokenize
 
@@ -72,11 +72,13 @@ def train_collate(scenes: Sequence[Scene], cfg: Config,
     scene_labels = []
     token_rows = []
     text_valid = []
+    transforms = []
     for idx, scene in enumerate(scenes):
-        a, keep, _ = train_transform(
+        a, keep, transform = train_transform(
             scene.points, pcd.scale, full_scale, rng,
             elastic_deformation=pcd.elastic_deformation,
         )
+        transforms.append(transform)
         a = a[keep]
         b = scene.colors[keep]
         labels = scene.labels[keep]
@@ -120,6 +122,10 @@ def train_collate(scenes: Sequence[Scene], cfg: Config,
             valid=np.asarray(text_valid, bool),
         )
 
+    box = None
+    if pcd.with_boxes:
+        box = _collate_boxes(scenes, transforms, pcd.max_boxes)
+
     return PointBatch(
         coords=arrays["coords"],
         feats=arrays["feats"],
@@ -129,7 +135,38 @@ def train_collate(scenes: Sequence[Scene], cfg: Config,
         point_label=arrays["point_label"],
         point_ids=np.full(cfg.engine.max_points, -1, np.int32),
         text=text,
+        box=box,
     )
+
+
+def _collate_boxes(scenes: Sequence[Scene], transforms: Sequence[dict],
+                   max_boxes: int) -> BoxBatch:
+    """Pad per-scene GSS proposals + inverse augmentation into a BoxBatch.
+
+    Reference trainMerge concatenates ragged (K_i, 6)+idx boxes and stacks
+    [align, center, rot_inv, offset] (dataset/data.py:199,223-238); the
+    static-shape form pads boxes to ``max_boxes`` with a validity mask.
+    """
+    b = len(scenes)
+    boxes = np.zeros((b, max_boxes, 6), np.float32)
+    valid = np.zeros((b, max_boxes), bool)
+    align = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+    center = np.zeros((b, 3), np.float32)
+    rot_inv = np.zeros((b, 3, 3), np.float32)
+    offset = np.zeros((b, 3), np.float32)
+    for i, (scene, tf) in enumerate(zip(scenes, transforms)):
+        if scene.boxes is not None and scene.boxes.shape[0]:
+            k = min(scene.boxes.shape[0], max_boxes)
+            boxes[i, :k] = scene.boxes[:k, :6]
+            valid[i, :k] = True
+        if scene.align is not None:
+            align[i] = scene.align
+        if scene.center is not None:
+            center[i] = scene.center
+        rot_inv[i] = tf["rot_inv"]
+        offset[i] = tf["offset"]
+    return BoxBatch(boxes=boxes, valid=valid, align=align, center=center,
+                    rot_inv=rot_inv, offset=offset)
 
 
 def val_collate(scenes: Sequence[Scene], cfg: Config,

@@ -26,7 +26,8 @@ from tdwss.data.synthetic import Scene
 
 def load_processed_dir(directory: str, has_text: bool = False,
                        pseudo_label_path: str = "",
-                       pseudo_label_suffix: str = "_pseudo_label.npy") -> List[Scene]:
+                       pseudo_label_suffix: str = "_pseudo_label.npy",
+                       box_path: str = "") -> List[Scene]:
     scenes = []
     for path in sorted(glob.glob(os.path.join(directory, "*.npz"))):
         data = np.load(path, allow_pickle=False)
@@ -41,6 +42,13 @@ def load_processed_dir(directory: str, has_text: bool = False,
             ppath = os.path.join(pseudo_label_path, name + pseudo_label_suffix)
             if os.path.exists(ppath):
                 pseudo = np.load(ppath).astype(np.int32)
+        boxes = None
+        if box_path:
+            # GSS proposals (reference dataset/data.py:54-55 loads
+            # <scene>_prop.npy unconditionally; here per-scene optional)
+            bpath = os.path.join(box_path, name + "_prop.npy")
+            if os.path.exists(bpath):
+                boxes = np.load(bpath).astype(np.float32)[:, :6]
         scenes.append(
             Scene(
                 points=data["points"].astype(np.float32),
@@ -49,6 +57,11 @@ def load_processed_dir(directory: str, has_text: bool = False,
                 name=name,
                 texts=texts,
                 pseudo_labels=pseudo,
+                boxes=boxes,
+                center=(data["center"].astype(np.float32)
+                        if "center" in data else None),
+                align=(data["align"].astype(np.float32)
+                       if "align" in data else None),
             )
         )
     return scenes
@@ -119,6 +132,7 @@ def load_train_val(cfg: Config) -> Tuple[List[Scene], List[Scene]]:
             has_text=cfg.has_text,
             pseudo_label_path=cfg.pseudo_label_path if cfg.label == "pseudo" else "",
             pseudo_label_suffix=cfg.pseudo_label_suffix,
+            box_path=cfg.box_path if cfg.pointcloud_data.with_boxes else "",
         )
         val = load_processed_dir(val_dir, has_text=False)
     else:

@@ -28,6 +28,11 @@ class Scene:
     name: str
     texts: List[str] = field(default_factory=list)
     pseudo_labels: Optional[np.ndarray] = None
+    # GSS proposal boxes [centre xyz, extent xyz] in axis-aligned world
+    # space (reference <scene>_prop.npy first 6 columns, data.py:55,199)
+    boxes: Optional[np.ndarray] = None          # (K, 6) float32
+    center: Optional[np.ndarray] = None         # (3,) mean subtracted in prep
+    align: Optional[np.ndarray] = None          # (4, 4) axis-align matrix
 
 
 def _surface_points(rng, n, origin, extent, axis):

@@ -133,3 +133,34 @@ class Projector(nn.Module):
         matted = MattingModule(self.out_channels, name="matting")(feats)
         return voxelize_views(coords, matted, valid, self.resolution,
                               num_boxes, self.view)
+
+
+def project_from_batch(batch, feats: np.ndarray, variables,
+                       projector: "Projector") -> jnp.ndarray:
+    """Run the Projector head from a train batch carrying a BoxBatch.
+
+    Bridges the batch contract (cfg.pointcloud_data.with_boxes) to the
+    standalone projector: converts the padded BoxBatch back to the
+    reference's concatenated (M, 7) boxes + transform quartet
+    (dataset/data.py:223-238), crops on host, renders on device.
+
+    batch: PointBatch with ``box`` set; feats (N, C) per-point features
+    aligned with batch.coords.  Returns (len(view) * M, C_out, res, res).
+    """
+    if batch.box is None:
+        raise ValueError("batch has no BoxBatch; set pointcloud_data.with_boxes")
+    boxes = batch.box.concat_boxes()
+    transform = batch.box.transform_tuple()
+    keep = np.asarray(batch.valid)
+    coords = np.asarray(batch.coords)[keep]
+    crop_coords, crop_feats = crop_box(coords, np.asarray(feats)[keep],
+                                       boxes, transform)
+    num_boxes = max(int(boxes.shape[0]), 1)
+    valid = np.ones((crop_coords.shape[0],), bool)
+    if crop_coords.shape[0] == 0:
+        crop_coords = np.zeros((1, 4), np.float32)
+        crop_feats = np.zeros((1, feats.shape[1]), np.float32)
+        valid = np.zeros((1,), bool)
+    return projector.apply(variables, jnp.asarray(crop_coords),
+                           jnp.asarray(crop_feats), jnp.asarray(valid),
+                           num_boxes)

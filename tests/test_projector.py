@@ -92,3 +92,99 @@ def test_projector_end_to_end(rng):
     g = jax.grad(loss)(variables)
     assert bool((np.asarray(
         g["params"]["matting"]["model"]["kernel"]) != 0).any())
+
+
+def test_collate_carries_boxes_and_transform(rng):
+    """with_boxes: BoxBatch rides the train batch; crop_box round-trips."""
+    import dataclasses
+
+    from tdwss.config import (Config, EngineConfig, LossConfig,
+                              PointcloudDataConfig, PointcloudModelConfig)
+    from tdwss.data.collate import train_collate
+    from tdwss.data.synthetic import make_dataset
+
+    cfg = Config(
+        training_name="box_test",
+        model_name="MultiLabel",
+        label="scene_level",
+        pointcloud_data=PointcloudDataConfig(
+            scale=10, batch_size=2, with_boxes=True, max_boxes=4),
+        pointcloud_model=PointcloudModelConfig(
+            name="SparseConvFCNet", m=4, full_scale=256, block_reps=1,
+            residual_blocks=False, depth=3),
+        loss=LossConfig(Classification=True),
+        engine=EngineConfig(max_points=4096, min_level_capacity=256),
+    )
+    scenes = make_dataset(2, num_points=1500, seed=11, with_text=False)
+    # attach synthetic world-space proposals around each scene's extent
+    scenes = [
+        dataclasses.replace(
+            s, boxes=np.stack([
+                np.concatenate([(s.points.max(0) + s.points.min(0)) / 2,
+                                (s.points.max(0) - s.points.min(0)) * 1.2]),
+                np.concatenate([s.points.mean(0) + 0.5,
+                                np.full(3, 1.0)]),
+            ]).astype(np.float32))
+        for s in scenes
+    ]
+    np_rng = np.random.default_rng(0)
+    batch = train_collate(scenes, cfg, np_rng)
+    assert batch.box is not None
+    assert batch.box.boxes.shape == (2, 4, 6)
+    assert batch.box.valid.sum() == 4          # 2 real boxes per scene
+    flat = batch.box.concat_boxes()
+    assert flat.shape == (4, 7)
+    np.testing.assert_array_equal(flat[:, 6], [0, 0, 1, 1])
+
+    # the whole-extent box must recover ~all of its scene's points after
+    # undoing the augmentation carried in the transform quartet
+    keep = np.asarray(batch.valid)
+    coords = np.asarray(batch.coords)[keep]
+    feats = np.asarray(batch.feats)[keep]
+    scene0 = flat[0:1]
+    out_c, _ = crop_box(coords, feats, scene0, batch.box.transform_tuple())
+    n_scene0 = int((coords[:, 3] == 0).sum())
+    assert out_c.shape[0] >= 0.95 * n_scene0
+
+
+def test_projector_from_batch_forward(rng):
+    """Optional projector head renders views straight from the batch."""
+    import dataclasses
+
+    from tdwss.config import (Config, EngineConfig, LossConfig,
+                              PointcloudDataConfig, PointcloudModelConfig)
+    from tdwss.data.collate import train_collate
+    from tdwss.data.synthetic import make_dataset
+    from tdwss.models.projector import project_from_batch
+
+    cfg = Config(
+        training_name="box_proj",
+        model_name="MultiLabel",
+        label="scene_level",
+        pointcloud_data=PointcloudDataConfig(
+            scale=10, batch_size=2, with_boxes=True, max_boxes=2),
+        pointcloud_model=PointcloudModelConfig(
+            name="SparseConvFCNet", m=4, full_scale=256, block_reps=1,
+            residual_blocks=False, depth=3),
+        loss=LossConfig(Classification=True),
+        engine=EngineConfig(max_points=4096, min_level_capacity=256),
+    )
+    scenes = make_dataset(2, num_points=1200, seed=13, with_text=False)
+    scenes = [
+        dataclasses.replace(
+            s, boxes=np.concatenate(
+                [s.points.mean(0),
+                 (s.points.max(0) - s.points.min(0))])[None].astype(np.float32))
+        for s in scenes
+    ]
+    batch = train_collate(scenes, cfg, np.random.default_rng(1))
+    feats = np.asarray(batch.feats)
+
+    proj = Projector(out_channels=2, resolution=32, view="HWZ")
+    variables = proj.init(jax.random.PRNGKey(0), jnp.zeros((8, 4)),
+                          jnp.zeros((8, 3)), jnp.ones((8,), bool), 1)
+    imgs = project_from_batch(batch, feats, variables, proj)
+    m = batch.box.concat_boxes().shape[0]
+    assert imgs.shape == (3 * m, 2, 32, 32)
+    assert np.isfinite(np.asarray(imgs)).all()
+    assert np.abs(np.asarray(imgs)).sum() > 0
