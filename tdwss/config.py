@@ -42,6 +42,9 @@ class PointcloudDataConfig:
 class TextDataConfig:
     max_seq_len: int = 120
     cropped_texts: int = 10
+    # CLIP-format BPE merges file ("" = the shipped ScanNet-trained asset,
+    # falling back to HashTokenizer if that is missing)
+    bpe_vocab_path: str = ""
 
 
 @dataclass

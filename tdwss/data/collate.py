@@ -96,7 +96,11 @@ def train_collate(scenes: Sequence[Scene], cfg: Config,
             texts = scene.texts[: cfg.text_data.cropped_texts]
             row = np.zeros((cfg.text_data.cropped_texts, cfg.text_data.max_seq_len), np.int32)
             if texts:
+                from tdwss.data.tokenizer import get_tokenizer
+
                 toks = tokenize(texts, cfg.text_data.max_seq_len,
+                                tokenizer=get_tokenizer(
+                                    cfg.text_data.bpe_vocab_path or None),
                                 vocab_size=cfg.text_model.vocab_size)
                 row[: toks.shape[0]] = toks
             token_rows.append(row)

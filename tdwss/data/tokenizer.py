@@ -7,8 +7,10 @@ standalone BPE (dataset/dataset_utils/tokenizer.py).  This module provides:
 
 - :class:`BpeTokenizer`: a from-scratch BPE implementation loading a CLIP
   merges vocabulary from a local path (``bpe_simple_vocab_16e6.txt.gz``
-  format: one merge pair per line).  No vocab asset ships in this repo; the
-  path is config-provided.
+  format: one merge pair per line).  A locally-trained ScanNet-vocabulary
+  asset ships at ``assets/bpe_scannet.txt.gz`` (tdwss.data.bpe_train); the
+  real CLIP file drops in via ``text_data.bpe_vocab_path`` for exact
+  clip.tokenize ids (zero-egress images cannot vendor it).
 - :class:`HashTokenizer`: a deterministic fallback (word -> stable hash mod
   vocab) with the same SOT/EOT/padding conventions — sufficient for training
   the from-scratch ``TextTransformer``, where only *consistency* matters.
@@ -76,9 +78,13 @@ class HashTokenizer:
 
 
 class BpeTokenizer:
-    """Byte-pair-encoding tokenizer over a CLIP-format merges file."""
+    """Byte-pair-encoding tokenizer over a CLIP-format merges file.
 
-    vocab_size = VOCAB_SIZE
+    Works with the real CLIP ``bpe_simple_vocab_16e6.txt.gz`` (vocab 49408)
+    AND with smaller locally-trained merges files (tdwss.data.bpe_train —
+    no egress ships the CLIP asset); ``vocab_size``/``sot_id``/``eot_id``
+    derive from the loaded vocabulary.
+    """
 
     def __init__(self, merges_path: str):
         opener = gzip.open if merges_path.endswith(".gz") else open
@@ -87,13 +93,18 @@ class BpeTokenizer:
         merges = merges[1: 49152 - 256 - 2 + 1]
         merges = [tuple(m.split()) for m in merges if m]
         self.byte_encoder = _bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         vocab = list(self.byte_encoder.values())
         vocab = vocab + [v + "</w>" for v in vocab]
         for merge in merges:
             vocab.append("".join(merge))
         vocab.extend(["<|startoftext|>", "<|endoftext|>"])
         self.encoder = {v: i for i, v in enumerate(vocab)}
+        self.decoder = {i: v for v, i in self.encoder.items()}
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.vocab_size = len(vocab)
+        self.sot_id = self.encoder["<|startoftext|>"]
+        self.eot_id = self.encoder["<|endoftext|>"]
         self._cache = {}
 
     def _bpe(self, token: str) -> List[str]:
@@ -130,15 +141,40 @@ class BpeTokenizer:
             out.extend(self.encoder[t] for t in self._bpe(tok) if t in self.encoder)
         return out
 
+    def decode(self, ids: Sequence[int]) -> str:
+        """Inverse of encode on clean text (CLIP decode semantics)."""
+        text = "".join(self.decoder.get(int(i), "") for i in ids
+                       if int(i) not in (self.sot_id, self.eot_id))
+        raw = bytearray(self.byte_decoder[c] for c in text
+                        if c in self.byte_decoder)
+        return raw.decode("utf-8", errors="replace").replace(
+            "</w>", " ").strip()
+
 
 _DEFAULT_TOKENIZER: Optional[object] = None
+_BPE_CACHE: dict = {}
+
+# Shipped vocabulary trained on ScanNet-vocabulary text by
+# tdwss.data.bpe_train (regenerate: python -m tdwss.data.bpe_train).  Drop
+# the real CLIP ``bpe_simple_vocab_16e6.txt.gz`` at a config path
+# (text_data.bpe_vocab_path) for exact clip.tokenize ids.
+DEFAULT_VOCAB_PATH = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "assets", "bpe_scannet.txt.gz")
 
 
 def get_tokenizer(merges_path: Optional[str] = None):
-    """BPE if a merges vocabulary is provided/cached, else HashTokenizer."""
+    """BPE over (in order) the provided path, the shipped asset, else the
+    HashTokenizer fallback.  BPE instances are cached per path."""
     global _DEFAULT_TOKENIZER
-    if merges_path:
-        return BpeTokenizer(merges_path)
+    import os
+
+    path = merges_path or (
+        DEFAULT_VOCAB_PATH if os.path.exists(DEFAULT_VOCAB_PATH) else None)
+    if path:
+        if path not in _BPE_CACHE:
+            _BPE_CACHE[path] = BpeTokenizer(path)
+        return _BPE_CACHE[path]
     if _DEFAULT_TOKENIZER is None:
         _DEFAULT_TOKENIZER = HashTokenizer()
     return _DEFAULT_TOKENIZER
@@ -156,15 +192,18 @@ def tokenize(texts: Sequence[str], context_length: int = 77,
     if isinstance(texts, str):
         texts = [texts]
     tokenizer = tokenizer or get_tokenizer()
-    sot, eot = SOT_TOKEN, EOT_TOKEN
-    if vocab_size != VOCAB_SIZE:
+    tok_vocab = getattr(tokenizer, "vocab_size", VOCAB_SIZE)
+    sot = getattr(tokenizer, "sot_id", SOT_TOKEN)
+    eot = getattr(tokenizer, "eot_id", EOT_TOKEN)
+    fold = vocab_size < tok_vocab    # embedding table smaller than vocab
+    if fold:
         if vocab_size < 8:
             raise ValueError(f"vocab_size too small: {vocab_size}")
         sot, eot = vocab_size - 2, vocab_size - 1
     out = np.zeros((len(texts), context_length), np.int32)
     for i, text in enumerate(texts):
         ids = tokenizer.encode(text)[: context_length - 2]
-        if vocab_size != VOCAB_SIZE:
+        if fold:
             ids = [1 + (t % (vocab_size - 3)) for t in ids]
         ids = [sot] + ids + [eot]
         out[i, : len(ids)] = ids

@@ -241,11 +241,13 @@ def build_plans_np(
                 # sub-windows: measured 32.5 -> 22.8 ms fwd (88 -> 61
                 # fwd+bwd) at V=636k C=32 vs the flat big-window kernel
                 sub = 128 if t % 128 == 0 else 0
+                if nwin not in (9, 3):
+                    raise ValueError(
+                        f"form='w27' supports nwin in (9, 3), got {nwin}")
                 win = build_windowed_subm27(subm_rb, grid, tile=t,
                                             window=max(window, 0),
                                             auto_window=window <= 0,
-                                            nwin=nwin if nwin in (9, 3)
-                                            else 9,
+                                            nwin=nwin,
                                             sub=sub,
                                             subwin=256 if sub else 0)
             else:
@@ -317,6 +319,18 @@ import threading
 
 _ECAP_REGISTRY: dict = {}
 _ECAP_LOCK = threading.Lock()
+
+
+def reset_sticky_plans() -> None:
+    """Clear the sticky window/overflow-capacity registry.
+
+    Window sizes and overflow caps only ever ratchet UP for the process
+    lifetime (stable jit shapes across batches).  A long-lived process
+    switching to a smaller dataset mid-run can call this to drop the
+    inflated static shapes — at the cost of recompiles for the new sizes.
+    """
+    with _ECAP_LOCK:
+        _ECAP_REGISTRY.clear()
 
 
 def _sticky_window(key, needed: int) -> int:
@@ -568,10 +582,13 @@ def build_windowed_subm27(
     np.clip(starts, 0, max(v - window, 0), out=starts)
 
     sub_off = None
+    if sub and subwin >= window:
+        # auto-sized windows can land at/below the requested sub-window
+        # width; the two-level split buys nothing there — run flat.
+        sub = subwin = 0
     if sub:
-        if tile % sub or subwin % 8 or subwin > window:
-            raise ValueError("sub must divide tile; subwin 8-aligned and "
-                             "<= window")
+        if tile % sub or subwin % 8:
+            raise ValueError("sub must divide tile; subwin must be 8-aligned")
         nsub = v // sub
         rbs = rb27.reshape(nsub, sub, 27)
         lives = rbs >= 0
@@ -740,9 +757,23 @@ def parent_rulebook(parent: np.ndarray, child_offset: np.ndarray,
     deconv's per-row tap selection expressed as a plain rulebook so the
     windowed gather machinery evaluates it (out[f] = sum_k rb-gather @ W_k
     has exactly one live term).
+
+    Invariant the deconv/unpool appliers rely on (wg_conv_apply /
+    wg_unpool_apply skip explicit fine_valid masking): an INVALID fine row
+    must come out all -1, so its gathered contribution is exactly zero.
+    ``downsample_level_np`` encodes invalid rows as parent == v_coarse
+    (one-past-the-end), which the range filter below rejects — asserted so
+    a future voxelize/parent encoding change cannot silently leak garbage
+    rows into padded outputs.
     """
     vf = parent.shape[0]
     rbu = np.full((vf, k), -1, np.int32)
     ok = (parent >= 0) & (parent < v_coarse)
+    # invalid rows may only carry the known sentinels (-1 or one-past-the-
+    # end); anything else means the upstream encoding changed
+    bad = parent[~ok]
+    assert bad.size == 0 or np.isin(bad, (-1, v_coarse)).all(), (
+        "unexpected parent sentinel values: "
+        f"{np.unique(bad)[:5]} (v_coarse={v_coarse})")
     rbu[np.arange(vf)[ok], child_offset[ok]] = parent[ok]
     return rbu

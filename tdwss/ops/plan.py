@@ -91,10 +91,11 @@ class Windowed27:
     tap index).  The only residuals left are window spills (~0.3-0.7% of
     entries), kept as a compact overflow list — no aligned per-voxel tier.
 
-    starts:    (tiles, 9) int32  shared-window start per (row-tile,
-                                 (dy,dz) group), 8-aligned, clamped to
+    starts:    (tiles, nwin) int32  shared-window start per (row-tile,
+                                 window group), nwin in {9, 3} (per-(dy,dz)
+                                 or per-dz sharing), 8-aligned, clamped to
                                  [0, V - window]
-    rb_local:  (V, 27) int32     tap source pos - start[tile, k % 9], or
+    rb_local:  (V, 27) int32     tap source pos - start[tile, k % nwin], or
                                  == window (sentinel -> zero one-hot row)
     res_ovf:   (E2, 3) int32     spilled entries [v, tap27, src], sorted
                                  by v (pad rows carry v == src == V)

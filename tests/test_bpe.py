@@ -1,0 +1,97 @@
+"""BPE trainer + tokenizer golden tests (reference
+dataset/dataset_utils/tokenizer.py:87-160 algorithm parity).
+
+The real CLIP merges asset cannot ship (zero egress), so parity is pinned
+three ways: a hand-computed golden encoding over a tiny explicit merges
+file, CLIP's structural id layout (byte tokens 0-255, byte</w> 256-511 —
+ids any CLIP-format vocabulary shares), and trainer/encoder round-trip
+properties on the shipped ScanNet asset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tdwss.data.bpe_train import (scannet_corpus, train_bpe, write_merges)
+from tdwss.data.tokenizer import (DEFAULT_VOCAB_PATH, BpeTokenizer, tokenize)
+
+
+def test_clip_byte_layout_ids():
+    """Single-character word ids match real CLIP ids structurally:
+    'a' is byte 97 -> position 64 in the printable byte list, so the
+    end-of-word token 'a</w>' is id 256 + 64 = 320 — the same id
+    clip.tokenize assigns (any CLIP-format vocab shares the base layout)."""
+    bpe = BpeTokenizer(DEFAULT_VOCAB_PATH)
+    assert bpe.encoder["a</w>"] == 320
+    assert bpe.encoder["b</w>"] == 321
+    assert bpe.encoder["!</w>"] == 256
+    assert bpe.encoder["a"] == 64
+    # specials are the last two ids
+    assert bpe.sot_id == bpe.vocab_size - 2
+    assert bpe.eot_id == bpe.vocab_size - 1
+
+
+def test_bpe_golden_merge_order(tmp_path):
+    """Hand-computed golden: merges must apply by RANK, not left-to-right.
+
+    vocab merges: (l,o) rank0, (lo,w</w>) rank1, (l,low</w>) rank2?? —
+    use 'lowlow</w>': 'l o w l o w</w>' with ranks (l,o)=0, (w,lo)=1,
+    (lo,wlo)=2, (lowlo,w</w>)=3 gives exactly one token.
+    """
+    merges = "#v\nl o\nw lo\nlo wlo\nlowlo w</w>\n"
+    path = tmp_path / "m.txt"
+    path.write_text(merges)
+    bpe = BpeTokenizer(str(path))
+    # step-by-step: l o w l o w</w> -> lo w lo w</w> (rank 0 twice)
+    # -> lo wlo w</w> (rank 1) -> lowlo w</w> (rank 2) -> lowlow</w> (rank 3)
+    ids = bpe.encode("lowlow")
+    assert ids == [bpe.encoder["lowlow</w>"]]
+    # 'low' alone: l o w</w>; (l,o) applies, (lo,w</w>) is NOT a merge
+    # (only 'w lo' and later exist) -> two tokens [lo, w</w>]
+    assert bpe.encode("low") == [bpe.encoder["lo"], bpe.encoder["w</w>"]]
+
+
+def test_trained_merges_match_manual_counts(tmp_path):
+    """Trainer golden: most frequent pair merges first, ties lexicographic."""
+    corpus = ["aa aa aa ab"]
+    merges = train_bpe(corpus, 8)
+    # words: 'aa</w>' x3, 'ab</w>' x1 -> best first pair is (a, a</w>) x3
+    assert merges[0] == ("a", "a</w>")
+    p = tmp_path / "m.txt"
+    write_merges(merges, str(p))
+    bpe = BpeTokenizer(str(p))
+    assert len(bpe.encode("aa")) == 1
+
+
+def test_shipped_asset_roundtrip_and_determinism():
+    bpe = BpeTokenizer(DEFAULT_VOCAB_PATH)
+    sentences = [
+        "the brown chair is next to the wooden table",
+        "there is a white sofa in front of the window",
+        "find the black desk that is behind the door",
+        "a trash can under the sink",
+        "the lamp on top of the nightstand",
+        "this is the refrigerator against the wall",
+        "a laundry basket near the shower curtain",
+        "the television across from the bed",
+        "a keyboard on top of the desk",
+        "the mirror attached to the cabinet",
+    ]
+    for s in sentences:
+        ids = bpe.encode(s)
+        assert bpe.decode(ids) == s
+        assert max(ids) < bpe.sot_id
+    # regeneration is deterministic: retraining reproduces the asset
+    merges = train_bpe(scannet_corpus(), 2048)
+    ranks = sorted(bpe.bpe_ranks.items(), key=lambda kv: kv[1])
+    assert [m for m, _ in ranks] == merges
+
+
+def test_tokenize_full_pipeline_framing():
+    toks = tokenize(["the chair next to the window"], 12, vocab_size=49408)
+    bpe = BpeTokenizer(DEFAULT_VOCAB_PATH)
+    row = toks[0]
+    assert row[0] == bpe.sot_id
+    eot_pos = int(np.argmax(row))          # EOT is the largest id
+    assert row[eot_pos] == bpe.eot_id
+    assert (row[eot_pos + 1:] == 0).all()  # zero padding after EOT

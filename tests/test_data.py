@@ -121,12 +121,25 @@ def test_anchor_grid_covers_cloud():
 
 
 def test_hash_tokenizer_deterministic():
-    toks1 = tokenize(["a chair in the room"], 16)
-    toks2 = tokenize(["a chair in the room"], 16)
+    from tdwss.data.tokenizer import HashTokenizer
+
+    ht = HashTokenizer()
+    toks1 = tokenize(["a chair in the room"], 16, tokenizer=ht)
+    toks2 = tokenize(["a chair in the room"], 16, tokenizer=ht)
     np.testing.assert_array_equal(toks1, toks2)
     assert toks1[0, 0] == 49406  # SOT
     assert 49407 in toks1[0]     # EOT
     assert toks1.shape == (1, 16)
+
+
+def test_default_tokenizer_is_shipped_bpe():
+    from tdwss.data.tokenizer import BpeTokenizer, get_tokenizer
+
+    tok = get_tokenizer()
+    assert isinstance(tok, BpeTokenizer)   # asset ships; no hash fallback
+    toks = tokenize(["a chair in the room"], 16, vocab_size=49408)
+    assert toks[0, 0] == tok.sot_id
+    assert tok.eot_id in toks[0]
 
 
 def test_tokenize_small_vocab():
