@@ -548,3 +548,137 @@ int32_t voxelize(const int32_t* coords, const uint8_t* valid, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Windowed-27 metadata builder (host twin of
+// tdwss/ops/host_plan.build_windowed_subm27's fixed-window middle section).
+// One parallel pass computes per-(tile, group) window starts, optional
+// two-level sub-window offsets, window-local rulebook entries, and the
+// v-sorted spill list — replacing ~10 full numpy passes over the (V, 27)
+// rulebook (measured 8.2 s -> well under 1 s per bench batch on one core).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// rb27 (v, 27) int32 (-1 = missing); v % tile == 0; nwin in {9, 3};
+// sub == 0 disables the two-level split, else sub | tile and subwin % 8 == 0.
+// Outputs: out_starts (v/tile, nwin), out_suboff (v/sub, nwin) when sub,
+// out_rblocal (v, 27), out_spills (e_cap, 3) rows [v, tap, src] v-sorted.
+// Returns the TOTAL spill count (only the first e_cap rows are written);
+// callers re-invoke with a larger buffer when it exceeds e_cap.
+int64_t windowed27(const int32_t* rb27, int64_t v, int32_t tile,
+                   int32_t window, int32_t nwin, int32_t sub, int32_t subwin,
+                   int32_t* out_starts, int32_t* out_suboff,
+                   int32_t* out_rblocal, int32_t* out_spills, int64_t e_cap) {
+    const int64_t tiles = v / tile;
+    const int32_t kmax = 27;
+    int32_t gmap[27];
+    for (int32_t k = 0; k < kmax; ++k)
+        gmap[k] = (nwin == 9) ? (k % 9) : ((k % 9) % 3);
+    const int32_t start_hi = static_cast<int32_t>(
+        v > window ? v - window : 0);
+    const int32_t sentinel = sub ? subwin : window;
+
+    std::vector<int64_t> tile_spills(static_cast<size_t>(tiles), 0);
+
+    // pass 1: starts, sub offsets, locals, per-tile spill counts
+    parallel_for(tiles, [&](int64_t lo, int64_t hi) {
+        for (int64_t t = lo; t < hi; ++t) {
+            int32_t* st = out_starts + t * nwin;
+            int32_t gmin[9];
+            for (int32_t g = 0; g < nwin; ++g) gmin[g] = INT32_MAX;
+            const int32_t* rb_t = rb27 + t * tile * kmax;
+            for (int64_t r = 0; r < tile; ++r)
+                for (int32_t k = 0; k < kmax; ++k) {
+                    int32_t e = rb_t[r * kmax + k];
+                    if (e >= 0 && e < gmin[gmap[k]]) gmin[gmap[k]] = e;
+                }
+            for (int32_t g = 0; g < nwin; ++g) {
+                // empty group: numpy clamps (INT32_MAX & ~7) to the top
+                int32_t s = (gmin[g] == INT32_MAX) ? start_hi
+                                                   : (gmin[g] & ~7);
+                st[g] = std::min(std::max(s, 0), start_hi);
+            }
+
+            int64_t spills = 0;
+            const int64_t spt = sub ? tile / sub : 1;   // subs per tile
+            for (int64_t si = 0; si < spt; ++si) {
+                int32_t base[9];
+                if (sub) {
+                    int32_t smin[9];
+                    for (int32_t g = 0; g < nwin; ++g) smin[g] = INT32_MAX;
+                    const int32_t* rb_s = rb_t + si * sub * kmax;
+                    for (int64_t r = 0; r < sub; ++r)
+                        for (int32_t k = 0; k < kmax; ++k) {
+                            int32_t e = rb_s[r * kmax + k];
+                            if (e >= 0 && e < smin[gmap[k]])
+                                smin[gmap[k]] = e;
+                        }
+                    int32_t* so = out_suboff + (t * spt + si) * nwin;
+                    for (int32_t g = 0; g < nwin; ++g) {
+                        // empty group: numpy's (INT32_MAX - big) & ~7
+                        // clips to the top of the window
+                        int32_t off = (smin[g] == INT32_MAX)
+                            ? (window - subwin)
+                            : ((smin[g] - st[g]) & ~7);
+                        off = std::min(std::max(off, 0), window - subwin);
+                        so[g] = off;
+                        base[g] = st[g] + off;
+                    }
+                } else {
+                    for (int32_t g = 0; g < nwin; ++g) base[g] = st[g];
+                }
+                const int64_t rows = sub ? sub : tile;
+                const int64_t row0 = t * tile + si * (sub ? sub : 0);
+                for (int64_t r = 0; r < rows; ++r) {
+                    const int32_t* rb_r = rb27 + (row0 + r) * kmax;
+                    int32_t* out_r = out_rblocal + (row0 + r) * kmax;
+                    for (int32_t k = 0; k < kmax; ++k) {
+                        int32_t e = rb_r[k];
+                        if (e < 0) { out_r[k] = sentinel; continue; }
+                        int32_t local = e - base[gmap[k]];
+                        if (local >= 0 && local < sentinel) {
+                            out_r[k] = local;
+                        } else {
+                            out_r[k] = sentinel;
+                            ++spills;
+                        }
+                    }
+                }
+            }
+            tile_spills[t] = spills;
+        }
+    });
+
+    // exclusive prefix so parallel writers know their output offsets
+    std::vector<int64_t> offs(static_cast<size_t>(tiles) + 1, 0);
+    for (int64_t t = 0; t < tiles; ++t)
+        offs[t + 1] = offs[t] + tile_spills[t];
+    const int64_t total = offs[tiles];
+    if (total > 0 && e_cap > 0) {
+        parallel_for(tiles, [&](int64_t lo, int64_t hi) {
+            for (int64_t t = lo; t < hi; ++t) {
+                int64_t at = offs[t];
+                if (at >= e_cap) continue;
+                for (int64_t r = t * tile; r < (t + 1) * tile; ++r) {
+                    const int32_t* rb_r = rb27 + r * kmax;
+                    const int32_t* loc_r = out_rblocal + r * kmax;
+                    for (int32_t k = 0; k < kmax; ++k) {
+                        if (rb_r[k] >= 0 && loc_r[k] == sentinel) {
+                            if (at < e_cap) {
+                                int32_t* s = out_spills + at * 3;
+                                s[0] = static_cast<int32_t>(r);
+                                s[1] = k;
+                                s[2] = rb_r[k];
+                            }
+                            ++at;
+                        }
+                    }
+                }
+            }
+        });
+    }
+    return total;
+}
+
+}  // extern "C"

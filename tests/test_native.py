@@ -87,3 +87,48 @@ def test_region_grow_rejects_small_and_misaligned():
                                      max_angle_deg=20, min_region=50)
     assert num == 1
     assert (region[n:] == -1).all()
+
+
+def test_native_windowed27_matches_numpy(monkeypatch):
+    """The C++ windowed27 pass must reproduce the numpy reference bit-for-
+    bit: starts, sub offsets, locals, and the v-sorted spill list."""
+    import numpy as np
+
+    from tdwss import native
+    from tdwss.ops.host_plan import (build_subm_rulebook_np,
+                                     build_windowed_subm27, voxelize_np)
+
+    if native._load() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(5)
+    n = 20000
+    coords = np.concatenate(
+        [rng.integers(0, 96, (n, 3)), rng.integers(0, 2, (n, 1))],
+        axis=1).astype(np.int32)
+    valid = np.ones(n, bool)
+    cap = 16384
+    grid, _, _ = voxelize_np(coords, None, valid, cap)
+    rb27 = build_subm_rulebook_np(grid, 3)
+
+    for sub, subwin in ((0, 0), (128, 256)):
+        nat = build_windowed_subm27(rb27, grid, tile=512, window=640,
+                                    sub=sub, subwin=subwin)
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_lib_failed", True)
+        ref = build_windowed_subm27(rb27, grid, tile=512, window=640,
+                                    sub=sub, subwin=subwin)
+        monkeypatch.setattr(native, "_lib_failed", False)
+        assert (nat is None) == (ref is None)
+        if nat is None:
+            continue
+        np.testing.assert_array_equal(nat.starts, ref.starts)
+        np.testing.assert_array_equal(nat.rb_local, ref.rb_local)
+        np.testing.assert_array_equal(nat.res_ovf, ref.res_ovf)
+        np.testing.assert_array_equal(nat.ovf_v, ref.ovf_v)
+        np.testing.assert_array_equal(nat.ovf_count, ref.ovf_count)
+        if sub:
+            np.testing.assert_array_equal(nat.sub_off, ref.sub_off)
+        assert nat.window == ref.window and nat.sub == ref.sub
