@@ -560,23 +560,29 @@ int32_t voxelize(const int32_t* coords, const uint8_t* valid, int64_t n,
 
 extern "C" {
 
-// rb27 (v, 27) int32 (-1 = missing); v % tile == 0; nwin in {9, 3};
+// rb (v, kmax) int32 (-1 = missing; entries index a v_src-row source
+// array); v % tile == 0; nwin must divide kmax
+// (tap -> window group = tap % nwin: the universal group rule — for the
+// 27-tap subm form k%9 selects the (dy,dz) pair and k%3 the dz; for
+// cross-level gathers k % stride separates the fine z-slabs).
 // sub == 0 disables the two-level split, else sub | tile and subwin % 8 == 0.
 // Outputs: out_starts (v/tile, nwin), out_suboff (v/sub, nwin) when sub,
-// out_rblocal (v, 27), out_spills (e_cap, 3) rows [v, tap, src] v-sorted.
+// out_rblocal (v, kmax), out_spills (e_cap, 3) rows [v, tap, src] v-sorted.
 // Returns the TOTAL spill count (only the first e_cap rows are written);
 // callers re-invoke with a larger buffer when it exceeds e_cap.
-int64_t windowed27(const int32_t* rb27, int64_t v, int32_t tile,
-                   int32_t window, int32_t nwin, int32_t sub, int32_t subwin,
-                   int32_t* out_starts, int32_t* out_suboff,
-                   int32_t* out_rblocal, int32_t* out_spills, int64_t e_cap) {
+int64_t windowed_rb(const int32_t* rb27, int64_t v, int64_t v_src,
+                    int32_t kmax,
+                    int32_t tile, int32_t window, int32_t nwin, int32_t sub,
+                    int32_t subwin,
+                    int32_t* out_starts, int32_t* out_suboff,
+                    int32_t* out_rblocal, int32_t* out_spills, int64_t e_cap) {
     const int64_t tiles = v / tile;
-    const int32_t kmax = 27;
-    int32_t gmap[27];
-    for (int32_t k = 0; k < kmax; ++k)
-        gmap[k] = (nwin == 9) ? (k % 9) : ((k % 9) % 3);
+    std::vector<int32_t> gmap(static_cast<size_t>(kmax));
+    for (int32_t k = 0; k < kmax; ++k) gmap[k] = k % nwin;
+    // windows index the SOURCE array (== the out domain for the subm
+    // form, the other level for cross-level gathers)
     const int32_t start_hi = static_cast<int32_t>(
-        v > window ? v - window : 0);
+        v_src > window ? v_src - window : 0);
     const int32_t sentinel = sub ? subwin : window;
 
     std::vector<int64_t> tile_spills(static_cast<size_t>(tiles), 0);
@@ -585,7 +591,7 @@ int64_t windowed27(const int32_t* rb27, int64_t v, int32_t tile,
     parallel_for(tiles, [&](int64_t lo, int64_t hi) {
         for (int64_t t = lo; t < hi; ++t) {
             int32_t* st = out_starts + t * nwin;
-            int32_t gmin[9];
+            int32_t gmin[32];
             for (int32_t g = 0; g < nwin; ++g) gmin[g] = INT32_MAX;
             const int32_t* rb_t = rb27 + t * tile * kmax;
             for (int64_t r = 0; r < tile; ++r)
@@ -603,9 +609,9 @@ int64_t windowed27(const int32_t* rb27, int64_t v, int32_t tile,
             int64_t spills = 0;
             const int64_t spt = sub ? tile / sub : 1;   // subs per tile
             for (int64_t si = 0; si < spt; ++si) {
-                int32_t base[9];
+                int32_t base[32];
                 if (sub) {
-                    int32_t smin[9];
+                    int32_t smin[32];
                     for (int32_t g = 0; g < nwin; ++g) smin[g] = INT32_MAX;
                     const int32_t* rb_s = rb_t + si * sub * kmax;
                     for (int64_t r = 0; r < sub; ++r)

@@ -40,7 +40,7 @@ def _load() -> Optional[ctypes.CDLL]:
                     check=True, capture_output=True, timeout=120,
                 )
             lib = ctypes.CDLL(_LIB_PATH)
-            if not hasattr(lib, "windowed27"):  # stale pre-plan-ops build
+            if not hasattr(lib, "windowed_rb"):  # stale pre-plan-ops build
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR, "clean", "all"],
                     check=True, capture_output=True, timeout=120,
@@ -50,7 +50,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.region_grow.restype = ctypes.c_int32
             lib.subm_rulebook.restype = None
             lib.voxelize.restype = ctypes.c_int32
-            lib.windowed27.restype = ctypes.c_int64
+            lib.windowed_rb.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -312,29 +312,34 @@ def available() -> bool:
     return _load() is not None
 
 
-def windowed27(rb27: np.ndarray, tile: int, window: int, nwin: int,
-               sub: int, subwin: int, e_cap: int):
-    """Native windowed-27 metadata: (starts, sub_off|None, rb_local,
+def windowed_rb(rb: np.ndarray, tile: int, window: int, nwin: int,
+                sub: int, subwin: int, e_cap: int,
+                v_src: Optional[int] = None):
+    """Native windowed-rulebook metadata: (starts, sub_off|None, rb_local,
     spills (n_spills, 3)) or None when the library is unavailable.
 
-    Semantics identical to the fixed-window middle section of
-    tdwss.ops.host_plan.build_windowed_subm27; spills come back v-sorted.
+    Semantics identical to the fixed-window middle sections of
+    tdwss.ops.host_plan.build_windowed_subm27 / build_windowed_gather
+    (tap -> window group = tap % nwin); spills come back v-sorted.
     Re-invokes itself with the exact count when ``e_cap`` is too small.
     """
     lib = _load()
     if lib is None:
         return None
-    rb27 = _i32(rb27)
-    v = rb27.shape[0]
+    rb = _i32(rb)
+    v, k = rb.shape
+    if v_src is None:
+        v_src = v
     tiles = v // tile
     starts = np.empty((tiles, nwin), np.int32)
     sub_off = np.empty((v // sub, nwin), np.int32) if sub else None
-    rb_local = np.empty((v, 27), np.int32)
+    rb_local = np.empty((v, k), np.int32)
     e_cap = max(int(e_cap), 1)
     spills = np.empty((e_cap, 3), np.int32)
     args = (
-        rb27.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ctypes.c_int64(v), ctypes.c_int32(tile), ctypes.c_int32(window),
+        rb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(v), ctypes.c_int64(int(v_src)), ctypes.c_int32(k),
+        ctypes.c_int32(tile), ctypes.c_int32(window),
         ctypes.c_int32(nwin), ctypes.c_int32(sub), ctypes.c_int32(subwin),
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         sub_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -342,10 +347,10 @@ def windowed27(rb27: np.ndarray, tile: int, window: int, nwin: int,
         rb_local.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         spills.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
-    total = lib.windowed27(*args, ctypes.c_int64(e_cap))
+    total = lib.windowed_rb(*args, ctypes.c_int64(e_cap))
     if total > e_cap:
         spills = np.empty((int(total), 3), np.int32)
-        lib.windowed27(*args[:-1],
-                       spills.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                       ctypes.c_int64(int(total)))
+        lib.windowed_rb(*args[:-1],
+                        spills.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        ctypes.c_int64(int(total)))
     return starts, sub_off, rb_local, spills[: int(total)]

@@ -267,11 +267,13 @@ def build_plans_np(
                 # slab distance (measured 4096 vs 1024 grouped).
                 wg_down = build_windowed_gather(
                     down_rb, v_src=vf, tile=256, group_mod=s,
-                    sticky_key=(vc, vf, f, s, "dn"))
+                    sticky_key=(vc, vf, f, s, "dn"),
+                    sub=128, subwin=256)
                 rb_up = parent_rulebook(parent, child_offset, vc, f ** 3)
                 wg_up = build_windowed_gather(
                     rb_up, v_src=vc, tile=tile,
-                    sticky_key=(vf, vc, f, "up"))
+                    sticky_key=(vf, vc, f, "up"),
+                    sub=128, subwin=256)
                 if wg_down is None or wg_up is None:
                     wg_down = wg_up = None   # both or neither (paired VJP)
         else:
@@ -561,7 +563,7 @@ def build_windowed_subm27(
     if not auto_window:
         # fixed-window fast path: one parallel C++ pass builds starts /
         # sub offsets / locals / v-sorted spills (native/tdwss_native.cpp
-        # windowed27 — measured 8.2 s -> <1 s per bench batch; the numpy
+        # windowed_rb — measured 8.2 s -> <1 s per bench batch; the numpy
         # section below is its reference implementation and the
         # auto-window / no-compiler fallback)
         if sub and subwin >= window:
@@ -572,8 +574,8 @@ def build_windowed_subm27(
 
         guess = _ECAP_REGISTRY.get((v, tile, window, 27, nwin, sub, "ovf"),
                                    max(64, v // 64))
-        nat = _native.windowed27(rb27, tile, window, nwin, sub, subwin,
-                                 e_cap=guess)
+        nat = _native.windowed_rb(rb27, tile, window, nwin, sub, subwin,
+                                  e_cap=guess)
         if nat is not None:
             starts, sub_off, rb_local, ovf_entries = nat
             return _finish_w27(rb27, v, tile, window, nwin, sub, subwin,
@@ -690,6 +692,8 @@ def build_windowed_gather(
     auto_max: int = 4096,
     sticky_key: Optional[tuple] = None,
     group_mod: int = 1,
+    sub: int = 0,
+    subwin: int = 0,
 ):
     """Windowed decomposition of an arbitrary (V_out, K) rulebook.
 
@@ -743,16 +747,57 @@ def build_windowed_gather(
         return None
     np.clip(starts, 0, max(v_src - window, 0), out=starts)
 
-    local3 = rb3 - starts[:, None, gmap]
-    cover3 = live3 & (local3 >= 0) & (local3 < window)
-    rb_local = np.where(cover3, local3, np.int32(window)).reshape(v_out, k)
-    cover = cover3.reshape(v_out, k)
+    if sub and (subwin >= window or t % sub or subwin % 8):
+        sub = subwin = 0          # geometry unsuitable — run flat
 
-    sp_v, sp_t = np.nonzero((rb >= 0) & ~cover)
-    sp_s = rb[sp_v, sp_t]
-    order = np.argsort(sp_v, kind="stable")
-    ovf_entries = np.stack(
-        [sp_v[order], sp_t[order], sp_s[order]], axis=1).astype(np.int32)
+    from tdwss import native as _native
+
+    sub_off = None
+    nat = None
+    if _native.available():
+        # heavy passes in one native sweep now that the window is fixed
+        # (the starts computed above are recomputed there — cheap)
+        guess = _ECAP_REGISTRY.get(
+            (sticky_key or (v_out, v_src, t, k, group_mod, "wg"))
+            + (window, sub, "ovf"), max(64, v_out // 64))
+        nat = _native.windowed_rb(rb, t, window, group_mod, sub, subwin,
+                                  e_cap=guess, v_src=v_src)
+    if nat is not None:
+        starts, sub_off, rb_local, ovf_entries = nat
+    elif sub:
+        nsub = v_out // sub
+        rbs = rb.reshape(nsub, sub, k)
+        lives = rbs >= 0
+        ms = np.where(lives, rbs, np.int32(np.iinfo(np.int32).max))
+        smin = ms.min(axis=1)                                # (nsub, k)
+        gm = np.full((nsub, group_mod), np.iinfo(np.int32).max, np.int32)
+        for kk in range(k):
+            np.minimum(gm[:, gmap[kk]], smin[:, kk], out=gm[:, gmap[kk]])
+        spt = t // sub
+        big = np.repeat(starts, spt, axis=0)                 # (nsub, nwin)
+        sub_off = gm - big
+        sub_off &= ~np.int32(7)
+        np.clip(sub_off, 0, window - subwin, out=sub_off)
+        base = big + sub_off
+        local3 = rbs - base[:, None, gmap]
+        cover3 = lives & (local3 >= 0) & (local3 < subwin)
+        rb_local = np.where(cover3, local3, np.int32(subwin)).reshape(v_out, k)
+        cover = cover3.reshape(v_out, k)
+        sp_v, sp_t = np.nonzero((rb >= 0) & ~cover)
+        sp_s = rb[sp_v, sp_t]
+        ovf_entries = np.stack(
+            [sp_v, sp_t, sp_s], axis=1).astype(np.int32)
+    else:
+        local3 = rb3 - starts[:, None, gmap]
+        cover3 = live3 & (local3 >= 0) & (local3 < window)
+        rb_local = np.where(cover3, local3, np.int32(window)).reshape(v_out, k)
+        cover = cover3.reshape(v_out, k)
+
+        sp_v, sp_t = np.nonzero((rb >= 0) & ~cover)
+        sp_s = rb[sp_v, sp_t]
+        order = np.argsort(sp_v, kind="stable")
+        ovf_entries = np.stack(
+            [sp_v[order], sp_t[order], sp_s[order]], axis=1).astype(np.int32)
     heavy, heavy_counts = np.unique(ovf_entries[:, 0], return_counts=True)
 
     if res_cap is not None:
@@ -761,7 +806,8 @@ def build_windowed_gather(
         e2_cap = max(res_cap, 32)
         h_cap = max(res_cap, 32)
     else:
-        key = sticky_key or (v_out, v_src, t, k, group_mod, "wg")
+        key = (sticky_key or (v_out, v_src, t, k, group_mod, "wg")) + (
+            window, sub)
         e2_cap = _sticky_ecap(key + ("ovf",), ovf_entries.shape[0],
                               max(64, v_out // 64))
         h_cap = _sticky_ecap(key + ("heavy",), heavy.shape[0],
@@ -778,6 +824,7 @@ def build_windowed_gather(
     return WindowedGather(
         starts=starts, rb_local=rb_local, res_ovf=res_ovf, ovf_v=ovf_v,
         ovf_count=ovf_count, window=window, v_src=int(v_src),
+        sub_off=sub_off, sub=int(sub), subwin=int(subwin),
     )
 
 

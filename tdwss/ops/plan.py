@@ -156,6 +156,14 @@ class WindowedGather:
     ovf_count: jnp.ndarray
     window: int = flax.struct.field(pytree_node=False, default=512)
     v_src: int = flax.struct.field(pytree_node=False, default=0)
+    # Two-level sub-windows, exactly as in :class:`Windowed27` (the
+    # cross-level windows auto-size to 1024-2560 rows, so the one-hot
+    # width cut matters even more here): sub_off is
+    # (tiles * (tile/sub), nwin) int32 slice offsets, rb_local is then
+    # relative to (start + sub_off) with sentinel == subwin.
+    sub_off: Optional[jnp.ndarray] = None
+    sub: int = flax.struct.field(pytree_node=False, default=0)
+    subwin: int = flax.struct.field(pytree_node=False, default=0)
 
 
 @flax.struct.dataclass

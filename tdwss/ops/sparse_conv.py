@@ -465,12 +465,13 @@ def _kernel_vmem_fits(nanchor: int, window: int, c3: int, cout: int,
 
 
 # Fused kernels only where they pay: each distinct kernel shape costs a
-# Mosaic compile through the (slow) remote relay — ~90 instantiations for
-# a full 7-level UNet fwd+bwd put the cold step compile past 90 minutes.
-# Below this out-domain size the XLA einsum windowed path is within a few
-# ms of the kernel anyway.
+# Mosaic compile (slow through the remote relay; the persistent cache
+# amortizes it).  Measured per-conv fwd+bwd on v5e (bench UNet levels):
+# V=32k C=128 12.5 -> 4.9 ms, V=8k C=160 5.8 -> 4.4 ms under the kernel,
+# but V<=4k levels LOSE (4.5 -> 6.7 ms at V=4096/C=224) — padding and
+# launch overhead dominate and the einsum path is cheaper.
 _PALLAS_MIN_V = int(__import__("os").environ.get("TDWSS_PALLAS_MIN_V",
-                                                 100_000))
+                                                 8192))
 
 
 def _use_pallas_kernel(v: int, tiles: int, window: int,
@@ -552,28 +553,39 @@ def _w27_expand(starts):
     return starts[:, _GMAP27 if nwin == 9 else _GMAP27 % 3]
 
 
-def _w27_big_locals(rb_local, sub_off, window, sub, subwin):
-    """Sub-relative (V, 27) locals -> big-window-relative (einsum path)."""
+def _sub_big_locals(rb_local, sub_off, window, sub, subwin):
+    """Sub-relative (V, K) locals -> big-window-relative (einsum path).
+
+    Tap -> window group is the universal ``tap % nwin`` rule (for K=27,
+    (k %% 9) %% 3 == k %% 3 since 3 | 9, so this covers both w27 forms and
+    the cross-level gathers).
+    """
+    k = rb_local.shape[1]
     nwin = sub_off.shape[1]
-    gmap = _GMAP27 if nwin == 9 else _GMAP27 % 3
-    big = jnp.repeat(sub_off, sub, axis=0)[:, gmap]          # (V, 27)
+    gmap = np.arange(k, dtype=np.int32) % nwin
+    big = jnp.repeat(sub_off, sub, axis=0)[:, gmap]          # (V, K)
     return jnp.where(rb_local == subwin, window, rb_local + big)
 
 
-def _sub_vmem_fits(window: int, c: int, cout: int, dw: bool) -> bool:
+_w27_big_locals = _sub_big_locals     # historical alias
+
+
+def _sub_vmem_fits(window: int, c: int, cout: int, dw: bool,
+                   nanchor: int = 27, nwin: int = 9) -> bool:
     """Extra scratch of the sub-window kernels (zbuf / f32 sbuf + acc).
 
     Budget is tighter than _VMEM_BUDGET: the unrolled per-sub loops add
     Mosaic stack temporaries the estimate cannot see (observed: the
     declared ~8 MB of scratch at tile=1024/window=1280 compiled to a
-    20.9 MB scoped allocation).
+    20.9 MB scoped allocation at nanchor=27).  The stack pressure tracks
+    nanchor x window, so the window cap scales with 27 / nanchor.
     """
-    if window > 768:        # observed stack blow-up at window=1280
+    if nanchor * window > 27 * 768:   # stack blow-up seen at 27 x 1280
         return False
     l = ((c + 127) // 128) * 128
-    zbuf = 27 * window * cout * 2
-    sbuf = 27 * window * cout * 4 + 27 * l * cout * 4 if dw else 0
-    win = 2 * 9 * window * l * 2
+    zbuf = nanchor * window * cout * 2
+    sbuf = nanchor * window * cout * 4 + nanchor * l * cout * 4 if dw else 0
+    win = 2 * nwin * window * l * 2
     return win + max(zbuf, sbuf) < _VMEM_BUDGET
 
 
@@ -602,13 +614,13 @@ def _w27_matmul_any(feats, rb_local, starts, w2d, window, sub=0, subwin=0,
                 rb_local.T, w27p, window=window, tile=v // tiles,
                 sub=sub, subwin=subwin)
         if sub:
-            rb_local = _w27_big_locals(rb_local, sub_off, window, sub,
+            rb_local = _sub_big_locals(rb_local, sub_off, window, sub,
                                        subwin)
         return windowed_matmul(
             feats, starts.reshape(-1), rb_local.T, w27p,
             window=window, tile=v // tiles)
     if sub:
-        rb_local = _w27_big_locals(rb_local, sub_off, window, sub, subwin)
+        rb_local = _sub_big_locals(rb_local, sub_off, window, sub, subwin)
     return _win_matmul(feats, rb_local, _w27_expand(starts), w2d, window)
 
 
@@ -628,13 +640,13 @@ def _w27_dw_any(feats, rb_local, starts, dout, window, sub=0, subwin=0,
                 rb_local.T, dout, window=window, tile=v // tiles,
                 sub=sub, subwin=subwin)
         else:
-            rb = (_w27_big_locals(rb_local, sub_off, window, sub, subwin)
+            rb = (_sub_big_locals(rb_local, sub_off, window, sub, subwin)
                   if sub else rb_local)
             dw = windowed_dw(feats, starts.reshape(-1), rb.T, dout,
                              window=window, tile=v // tiles)
         return dw[:, :c, :].reshape(27 * c, -1)
     if sub:
-        rb_local = _w27_big_locals(rb_local, sub_off, window, sub, subwin)
+        rb_local = _sub_big_locals(rb_local, sub_off, window, sub, subwin)
     return _win_dw(feats, rb_local, _w27_expand(starts), dout, window)
 
 
@@ -1013,43 +1025,69 @@ def _wg_expand(starts, k):
     return starts[:, np.arange(k, dtype=np.int32) % nwin]
 
 
-def _wg_matmul_any(src, rb_local, starts, w2d, window):
+def _wg_matmul_any(src, rb_local, starts, w2d, window, sub=0, subwin=0,
+                   sub_off=None):
     """Windowed rulebook eval -> (V_out, Cout) f32.  starts (tiles, nwin)
-    with tap -> window group = tap % nwin (z-parity grouped children)."""
+    with tap -> window group = tap % nwin (z-parity grouped children).
+    With ``sub``, locals are sub-window-relative (see Windowed27)."""
     v_src, c = src.shape
     v_out, k = rb_local.shape
     tiles = starts.shape[0]
     nwin = starts.shape[1] if starts.ndim > 1 else 1
-    if _use_pallas_wg(v_src, v_out, tiles, window, k, c, w2d.shape[-1],
-                      nwin):
-        from tdwss.ops.pallas_subm import pad_w9, windowed_matmul
+    cout = w2d.shape[-1]
+    if _use_pallas_wg(v_src, v_out, tiles, window, k, c, cout, nwin):
+        from tdwss.ops.pallas_subm import (pad_w9, windowed_matmul,
+                                           windowed_matmul_sub)
 
         wp = pad_w9(w2d.reshape(k, c, -1))
+        if sub and _sub_vmem_fits(window, c, cout, dw=False, nanchor=k,
+                                  nwin=nwin):
+            return windowed_matmul_sub(
+                src, starts.reshape(-1), sub_off.reshape(-1), rb_local.T,
+                wp, window=window, tile=v_out // tiles, sub=sub,
+                subwin=subwin)
+        if sub:
+            rb_local = _sub_big_locals(rb_local, sub_off, window, sub,
+                                       subwin)
         return windowed_matmul(src, starts.reshape(-1), rb_local.T, wp,
                                window=window, tile=v_out // tiles)
+    if sub:
+        rb_local = _sub_big_locals(rb_local, sub_off, window, sub, subwin)
     return _win_matmul(src, rb_local, _wg_expand(starts, k), w2d, window)
 
 
-def _wg_dw_any(src, rb_local, starts, dout, window):
+def _wg_dw_any(src, rb_local, starts, dout, window, sub=0, subwin=0,
+               sub_off=None):
     """Windowed rulebook dW -> (K*C, Cout) f32 (raw tap order)."""
     v_src, c = src.shape
     v_out, k = rb_local.shape
     tiles = starts.shape[0]
     nwin = starts.shape[1] if starts.ndim > 1 else 1
-    if _use_pallas_wg(v_src, v_out, tiles, window, k, c, dout.shape[-1],
-                      nwin):
-        from tdwss.ops.pallas_subm import windowed_dw
+    cout = dout.shape[-1]
+    if _use_pallas_wg(v_src, v_out, tiles, window, k, c, cout, nwin):
+        from tdwss.ops.pallas_subm import windowed_dw, windowed_dw_sub
 
-        dw = windowed_dw(src, starts.reshape(-1), rb_local.T, dout,
+        if sub and _sub_vmem_fits(window, c, cout, dw=True, nanchor=k,
+                                  nwin=nwin):
+            dw = windowed_dw_sub(
+                src, starts.reshape(-1), sub_off.reshape(-1), rb_local.T,
+                dout, window=window, tile=v_out // tiles, sub=sub,
+                subwin=subwin)
+            return dw[:, :c, :].reshape(k * c, -1)
+        rb = (_sub_big_locals(rb_local, sub_off, window, sub, subwin)
+              if sub else rb_local)
+        dw = windowed_dw(src, starts.reshape(-1), rb.T, dout,
                          window=window, tile=v_out // tiles)
         return dw[:, :c, :].reshape(k * c, -1)
+    if sub:
+        rb_local = _sub_big_locals(rb_local, sub_off, window, sub, subwin)
     return _win_dw(src, rb_local, _wg_expand(starts, k), dout, window)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _wg_conv(window_f, window_b, feats,
-             f_starts, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
-             b_starts, b_rb, b_ovf, b_ovf_v, b_ovf_cnt, weight):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _wg_conv(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b, feats,
+             f_starts, f_soff, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
+             b_starts, b_soff, b_rb, b_ovf, b_ovf_v, b_ovf_cnt, weight):
     """Forward-direction windowed rulebook conv with transposed backward.
 
     ``f_*`` metadata evaluates the forward rulebook (out domain = f_rb
@@ -1058,48 +1096,63 @@ def _wg_conv(window_f, window_b, feats,
     """
     k, cin, cout = weight.shape
     w2d = weight.reshape(k * cin, cout)
-    out = _wg_matmul_any(feats, f_rb, f_starts, w2d, window_f)
+    out = _wg_matmul_any(feats, f_rb, f_starts, w2d, window_f, sub_f,
+                         subwin_f, f_soff)
     out = out + _res_ovf_apply(feats, f_ovf, f_ovf_v, f_ovf_cnt, w2d, cout,
                                out_len=f_rb.shape[0])
     return out.astype(feats.dtype)
 
 
-def _wg_conv_fwd(window_f, window_b, feats, f_starts, f_rb, f_ovf, f_ovf_v,
-                 f_ovf_cnt, b_starts, b_rb, b_ovf, b_ovf_v, b_ovf_cnt,
-                 weight):
-    out = _wg_conv(window_f, window_b, feats, f_starts, f_rb, f_ovf,
-                   f_ovf_v, f_ovf_cnt, b_starts, b_rb, b_ovf, b_ovf_v,
-                   b_ovf_cnt, weight)
-    return out, (feats, f_starts, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
-                 b_starts, b_rb, b_ovf, b_ovf_v, b_ovf_cnt, weight)
+def _wg_conv_fwd(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b,
+                 feats, f_starts, f_soff, f_rb, f_ovf, f_ovf_v,
+                 f_ovf_cnt, b_starts, b_soff, b_rb, b_ovf, b_ovf_v,
+                 b_ovf_cnt, weight):
+    out = _wg_conv(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b,
+                   feats, f_starts, f_soff, f_rb, f_ovf,
+                   f_ovf_v, f_ovf_cnt, b_starts, b_soff, b_rb, b_ovf,
+                   b_ovf_v, b_ovf_cnt, weight)
+    return out, (feats, f_starts, f_soff, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
+                 b_starts, b_soff, b_rb, b_ovf, b_ovf_v, b_ovf_cnt, weight)
 
 
-def _wg_conv_bwd(window_f, window_b, res, dout):
-    (feats, f_starts, f_rb, f_ovf, f_ovf_v, f_ovf_cnt, b_starts, b_rb,
-     b_ovf, b_ovf_v, b_ovf_cnt, weight) = res
+def _wg_conv_bwd(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b, res,
+                 dout):
+    (feats, f_starts, f_soff, f_rb, f_ovf, f_ovf_v, f_ovf_cnt, b_starts,
+     b_soff, b_rb, b_ovf, b_ovf_v, b_ovf_cnt, weight) = res
     k, cin, cout = weight.shape
     feats, dout = jax.lax.optimization_barrier((feats, dout))
     dout_c = dout.astype(feats.dtype)
 
-    dw = _wg_dw_any(feats, f_rb, f_starts, dout_c, window_f)
+    dw = _wg_dw_any(feats, f_rb, f_starts, dout_c, window_f, sub_f,
+                    subwin_f, f_soff)
     dw = dw + _res_ovf_dw(feats, f_ovf, dout_c, k)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
 
     # dfeats via the transposed rulebook: tap index (child_offset) is the
     # same on both sides, so W transposes WITHOUT the tap flip.
     wt2d = weight.transpose(0, 2, 1).reshape(k * cout, cin)
-    dfeats = _wg_matmul_any(dout_c, b_rb, b_starts, wt2d, window_b)
+    dfeats = _wg_matmul_any(dout_c, b_rb, b_starts, wt2d, window_b, sub_b,
+                            subwin_b, b_soff)
     dfeats = dfeats + _res_ovf_apply(dout_c, b_ovf, b_ovf_v, b_ovf_cnt,
                                      wt2d, cin, out_len=b_rb.shape[0])
     dfeats = dfeats.astype(feats.dtype)
 
     zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
-    return (dfeats, zeros(f_starts), zeros(f_rb), zeros(f_ovf),
-            zeros(f_ovf_v), zeros(f_ovf_cnt), zeros(b_starts), zeros(b_rb),
+    return (dfeats, zeros(f_starts), zeros(f_soff), zeros(f_rb),
+            zeros(f_ovf), zeros(f_ovf_v), zeros(f_ovf_cnt),
+            zeros(b_starts), zeros(b_soff), zeros(b_rb),
             zeros(b_ovf), zeros(b_ovf_v), zeros(b_ovf_cnt), dw)
 
 
 _wg_conv.defvjp(_wg_conv_fwd, _wg_conv_bwd)
+
+
+def _wg_soff(wg):
+    """sub_off array or a (0, nwin) placeholder (custom_vjp needs arrays)."""
+    if wg.sub_off is not None:
+        return wg.sub_off
+    nwin = wg.starts.shape[1] if wg.starts.ndim > 1 else 1
+    return jnp.zeros((0, nwin), jnp.int32)
 
 
 def wg_conv_apply(feats: jnp.ndarray, weight: jnp.ndarray, wg_fwd,
@@ -1110,17 +1163,20 @@ def wg_conv_apply(feats: jnp.ndarray, weight: jnp.ndarray, wg_fwd,
     deconv:       ``wg_conv_apply(coarse_feats, W, lvl.wg_up, lvl.wg_down)``
     with W (f^3, Cin, Cout) in child-offset tap order either way.
     """
-    return _wg_conv(wg_fwd.window, wg_bwd.window, feats,
-                    wg_fwd.starts, wg_fwd.rb_local, wg_fwd.res_ovf,
-                    wg_fwd.ovf_v, wg_fwd.ovf_count,
-                    wg_bwd.starts, wg_bwd.rb_local, wg_bwd.res_ovf,
-                    wg_bwd.ovf_v, wg_bwd.ovf_count, weight)
+    return _wg_conv(wg_fwd.window, wg_bwd.window,
+                    wg_fwd.sub, wg_fwd.subwin, wg_bwd.sub, wg_bwd.subwin,
+                    feats,
+                    wg_fwd.starts, _wg_soff(wg_fwd), wg_fwd.rb_local,
+                    wg_fwd.res_ovf, wg_fwd.ovf_v, wg_fwd.ovf_count,
+                    wg_bwd.starts, _wg_soff(wg_bwd), wg_bwd.rb_local,
+                    wg_bwd.res_ovf, wg_bwd.ovf_v, wg_bwd.ovf_count, weight)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _wg_unpool(window_f, window_b, c, feats,
-               f_starts, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
-               b_starts, b_rb, b_ovf, b_ovf_v, b_ovf_cnt):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _wg_unpool(window_f, window_b, c, sub_f, subwin_f, sub_b, subwin_b,
+               feats,
+               f_starts, f_soff, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
+               b_starts, b_soff, b_rb, b_ovf, b_ovf_v, b_ovf_cnt):
     """Windowed unpool: out[f] = feats[parent[f]] via the up rulebook.
 
     Tap-tiled identity weights ride the generic machinery; the backward
@@ -1128,35 +1184,41 @@ def _wg_unpool(window_f, window_b, c, feats,
     """
     k = f_rb.shape[1]
     eye = jnp.tile(jnp.eye(c, dtype=feats.dtype), (k, 1))
-    out = _wg_matmul_any(feats, f_rb, f_starts, eye, window_f)
+    out = _wg_matmul_any(feats, f_rb, f_starts, eye, window_f, sub_f,
+                         subwin_f, f_soff)
     out = out + _res_ovf_apply(feats, f_ovf, f_ovf_v, f_ovf_cnt, eye, c,
                                out_len=f_rb.shape[0])
     return out.astype(feats.dtype)
 
 
-def _wg_unpool_fwd(window_f, window_b, c, feats, f_starts, f_rb, f_ovf,
-                   f_ovf_v, f_ovf_cnt, b_starts, b_rb, b_ovf, b_ovf_v,
-                   b_ovf_cnt):
-    out = _wg_unpool(window_f, window_b, c, feats, f_starts, f_rb, f_ovf,
-                     f_ovf_v, f_ovf_cnt, b_starts, b_rb, b_ovf, b_ovf_v,
-                     b_ovf_cnt)
-    return out, (feats, f_starts, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
-                 b_starts, b_rb, b_ovf, b_ovf_v, b_ovf_cnt)
+def _wg_unpool_fwd(window_f, window_b, c, sub_f, subwin_f, sub_b, subwin_b,
+                   feats, f_starts, f_soff, f_rb, f_ovf,
+                   f_ovf_v, f_ovf_cnt, b_starts, b_soff, b_rb, b_ovf,
+                   b_ovf_v, b_ovf_cnt):
+    out = _wg_unpool(window_f, window_b, c, sub_f, subwin_f, sub_b,
+                     subwin_b, feats, f_starts, f_soff, f_rb, f_ovf,
+                     f_ovf_v, f_ovf_cnt, b_starts, b_soff, b_rb, b_ovf,
+                     b_ovf_v, b_ovf_cnt)
+    return out, (feats, f_starts, f_soff, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
+                 b_starts, b_soff, b_rb, b_ovf, b_ovf_v, b_ovf_cnt)
 
 
-def _wg_unpool_bwd(window_f, window_b, c, res, dout):
-    (feats, f_starts, f_rb, f_ovf, f_ovf_v, f_ovf_cnt, b_starts, b_rb,
-     b_ovf, b_ovf_v, b_ovf_cnt) = res
+def _wg_unpool_bwd(window_f, window_b, c, sub_f, subwin_f, sub_b, subwin_b,
+                   res, dout):
+    (feats, f_starts, f_soff, f_rb, f_ovf, f_ovf_v, f_ovf_cnt, b_starts,
+     b_soff, b_rb, b_ovf, b_ovf_v, b_ovf_cnt) = res
     k = b_rb.shape[1]
     dout_c = jax.lax.optimization_barrier(dout).astype(feats.dtype)
     eye = jnp.tile(jnp.eye(c, dtype=dout_c.dtype), (k, 1))
-    dfeats = _wg_matmul_any(dout_c, b_rb, b_starts, eye, window_b)
+    dfeats = _wg_matmul_any(dout_c, b_rb, b_starts, eye, window_b, sub_b,
+                            subwin_b, b_soff)
     dfeats = dfeats + _res_ovf_apply(dout_c, b_ovf, b_ovf_v, b_ovf_cnt,
                                      eye, c, out_len=b_rb.shape[0])
     dfeats = dfeats.astype(feats.dtype)
     zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
-    return (dfeats, zeros(f_starts), zeros(f_rb), zeros(f_ovf),
-            zeros(f_ovf_v), zeros(f_ovf_cnt), zeros(b_starts), zeros(b_rb),
+    return (dfeats, zeros(f_starts), zeros(f_soff), zeros(f_rb),
+            zeros(f_ovf), zeros(f_ovf_v), zeros(f_ovf_cnt),
+            zeros(b_starts), zeros(b_soff), zeros(b_rb),
             zeros(b_ovf), zeros(b_ovf_v), zeros(b_ovf_cnt))
 
 
@@ -1166,8 +1228,9 @@ _wg_unpool.defvjp(_wg_unpool_fwd, _wg_unpool_bwd)
 def wg_unpool_apply(coarse_feats: jnp.ndarray, wg_up, wg_down) -> jnp.ndarray:
     """Unpool coarse -> fine through WindowedGather metadata."""
     return _wg_unpool(wg_up.window, wg_down.window, coarse_feats.shape[-1],
+                      wg_up.sub, wg_up.subwin, wg_down.sub, wg_down.subwin,
                       coarse_feats,
-                      wg_up.starts, wg_up.rb_local, wg_up.res_ovf,
-                      wg_up.ovf_v, wg_up.ovf_count,
-                      wg_down.starts, wg_down.rb_local, wg_down.res_ovf,
-                      wg_down.ovf_v, wg_down.ovf_count)
+                      wg_up.starts, _wg_soff(wg_up), wg_up.rb_local,
+                      wg_up.res_ovf, wg_up.ovf_v, wg_up.ovf_count,
+                      wg_down.starts, _wg_soff(wg_down), wg_down.rb_local,
+                      wg_down.res_ovf, wg_down.ovf_v, wg_down.ovf_count)

@@ -63,6 +63,16 @@ def _expand_window(win, new_w: int):
     delta = (starts - new_starts).astype(np.int32)      # >= 0
     tiles = starts.shape[0]
     t = rb.shape[0] // tiles
+    if getattr(win, "sub", 0):
+        # two-level forms (Windowed27 / WindowedGather): sub-relative
+        # locals are unchanged — shift the sub offsets so
+        # (start + sub_off) keeps its absolute position (the clamp bound
+        # only grows with the window).
+        spt = t // win.sub
+        soff = np.asarray(win.sub_off) + np.repeat(delta, spt, axis=0)
+        return win.replace(starts=new_starts,
+                           sub_off=soff.astype(np.int32),
+                           window=new_w)
     if isinstance(win, WindowedGather):
         k = rb.shape[1]
         if starts.ndim == 1:
@@ -71,15 +81,6 @@ def _expand_window(win, new_w: int):
             gmap = np.arange(k, dtype=np.int32) % starts.shape[1]
             drows = np.repeat(delta[:, gmap], t, axis=0)
     elif isinstance(win, Windowed27):
-        if win.sub:
-            # sub-relative locals are unchanged: shift the sub offsets so
-            # (start + sub_off) keeps its absolute position (the clamp
-            # bound only grows with the window).
-            spt = t // win.sub
-            soff = np.asarray(win.sub_off) + np.repeat(delta, spt, axis=0)
-            return win.replace(starts=new_starts,
-                               sub_off=soff.astype(np.int32),
-                               window=new_w)
         gmap = np.arange(27, dtype=np.int32) % 9
         if starts.shape[1] == 3:
             gmap = gmap % 3
@@ -89,6 +90,26 @@ def _expand_window(win, new_w: int):
         drows = np.repeat(delta[:, gmap], t, axis=0)
     rb_new = np.where(rb == old_w, new_w, rb + drows).astype(np.int32)
     return win.replace(starts=new_starts, rb_local=rb_new, window=new_w)
+
+
+def _flatten_sub(win):
+    """Convert a two-level (sub-window) form back to the flat form, exactly.
+
+    rb entries relative to (start + sub_off) with sentinel == subwin become
+    entries relative to start with sentinel == window.  Needed when devices
+    disagree on sub-enablement (auto window sizes straddle the subwin
+    threshold) — stacking requires one treedef.
+    """
+    if not getattr(win, "sub", 0):
+        return win
+    rb = np.asarray(win.rb_local)
+    soff = np.asarray(win.sub_off)
+    v, k = rb.shape
+    nwin = soff.shape[1]
+    gmap = np.arange(k, dtype=np.int32) % nwin
+    big = np.repeat(soff, win.sub, axis=0)[:, gmap]
+    rb_big = np.where(rb == win.subwin, win.window, rb + big).astype(np.int32)
+    return win.replace(rb_local=rb_big, sub_off=None, sub=0, subwin=0)
 
 
 def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
@@ -107,6 +128,7 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
         x, (WindowedSubm, Windowed27, WindowedGather))
     flat0, _ = jax.tree_util.tree_flatten(batches[0], is_leaf=is_win)
     caps = {}
+    flatten_sub = set()
     for i, leaf in enumerate(flat0):
         if is_win(leaf):
             wins = [jax.tree_util.tree_flatten(b, is_leaf=is_win)[0][i]
@@ -114,6 +136,9 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
             caps[i] = (max(w.res_ovf.shape[0] for w in wins),
                        max(w.ovf_v.shape[0] for w in wins),
                        max(w.window for w in wins))
+            if len({(getattr(w, "sub", 0), getattr(w, "subwin", 0))
+                    for w in wins}) > 1:
+                flatten_sub.add(i)
     if not caps:
         return list(batches)
 
@@ -121,7 +146,10 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
     for b in batches:
         flat, treedef = jax.tree_util.tree_flatten(b, is_leaf=is_win)
         for i, (e_cap, h_cap, w_max) in caps.items():
-            win = _expand_window(flat[i], w_max)
+            win = flat[i]
+            if i in flatten_sub:
+                win = _flatten_sub(win)
+            win = _expand_window(win, w_max)
             v = win.rb_local.shape[0]
             src_pad = win.v_src if isinstance(win, WindowedGather) else v
             e, h = win.res_ovf.shape[0], win.ovf_v.shape[0]

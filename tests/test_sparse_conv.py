@@ -486,3 +486,92 @@ def test_w27_sub_form_matches_plain(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gp[1]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_wg_sub_cross_domain_interpret(rng):
+    """Two-level sub-window kernels on a cross-domain rulebook (K=8,
+    nwin=2, v_out != v_src) == reconstructed flat einsum path."""
+    from tdwss.ops.pallas_subm import (pad_w9, windowed_dw_sub,
+                                       windowed_matmul_sub)
+    from tdwss.ops.sparse_conv import (_sub_big_locals, _wg_expand,
+                                       _win_dw, _win_matmul)
+
+    v_src, v_out, tile, window, sub, swk = 128, 64, 16, 48, 8, 16
+    c, cout, k, nwin = 12, 8, 8, 2
+    tiles = v_out // tile
+    nsub = tile // sub
+    src = jnp.asarray(rng.normal(size=(v_src, c)).astype(np.float32))
+    starts = jnp.asarray(
+        (rng.integers(0, (v_src - window) // 8 + 1,
+                      size=(tiles, nwin)) * 8).astype(np.int32))
+    sub_off = jnp.asarray(
+        (rng.integers(0, (window - swk) // 8 + 1,
+                      size=(tiles * nsub, nwin)) * 8).astype(np.int32))
+    rb_sub = jnp.asarray(
+        rng.integers(0, swk + 1, size=(v_out, k)).astype(np.int32))
+    w2d = jnp.asarray(rng.normal(size=(k * c, cout)).astype(np.float32))
+
+    rb_big = _sub_big_locals(rb_sub, sub_off, window, sub, swk)
+    ref = _win_matmul(src, rb_big, starts[:, np.arange(k) % nwin], w2d,
+                      window)
+    out = windowed_matmul_sub(
+        src, starts.reshape(-1), sub_off.reshape(-1), rb_sub.T,
+        pad_w9(w2d.reshape(k, c, cout)), window=window, tile=tile,
+        sub=sub, subwin=swk, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    dout = jnp.asarray(rng.normal(size=(v_out, cout)).astype(np.float32))
+    dref = _win_dw(src, rb_big, starts[:, np.arange(k) % nwin], dout,
+                   window)
+    dw = windowed_dw_sub(
+        src, starts.reshape(-1), sub_off.reshape(-1), rb_sub.T, dout,
+        window=window, tile=tile, sub=sub, subwin=swk, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(dw[:, :c, :].reshape(k * c, cout)), np.asarray(dref),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_wg_sub_form_matches_plain(rng):
+    """Sub-window WindowedGather == plain strided/deconv paths (CPU)."""
+    import jax
+
+    from tdwss.ops.host_plan import (build_subm_rulebook_np,
+                                     build_windowed_gather,
+                                     downsample_level_np, parent_rulebook,
+                                     voxelize_np)
+    from tdwss.ops.sparse_conv import strided_conv_apply, wg_conv_apply
+    from tests.test_host_plan import _random_coords
+
+    rng_np = np.random.default_rng(17)
+    n, nc = 2048, 1024
+    coords, feats, valid = _random_coords(rng_np, n=n, size=32,
+                                          invalid_frac=0.05)
+    grid, _, _ = voxelize_np(coords, feats[:, :3], valid, n)
+    cg, parent, child_off, down_rb = downsample_level_np(grid, nc, 2, 2)
+    wgd = build_windowed_gather(down_rb, v_src=n, tile=256, group_mod=2,
+                                res_cap=8 * n, sub=64, subwin=128)
+    rbu = parent_rulebook(parent, child_off, nc, 8)
+    wgu = build_windowed_gather(rbu, v_src=nc, tile=256, res_cap=8 * n,
+                                sub=64, subwin=128)
+    assert wgd is not None and wgu is not None
+    assert wgd.sub == 64 and wgu.sub == 64      # sub form actually built
+    jm = jax.tree_util.tree_map
+    wgdj, wguj = jm(jnp.asarray, wgd), jm(jnp.asarray, wgu)
+
+    fine = jnp.asarray(rng_np.normal(size=(n, 5)).astype(np.float32))
+    w = jnp.asarray(rng_np.normal(size=(8, 5, 4)).astype(np.float32))
+    pj, oj, dj = (jnp.asarray(parent), jnp.asarray(child_off),
+                  jnp.asarray(down_rb))
+    ref = np.asarray(strided_conv_apply(fine, dj, w, pj, oj))
+    out = np.asarray(wg_conv_apply(fine, w, wgdj, wguj))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    gp = jax.grad(lambda f, w_: jnp.sum(
+        strided_conv_apply(f, dj, w_, pj, oj) ** 2), argnums=(0, 1))(fine, w)
+    gw = jax.grad(lambda f, w_: jnp.sum(
+        wg_conv_apply(f, w_, wgdj, wguj) ** 2), argnums=(0, 1))(fine, w)
+    np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gp[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gp[1]),
+                               rtol=2e-4, atol=2e-4)
