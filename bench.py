@@ -119,13 +119,45 @@ def main() -> None:
         state, aux = train_step(state, batch)
     jax.block_until_ready(state.params)
     elapsed = time.perf_counter() - start
-
     mpts = valid_points * STEPS / elapsed / 1e6
+
+    # End-to-end: the real train_batches pipeline (augment + collate +
+    # host plan building + prefetch overlap, cfg.engine.collate_workers
+    # threads) feeding the same jitted step.  Sustained throughput counts
+    # host time that the pipeline fails to hide; epoch 1 warms the sticky
+    # plan-shape registry + compiles, epoch 2 is measured.  NOTE: this VM
+    # exposes ONE core — real TPU hosts (~100 cores) overlap the ~1.3 s
+    # plan build behind the step; the number below is the 1-core floor.
+    from tdwss.data.loader import train_batches
+
+    e2e_mpts = None
+    try:
+        e2e_scenes = make_dataset(3 * NUM_SCENES,
+                                  num_points=POINTS_PER_SCENE,
+                                  seed=11, with_text=False)
+        for epoch in (1, 2):
+            t0 = time.perf_counter()
+            pts = 0
+            nb = 0
+            for b in train_batches(e2e_scenes, cfg, epoch=epoch):
+                pts += int(np.asarray(b.valid).sum())
+                b = jax.tree_util.tree_map(jnp.asarray, b)
+                state, aux = train_step(state, b)
+                nb += 1
+            jax.block_until_ready(state.params)
+            e2e_mpts = pts / (time.perf_counter() - t0) / 1e6
+            print(f"e2e epoch {epoch}: {nb} steps, {e2e_mpts:.3f} Mpts/s",
+                  file=sys.stderr)
+    except Exception as e:  # never lose the primary metric
+        print(f"e2e measurement failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "sparse_unet_m32_train_throughput",
         "value": round(mpts, 3),
         "unit": "Mpoints/s",
         "vs_baseline": round(mpts / GPU_SCN_BASELINE_MPTS, 3),
+        "end_to_end": round(e2e_mpts, 3) if e2e_mpts else None,
+        "host_cores": os.cpu_count(),
     }))
 
 

@@ -86,7 +86,9 @@ def main() -> None:
     m = 32
     sel = ([int(x) for x in args.levels.split(",")] if args.levels
            else range(len(plans.levels)))
-    print(f"min_v={os.environ.get('TDWSS_PALLAS_MIN_V', '(default 100k)')}")
+    from tdwss.ops.sparse_conv import _PALLAS_MIN_V
+
+    print(f"min_v={_PALLAS_MIN_V}")
     for li in sel:
         lvl = plans.levels[li]
         v = lvl.grid.capacity

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tdwss.ops.brick_plan import _NEIGHBOR_OFFSETS, BrickPlan
+from tdwss.ops.experimental.brick_plan import _NEIGHBOR_OFFSETS, BrickPlan
 
 
 def _fill_bricks(vox_feats: jnp.ndarray, plan: BrickPlan) -> jnp.ndarray:

@@ -345,12 +345,16 @@ def _sticky_window(key, needed: int) -> int:
 
 def _sticky_ecap(key, needed: int, floor: int) -> int:
     # 1.25x geometric buckets (pow2 over-allocates gather rows by up to 2x,
-    # and residual gathers are row-count-priced); 4096-aligned so the
-    # device-side entry chunking always finds an even split.
+    # and residual gathers are row-count-priced).  Alignment keeps the
+    # device-side entry chunking even; small caps align to 512 — a 4096
+    # floor made every tiny level pay a 4096-entry padded residual pass
+    # (the (E, K*C) one-hot operand is megabytes even when 3 spills are
+    # real).
     cap = floor
     while cap < needed:
         cap = int(cap * 1.25) + 256
-    cap = ((cap + 4095) // 4096) * 4096
+    align = 4096 if cap > 8192 else 512
+    cap = ((cap + align - 1) // align) * align
     with _ECAP_LOCK:
         cap = max(cap, _ECAP_REGISTRY.get(key, 0))
         _ECAP_REGISTRY[key] = cap

@@ -203,7 +203,7 @@ class TestWindowedConv:
 
 class TestBrickPlan:
     def test_roundtrip_and_adjacency(self, rng):
-        from tdwss.ops.brick_plan import build_brick_plan
+        from tdwss.ops.experimental.brick_plan import build_brick_plan
 
         coords, feats, valid = _random_coords(rng, n=2000, size=48,
                                               invalid_frac=0.1)
@@ -225,7 +225,7 @@ class TestBrickPlan:
             assert plan.brick_coords[b, 3] == gc[i, 3]
 
         # adjacency is geometric: neighbor brick coords differ by the offset
-        from tdwss.ops.brick_plan import _NEIGHBOR_OFFSETS
+        from tdwss.ops.experimental.brick_plan import _NEIGHBOR_OFFSETS
         bvalid = np.asarray(plan.brick_valid)
         for b in np.nonzero(bvalid)[0][:50]:
             for j, off in enumerate(_NEIGHBOR_OFFSETS):
@@ -251,7 +251,7 @@ class TestBrickPlan:
         """Device-style brick fill == gather through cell2vox."""
         import jax.numpy as jnp
 
-        from tdwss.ops.brick_plan import build_brick_plan
+        from tdwss.ops.experimental.brick_plan import build_brick_plan
 
         coords, feats, valid = _random_coords(rng, n=800, size=24)
         grid, vfeats, _ = voxelize_np(coords, feats, valid, 800)
@@ -271,8 +271,8 @@ def test_brick_conv_matches_plain(rng):
     """Brick-form conv3d == the gather-GEMM submanifold conv."""
     import jax
 
-    from tdwss.ops.brick_conv import brick_subm_conv
-    from tdwss.ops.brick_plan import build_brick_plan
+    from tdwss.ops.experimental.brick_conv import brick_subm_conv
+    from tdwss.ops.experimental.brick_plan import build_brick_plan
     from tdwss.ops.sparse_conv import subm_conv_apply
 
     coords, feats, valid = _random_coords(rng, n=1200, size=40,

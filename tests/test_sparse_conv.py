@@ -295,7 +295,7 @@ def test_strided_and_deconv_grads_numeric(rng):
 def test_pallas_dma_block_gather_interpret(rng):
     """Pallas DMA block gather == jnp.take (interpret mode on CPU)."""
     import jax
-    from tdwss.ops.pallas_gather import dma_block_gather, gather_blocks
+    from tdwss.ops.experimental.pallas_gather import dma_block_gather, gather_blocks
 
     src = jnp.asarray(rng.normal(size=(128, 8, 128)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, 128, size=(64,)).astype(np.int32))
