@@ -133,3 +133,127 @@ def test_dp_step_with_host_plans(scenes_factory=None):
     step = make_dp_train_step(cfg, model, tx, mesh)
     state, aux = step(state, dev_batch)
     assert np.isfinite(float(aux["loss"]))
+
+
+def _reconstruct_abs(win):
+    """Absolute (V, K) rulebook from windowed metadata (any form)."""
+    from tdwss.ops.plan import WindowedGather
+
+    rb = np.asarray(win.rb_local)
+    starts = np.asarray(win.starts)
+    v, k = rb.shape
+    tiles = starts.shape[0]
+    t = v // tiles
+    nwin = starts.shape[1] if starts.ndim > 1 else 1
+    gmap = np.arange(k, dtype=np.int32) % nwin
+    base = np.repeat(starts.reshape(tiles, nwin), t, axis=0)[:, gmap]
+    sentinel = win.window
+    if getattr(win, "sub", 0):
+        base = base + np.repeat(
+            np.asarray(win.sub_off), win.sub, axis=0)[:, gmap]
+        sentinel = win.subwin
+    out = np.where(rb == sentinel, -1, rb + base)
+    # overlay the spill list (exact corrections)
+    v_src = win.v_src if isinstance(win, WindowedGather) else v
+    ovf = np.asarray(win.res_ovf)
+    real = (ovf[:, 0] < v) & (ovf[:, 2] < v_src)
+    out[ovf[real, 0], ovf[real, 1]] = ovf[real, 2]
+    return out
+
+
+@pytest.mark.slow
+def test_dp_harmonization_exact_at_production_shape():
+    """Harmonized per-device metadata (window expansion, sub flattening,
+    cap padding) must still encode the EXACT original rulebooks at
+    >=100k-voxel capacities with genuinely heterogeneous device plans."""
+    from tdwss.data.plans import attach_host_plans
+    from tdwss.ops.host_plan import reset_sticky_plans
+    from tdwss.ops.plan import Windowed27, WindowedGather
+    from tdwss.parallel.dp import _harmonize_residual_caps
+
+    cfg = Config(
+        training_name="dp_prod", model_name="MultiLabel",
+        label="scene_level", has_text=False,
+        pointcloud_data=PointcloudDataConfig(scale=33, batch_size=1),
+        pointcloud_model=PointcloudModelConfig(
+            name="SparseConvUNet", m=4, full_scale=2048, block_reps=1,
+            residual_blocks=False, depth=3),
+        loss=LossConfig(Classification=True),
+        engine=EngineConfig(max_points=131072, min_level_capacity=4096,
+                            level_capacity_schedule=[2, 3],
+                            compute_dtype="bfloat16"),
+    )
+    rng = np.random.default_rng(0)
+    batches = []
+    for d in range(8):
+        reset_sticky_plans()   # devices must NOT share sticky state here
+        scenes = make_dataset(1, num_points=40_000 + 9_000 * d,
+                              seed=50 + d, with_text=False)
+        batches.append(attach_host_plans(
+            train_collate(scenes, cfg, rng), cfg))
+    reset_sticky_plans()
+
+    is_win = lambda x: isinstance(x, (Windowed27, WindowedGather))  # noqa
+
+    def wins(b):
+        return [x for x in jax.tree_util.tree_flatten(
+            b, is_leaf=is_win)[0] if is_win(x)]
+
+    assert batches[0].plans.levels[0].grid.capacity >= 100_000
+    shapes = {tuple((w.window, w.res_ovf.shape[0], w.sub)
+                    for w in wins(b)) for b in batches}
+    assert len(shapes) > 1, "expected heterogeneous per-device metadata"
+
+    before = [[_reconstruct_abs(w) for w in wins(b)] for b in batches]
+    harmonized = _harmonize_residual_caps(batches)
+
+    hshapes = {tuple((w.window, w.res_ovf.shape[0], w.sub)
+                     for w in wins(b)) for b in harmonized}
+    assert len(hshapes) == 1, "harmonization must unify every leaf shape"
+    for b_pre, b_post in zip(before, harmonized):
+        for rb_pre, w_post in zip(b_pre, wins(b_post)):
+            np.testing.assert_array_equal(rb_pre, _reconstruct_abs(w_post))
+
+
+@pytest.mark.slow
+def test_dp_step_heterogeneous_plans_replicated():
+    """8-device DP step with heterogeneous (harmonized) plans executes and
+    keeps params replicated (moderate shapes — CPU mesh execution)."""
+    from tdwss.data.plans import attach_host_plans
+    from tdwss.ops.host_plan import reset_sticky_plans
+
+    cfg = Config(
+        training_name="dp_het", model_name="MultiLabel",
+        label="scene_level", has_text=False,
+        pointcloud_data=PointcloudDataConfig(scale=20, batch_size=1),
+        pointcloud_model=PointcloudModelConfig(
+            name="SparseConvUNet", m=4, full_scale=512, block_reps=1,
+            residual_blocks=False, depth=3),
+        loss=LossConfig(Classification=True),
+        engine=EngineConfig(max_points=8192, min_level_capacity=1024,
+                            compute_dtype="bfloat16"),
+    )
+    rng = np.random.default_rng(0)
+    n_dev = 8
+    batches = []
+    for d in range(n_dev):
+        reset_sticky_plans()
+        scenes = make_dataset(1, num_points=2000 + 700 * d, seed=80 + d,
+                              with_text=False)
+        batches.append(attach_host_plans(
+            train_collate(scenes, cfg, rng), cfg))
+    reset_sticky_plans()
+    stacked = stack_batches(batches)
+    mesh = make_mesh(n_dev)
+    dev_batch = shard_batch(stacked, mesh)
+
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = init_state(cfg, model, tx, batches[0])
+    step = make_dp_train_step(cfg, model, tx, mesh)
+    state, aux = step(state, dev_batch)
+    assert np.isfinite(float(aux["loss"]))
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
