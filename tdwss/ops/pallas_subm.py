@@ -538,3 +538,156 @@ def windowed_dw_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(scal, src, rb_local_t, dout)
+
+
+def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
+                    soff_base: int, cin: int,
+                    scal_ref, src_ref, rb_ref, wt_ref, dout_ref,
+                    dx_ref, dw_ref, win, zbuf, acc, sems):
+    """Fused backward tile: ONE window DMA set + shared one-hot machinery
+    for BOTH backward products.
+
+    ``src`` is the channel-concatenated [feats | dout] array; ``wt_ref``
+    (nanchor, L, cin) holds the flipped-transposed weights in the DOUT
+    lane rows and ZEROS in the feats rows, so the full-width transform
+    ``win_a @ wt_ref[a]`` touches only the cotangent channels:
+
+      dfeats_sub += oh_a @ (win_{g(a)} @ Wt[a])[soff slice]
+      dW[a]      += win_slice^T @ (oh_a^T @ dout_sub)
+
+    dW rows beyond the feats channels are garbage (they fold the dout
+    lanes) — the caller slices [:, :cin_pad_slot].
+    """
+    step = pl.program_id(0)
+    w = w8 * 8
+    swk = swk8 * 8
+    nwin = max(gmap) + 1
+    nsub = t // sub
+
+    def get_dma(buf, tile, j):
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(scal_ref[tile * nwin + j], w8)],
+            win.at[buf, j], sems.at[buf, j])
+
+    cur = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        for j in range(nwin):
+            get_dma(0, 0, j).start()
+        acc[...] = jnp.zeros_like(acc)
+
+    @pl.when(step + 1 < pl.num_programs(0))
+    def _():
+        for j in range(nwin):
+            get_dma(nxt, step + 1, j).start()
+
+    for j in range(nwin):
+        get_dma(cur, step, j).wait()
+
+    l = win.shape[-1]
+    for a in range(len(gmap)):
+        win_a = win[cur, gmap[a]].reshape(w, l)
+        z = jnp.dot(win_a, wt_ref[a], preferred_element_type=jnp.float32)
+        zbuf[a] = z.astype(win_a.dtype).reshape(w8, 8, cin)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (sub, swk), 1)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
+    for s_i in range(nsub):
+        dsub = dout_ref[s_i * sub:(s_i + 1) * sub, :]
+        dx_acc = jnp.zeros((sub, cin), jnp.float32)
+        for a in range(len(gmap)):
+            off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
+            rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
+            oh = (rbs[:, None] == iota).astype(dsub.dtype)
+            zs = zbuf[a, pl.ds(off8, swk8)].reshape(swk, cin)
+            dx_acc = dx_acc + jnp.dot(oh, zs,
+                                      preferred_element_type=jnp.float32)
+            oh_t = (rbs[None, :] == iota_t).astype(dsub.dtype)
+            s = jnp.dot(oh_t, dsub, preferred_element_type=jnp.float32)
+            fslice = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(swk, l)
+            acc[a] += jax.lax.dot_general(
+                fslice, s.astype(fslice.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dx_ref[s_i * sub:(s_i + 1) * sub] = dx_acc
+
+    @pl.when(step + 1 == pl.num_programs(0))
+    def _():
+        dw_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "tile", "sub", "subwin",
+                                    "cin", "interpret"))
+def windowed_bwd_sub(src_cat: jnp.ndarray, starts: jnp.ndarray,
+                     soff: jnp.ndarray, rb_local_t: jnp.ndarray,
+                     wt_full: jnp.ndarray, dout: jnp.ndarray,
+                     window: int, tile: int, sub: int, subwin: int,
+                     cin: int, interpret: bool = False):
+    """Fused backward: (dfeats (V, cin) f32, dW (nanchor, L, cout) f32).
+
+    src_cat (V, Ccat) = [feats | dout] channel-concat (Ccat <= 128 lanes
+    after padding — the caller gates on that); wt_full (nanchor, L, cin)
+    flipped-transposed weights living in the dout lane rows (zeros in the
+    feats rows); dout (V, cout) the raw cotangent for the dW side.
+    dW's useful rows are [0:cin-slot] of L; the caller slices.
+    """
+    v_src, ccat = src_cat.shape
+    v_out = rb_local_t.shape[1]
+    cout = dout.shape[-1]
+    nanchor = rb_local_t.shape[0]
+    if (v_out % tile or window % 8 or v_src % 8 or tile % sub
+            or subwin % 8 or subwin > window):
+        raise ValueError("bad sub-window geometry")
+    tiles = v_out // tile
+    nsub = tile // sub
+    nwin = soff.shape[0] // (tiles * nsub)
+    gmap = _anchor_gmap(nanchor, nwin)
+    l = _lane_pad(ccat)
+    if wt_full.shape[1] != l:
+        raise ValueError(f"wt_full second dim must be lane-padded to {l}")
+    if ccat != l:
+        src_cat = jnp.pad(src_cat, ((0, 0), (0, l - ccat)))
+    src = src_cat.reshape(v_src // 8, 8, l)
+    scal = jnp.concatenate([starts // 8, soff // 8])
+    nstarts = starts.shape[0]
+    dout = dout.astype(src_cat.dtype)
+    wt_full = wt_full.astype(src_cat.dtype)
+
+    kernel = functools.partial(_sub_bwd_kernel, gmap, window // 8, tile,
+                               sub, subwin // 8, nstarts, cin)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                  # src
+            pl.BlockSpec((nanchor, tile), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),              # rb_local_t
+            pl.BlockSpec((nanchor, l, cin), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),              # wt_full
+            pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),              # dout
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, cin), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nanchor, l, cout), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, max(gmap) + 1, window // 8, 8, l), src_cat.dtype),
+            pltpu.VMEM((nanchor, window // 8, 8, cin), src_cat.dtype),
+            pltpu.VMEM((nanchor, l, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((v_out, cin), jnp.float32),
+                   jax.ShapeDtypeStruct((nanchor, l, cout), jnp.float32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(scal, src, rb_local_t, wt_full, dout)

@@ -670,6 +670,42 @@ def _subm_conv_w27_fwd(window, sub, subwin, feats, starts, sub_off,
                  ovf_count, weight)
 
 
+def _w27_bwd_fused(feats, dout_c, weight, rb_local, starts, sub_off,
+                   window, sub, subwin):
+    """Fused backward kernel route, or None when it does not apply.
+
+    One window-DMA set + shared one-hot machinery produce dfeats AND dW
+    (tdwss.ops.pallas_subm.windowed_bwd_sub) over the channel-concatenated
+    [feats | dout] source.  Applies when the sub form is active on the
+    Pallas route and the concat does not grow the lane padding (C <= 64
+    levels — exactly the expensive ones).
+    """
+    v = feats.shape[0]
+    tiles = starts.shape[0]
+    k, cin, cout = weight.shape
+    ccat = cin + cout
+    from tdwss.ops.pallas_subm import _lane_pad
+
+    if not (sub and _use_pallas_kernel(v, tiles, window, k, ccat, cout)
+            and _lane_pad(ccat) == _lane_pad(max(cin, cout))
+            and _sub_vmem_fits(window, ccat, max(cin, cout), dw=True,
+                               nanchor=k)):
+        return None
+    from tdwss.ops.pallas_subm import windowed_bwd_sub
+
+    l = _lane_pad(ccat)
+    src_cat = jnp.concatenate([feats, dout_c], axis=1)
+    wt = weight[::-1].transpose(0, 2, 1)                  # (K, cout, cin)
+    wt_full = jnp.zeros((k, l, cin), weight.dtype)
+    wt_full = wt_full.at[:, cin:cin + cout, :].set(wt)
+    dfeats, dw_l = windowed_bwd_sub(
+        src_cat, starts.reshape(-1), sub_off.reshape(-1), rb_local.T,
+        wt_full, dout_c, window=window, tile=v // tiles, sub=sub,
+        subwin=subwin, cin=cin)
+    dw = dw_l[:, :cin, :].reshape(k * cin, cout)
+    return dfeats, dw
+
+
 def _subm_conv_w27_bwd(window, sub, subwin, res, dout):
     (feats, starts, sub_off, rb_local, res_ovf, ovf_v, ovf_count,
      weight) = res
@@ -677,18 +713,26 @@ def _subm_conv_w27_bwd(window, sub, subwin, res, dout):
     feats, dout = jax.lax.optimization_barrier((feats, dout))
     dout_c = dout.astype(feats.dtype)
 
-    dw = _w27_dw_any(feats, rb_local, starts, dout_c, window, sub, subwin,
-                     sub_off)
+    fused = _w27_bwd_fused(feats, dout_c, weight, rb_local, starts,
+                           sub_off, window, sub, subwin)
+    if fused is not None:
+        dfeats, dw = fused
+    else:
+        dw = _w27_dw_any(feats, rb_local, starts, dout_c, window, sub,
+                         subwin, sub_off)
+        # dfeats: the decomposition exactly covers rb27, and the
+        # transposed conv runs over the SAME rulebook with
+        # Wt[m] = W[26-m]^T — so the same windows / locals / spill list
+        # evaluate it (plain-path backward derivation, tdwss/ops/plan.py
+        # Windowed27 docstring).
+        wt2d_ = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
+        dfeats = _w27_matmul_any(dout_c, rb_local, starts, wt2d_, window,
+                                 sub, subwin, sub_off)
+
     dw = dw + _res_ovf_dw(feats, res_ovf, dout_c)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
 
-    # dfeats: the decomposition exactly covers rb27, and the transposed
-    # conv runs over the SAME rulebook with Wt[m] = W[26-m]^T — so the
-    # same windows / locals / spill list evaluate it (plain-path backward
-    # derivation, tdwss/ops/plan.py Windowed27 docstring).
     wt2d = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
-    dfeats = _w27_matmul_any(dout_c, rb_local, starts, wt2d, window, sub,
-                             subwin, sub_off)
     dfeats = dfeats + _res_ovf_apply(dout_c, res_ovf, ovf_v, ovf_count,
                                      wt2d, cin)
     dfeats = dfeats.astype(feats.dtype)

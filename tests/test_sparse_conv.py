@@ -575,3 +575,51 @@ def test_wg_sub_form_matches_plain(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gp[1]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_fused_bwd_sub_interpret(rng):
+    """Fused backward kernel (dfeats + dW in one pass over the
+    [feats|dout] concat) == the two separate einsum evaluations."""
+    from tdwss.ops.pallas_subm import windowed_bwd_sub
+    from tdwss.ops.sparse_conv import (_sub_big_locals, _w27_expand,
+                                       _win_dw, _win_matmul)
+
+    v, tile, window, sub, swk, cin, cout = 128, 32, 48, 8, 16, 12, 8
+    tiles = v // tile
+    nsub = tile // sub
+    feats = jnp.asarray(rng.normal(size=(v, cin)).astype(np.float32))
+    dout = jnp.asarray(rng.normal(size=(v, cout)).astype(np.float32))
+    weight = jnp.asarray(
+        rng.normal(size=(27, cin, cout)).astype(np.float32))
+    starts = jnp.asarray(
+        (rng.integers(0, (v - window) // 8 + 1, size=(tiles, 9)) * 8)
+        .astype(np.int32))
+    sub_off = jnp.asarray(
+        (rng.integers(0, (window - swk) // 8 + 1, size=(tiles * nsub, 9)) * 8)
+        .astype(np.int32))
+    rb_sub = jnp.asarray(
+        rng.integers(0, swk + 1, size=(v, 27)).astype(np.int32))
+
+    # reference: separate transposed-conv (dfeats) and dW einsum paths
+    rb_big = _sub_big_locals(rb_sub, sub_off, window, sub, swk)
+    wt2d = weight[::-1].transpose(0, 2, 1).reshape(27 * cout, cin)
+    dx_ref = _win_matmul(dout, rb_big, _w27_expand(starts), wt2d, window)
+    dw_ref = _win_dw(feats, rb_big, _w27_expand(starts), dout, window)
+
+    ccat = cin + cout
+    from tdwss.ops.pallas_subm import _lane_pad
+
+    l = _lane_pad(ccat)
+    src_cat = jnp.concatenate([feats, dout], axis=1)
+    wt_full = jnp.zeros((27, l, cin), jnp.float32)
+    wt_full = wt_full.at[:, cin:cin + cout, :].set(
+        weight[::-1].transpose(0, 2, 1))
+    dx, dw_l = windowed_bwd_sub(
+        src_cat, starts.reshape(-1), sub_off.reshape(-1), rb_sub.T,
+        wt_full, dout, window=window, tile=tile, sub=sub, subwin=swk,
+        cin=cin, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dw_l[:, :cin, :].reshape(27 * cin, cout)),
+        np.asarray(dw_ref), rtol=1e-4, atol=1e-4)
