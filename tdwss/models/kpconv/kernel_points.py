@@ -93,18 +93,72 @@ def kernel_point_optimization(
     return points.astype(np.float32)
 
 
+def spherical_lloyd(num_cells: int, dimension: int = 3,
+                    fixed: str = "center", approx_n: int = 5000,
+                    max_iter: int = 500, momentum: float = 0.9,
+                    seed: int = 42) -> np.ndarray:
+    """Kernel points as Voronoi cell centers of the unit ball
+    (reference kernel_points.py:78-257 spherical_Lloyd parity, Monte-Carlo
+    approximation), deterministic via a seeded RNG.
+
+    Each iteration samples ``approx_n`` uniform ball points, assigns them
+    to the nearest kernel point (Voronoi cells), and moves every kernel
+    point toward its cell's centroid through a momentum low-pass filter;
+    the reference's 'fixed' pinning ('center' / 'verticals') is re-applied
+    after every move.  Used by the KPConv deformable variant in the
+    reference; selectable here via ``load_kernels(..., lloyd=True)``.
+    """
+    rng = np.random.default_rng(seed)
+    pts = np.zeros((0, dimension))
+    while pts.shape[0] < num_cells:
+        cand = rng.random((num_cells, dimension)) * 2.0 - 1.0
+        pts = np.vstack([pts, cand])
+        d2 = np.sum(pts ** 2, axis=1)
+        pts = pts[(d2 < 1.0) & (d2 > 0.81)]
+    kp = pts[:num_cells].astype(np.float64)
+    kp = _apply_fixed(kp, fixed)
+
+    for _ in range(max_iter):
+        # uniform ball sample (normalize gaussian, radius ~ U^(1/dim))
+        g = rng.standard_normal((approx_n, dimension))
+        g /= np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-9)
+        x = g * rng.random((approx_n, 1)) ** (1.0 / dimension)
+        d2 = np.sum((x[:, None, :] - kp[None, :, :]) ** 2, axis=2)
+        cells = np.argmin(d2, axis=1)
+        centers = kp.copy()
+        for c in range(num_cells):
+            sel = cells == c
+            if sel.any():
+                centers[c] = x[sel].mean(axis=0)
+        moves = (1.0 - momentum) * (centers - kp)
+        kp = kp + moves
+        if fixed == "center":
+            kp[0] *= 0
+        if fixed == "verticals":
+            kp[0] *= 0
+            kp[:3, :-1] *= 0
+        if np.max(np.linalg.norm(moves, axis=1)) < 1e-5:
+            break
+    return kp.astype(np.float32)
+
+
 def load_kernels(radius: float, num_kpoints: int, dimension: int = 3,
-                 fixed: str = "center") -> np.ndarray:
+                 fixed: str = "center", lloyd: bool = False) -> np.ndarray:
     """(K, dim) kernel point disposition scaled to ``radius``.
 
     Parity with load_kernels (reference kernel_points.py:408-489) minus the
     per-process random rotation — rotation invariance is supplied by data
     augmentation, and a deterministic disposition keeps checkpoints
-    portable.
+    portable.  ``lloyd`` selects the spherical-Lloyd disposition the
+    reference uses for deformable kernels (else the repulsion optimizer).
     """
-    key = (num_kpoints, dimension, fixed)
+    key = (num_kpoints, dimension, fixed, lloyd)
     if key not in _CACHE:
-        _CACHE[key] = kernel_point_optimization(
-            num_kpoints, dimension=dimension, fixed=fixed
-        )
+        if lloyd:
+            _CACHE[key] = spherical_lloyd(
+                num_kpoints, dimension=dimension, fixed=fixed)
+        else:
+            _CACHE[key] = kernel_point_optimization(
+                num_kpoints, dimension=dimension, fixed=fixed
+            )
     return _CACHE[key] * np.float32(radius)

@@ -270,3 +270,28 @@ def test_kpfcnn_overfit_decreases_loss(rng):
         params, stats, opt_state, loss = step(params, stats, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_spherical_lloyd_disposition():
+    """Lloyd variant: deterministic, inside the unit ball, well-spread,
+    honors the 'center'/'verticals' pinning (reference
+    kernel_points.py:78-257)."""
+    from tdwss.models.kpconv.kernel_points import load_kernels, spherical_lloyd
+
+    kp1 = spherical_lloyd(15, max_iter=60, approx_n=2000)
+    kp2 = spherical_lloyd(15, max_iter=60, approx_n=2000)
+    np.testing.assert_array_equal(kp1, kp2)            # deterministic
+    assert kp1.shape == (15, 3)
+    np.testing.assert_array_equal(kp1[0], 0)           # fixed center
+    r = np.linalg.norm(kp1, axis=1)
+    assert r.max() <= 1.0 + 1e-5
+    # pairwise spread: no two cells collapse
+    d = np.linalg.norm(kp1[:, None] - kp1[None, :], axis=-1)
+    d[np.arange(15), np.arange(15)] = 1e9
+    assert d.min() > 0.25
+
+    kv = spherical_lloyd(15, fixed="verticals", max_iter=40, approx_n=2000)
+    np.testing.assert_array_equal(kv[:3, :2], 0)       # on the z axis
+
+    scaled = load_kernels(2.5, 15, lloyd=True)
+    assert np.linalg.norm(scaled, axis=1).max() <= 2.5 + 1e-4
