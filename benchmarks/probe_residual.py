@@ -133,5 +133,62 @@ def main() -> None:
               flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--tiered" not in __import__("sys").argv:
     main()
+
+
+def main_tiered() -> None:
+    """Time the two-tier (res_tile + heavy-scan) path on REAL L0/L1 spills."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from tdwss.config import (Config, EngineConfig, LossConfig,
+                              PointcloudDataConfig, PointcloudModelConfig)
+    from tdwss.data.collate import train_collate
+    from tdwss.data.plans import attach_host_plans
+    from tdwss.data.synthetic import make_dataset
+    from tdwss.ops import sparse_conv as sc
+
+    cfg = Config(
+        training_name="p", model_name="MultiLabel", label="scene_level",
+        pointcloud_data=PointcloudDataConfig(scale=50, batch_size=5),
+        pointcloud_model=PointcloudModelConfig(
+            name="SparseConvUNet", m=32, full_scale=4096, block_reps=2,
+            residual_blocks=True),
+        loss=LossConfig(Classification=True),
+        engine=EngineConfig(max_points=bench.MAX_POINTS,
+                            level_capacity_schedule=[2, 3, 4, 4, 4, 4],
+                            min_level_capacity=4096,
+                            compute_dtype="bfloat16"))
+    scenes = make_dataset(5, num_points=150_000, seed=7, with_text=False)
+    batch = attach_host_plans(train_collate(scenes, cfg,
+                                            np.random.default_rng(0)), cfg)
+    rng = np.random.default_rng(1)
+    for li in (0, 1):
+        lvl = batch.plans.levels[li]
+        win = jax.tree_util.tree_map(jnp.asarray, lvl.win)
+        v = lvl.grid.capacity
+        c = 32 * (li + 1)
+        feats = jnp.asarray(rng.standard_normal((v, c)).astype(np.float32),
+                            dtype=jnp.bfloat16)
+        w2d = jnp.asarray(
+            (rng.standard_normal((27 * c, c)) * 0.05).astype(np.float32),
+            dtype=jnp.bfloat16)
+        dout = jnp.asarray(rng.standard_normal((v, c)).astype(np.float32),
+                           dtype=jnp.bfloat16)
+        rtile = sc._pack_rtile(win)
+        nt = int((np.asarray(win.res_tile)[..., 2] < v).sum())
+        nh = int((np.asarray(win.res_hent)[:, 0] < v).sum())
+        f_apply = jax.jit(lambda f, w: sc._res_all_apply(
+            f, rtile, win.res_ovf, win.ovf_v, win.ovf_count, w, c))
+        t = timed(f_apply, feats, w2d) * 1e3
+        f_dw = jax.jit(lambda f, d: sc._res_all_dw(
+            f, rtile, win.res_ovf, d))
+        t2 = timed(f_dw, feats, dout) * 1e3
+        print(f"L{li} tiered: tile={nt} heavy={nh} "
+              f"apply={t:6.2f} ms  dw={t2:6.2f} ms", flush=True)
+
+
+if __name__ == "__main__" and "--tiered" in __import__("sys").argv:
+    main_tiered()
