@@ -654,11 +654,101 @@ def build_windowed_subm27(
                        sub_off, rb_local, ovf_entries, res_cap)
 
 
+_RES_TILE = 512          # output rows per residual tile group
+_RES_TILE_R1 = 16        # dense per-tile slots; heavier tiles go flat
+_RES_HCHUNK = 512        # flat heavy-list entries read per scan step
+
+
+def _group_spill_tiles(ovf_entries: np.ndarray, v_out: int, v_src: int,
+                       sticky_key):
+    """v-sorted spills -> (res_tile, res_hent, res_htile, leftover).
+
+    The legacy run-sum layout ends in a per-owner scatter-add that costs
+    ~150 ns/row serialized on TPU (2.6 ms at L0's 17k real spills; 14 ms
+    at a synthetic 86k).  Two scatter-free tiers replace it:
+
+    - res_tile (T2, R1, 3): dense per-512-row-tile slots for SCATTERED
+      spills (tile count <= R1) — accumulation is a per-tile one-hot MXU
+      matmul;
+    - res_hent (EH, 3) + res_htile (H2, 2): tiles above R1 (scene-boundary
+      clusters run to thousands of spills; padding them dense would blow
+      the row-priced contribution gather) keep their entries COMPACT in a
+      tile-sorted flat list; a lax.scan walks the heavy tiles, reads a
+      fixed window of the flat list at each tile's offset, and block-adds
+      its one-hot-scattered partial into the tile's rows.
+
+    Returns (None, None, None, entries) when the domain doesn't tile.
+    """
+    if v_out % _RES_TILE:
+        return None, None, None, ovf_entries
+    t2 = v_out // _RES_TILE
+    e = ovf_entries.shape[0]
+    r1 = _RES_TILE_R1
+    key = sticky_key + ("rtile",)
+
+    def empty_tile():
+        rt = np.full((t2, r1, 3), v_src, np.int32)
+        rt[..., 0] = _RES_TILE
+        rt[..., 1] = 0
+        return rt
+
+    if e == 0:
+        eh = _sticky_ecap(key + ("hent",), _RES_HCHUNK, 8)
+        h2 = _sticky_ecap(key + ("htile",), 8, 8)
+        hent = np.full((eh, 3), v_src, np.int32)
+        hent[:, 0] = v_out
+        htile = np.full((h2, 2), 0, np.int32)
+        htile[:, 0] = t2
+        return empty_tile(), hent, htile, ovf_entries[:0]
+
+    tile_of = ovf_entries[:, 0] // _RES_TILE
+    counts = np.bincount(tile_of, minlength=t2)
+    firsts = np.zeros(t2 + 1, np.int64)
+    np.cumsum(counts, out=firsts[1:])
+    slot = np.arange(e) - firsts[tile_of]
+    heavy_tile = counts > r1                      # (t2,) bool
+    is_heavy = heavy_tile[tile_of]
+
+    res_tile = empty_tile()
+    lt = ~is_heavy
+    res_tile[tile_of[lt], slot[lt], 0] = ovf_entries[lt, 0] % _RES_TILE
+    res_tile[tile_of[lt], slot[lt], 1] = ovf_entries[lt, 1]
+    res_tile[tile_of[lt], slot[lt], 2] = ovf_entries[lt, 2]
+
+    hvy = ovf_entries[is_heavy]                   # tile-sorted already
+    h_ids = np.nonzero(heavy_tile)[0].astype(np.int32)
+    h_cnt = counts[heavy_tile].astype(np.int64)
+    h_off = np.zeros(h_ids.shape[0], np.int64)
+    if h_ids.shape[0]:
+        np.cumsum(h_cnt[:-1], out=h_off[1:])
+    # one htile row per 512-entry chunk of a tile's entries: the device
+    # scan reads a FIXED _RES_HCHUNK window per row (no static plumbing)
+    rows = []
+    for tid, cnt, off in zip(h_ids, h_cnt, h_off):
+        for c in range(0, int(cnt), _RES_HCHUNK):
+            rows.append((int(tid), int(off + c)))
+    eh = _sticky_ecap(key + ("hent",), hvy.shape[0] + _RES_HCHUNK, 8)
+    h2 = _sticky_ecap(key + ("htile",), len(rows), 8)
+    hent = np.full((eh, 3), v_src, np.int32)
+    hent[:, 0] = v_out
+    hent[: hvy.shape[0]] = hvy
+    htile = np.zeros((h2, 2), np.int32)
+    htile[:, 0] = t2
+    if rows:
+        htile[: len(rows)] = np.asarray(rows, np.int32)
+    return res_tile, hent, htile, ovf_entries[:0]
+
+
 def _finish_w27(rb27, v, tile, window, nwin, sub, subwin, starts, sub_off,
                 rb_local, ovf_entries, res_cap):
-    """Pad the spill list to sticky capacities and assemble Windowed27."""
+    """Group spills by output tile (+ legacy overflow) and assemble
+    Windowed27."""
     from tdwss.ops.plan import Windowed27
 
+    res_tile = res_hent = res_htile = None
+    if res_cap is None:
+        res_tile, res_hent, res_htile, ovf_entries = _group_spill_tiles(
+            ovf_entries, v, v, (v, tile, window, 27, nwin, sub))
     heavy, heavy_counts = np.unique(ovf_entries[:, 0], return_counts=True)
 
     if res_cap is not None:
@@ -681,8 +771,9 @@ def _finish_w27(rb27, v, tile, window, nwin, sub, subwin, starts, sub_off,
 
     return Windowed27(
         starts=starts, rb_local=rb_local, res_ovf=res_ovf, ovf_v=ovf_v,
-        ovf_count=ovf_count, window=window, sub_off=sub_off,
-        sub=int(sub), subwin=int(subwin),
+        ovf_count=ovf_count, res_tile=res_tile, res_hent=res_hent,
+        res_htile=res_htile, window=window,
+        sub_off=sub_off, sub=int(sub), subwin=int(subwin),
     )
 
 
@@ -802,6 +893,12 @@ def build_windowed_gather(
         order = np.argsort(sp_v, kind="stable")
         ovf_entries = np.stack(
             [sp_v[order], sp_t[order], sp_s[order]], axis=1).astype(np.int32)
+    res_tile = res_hent = res_htile = None
+    if res_cap is None:
+        res_tile, res_hent, res_htile, ovf_entries = _group_spill_tiles(
+            ovf_entries, v_out, v_src,
+            (sticky_key or (v_out, v_src, t, k, group_mod, "wg"))
+            + (window, sub))
     heavy, heavy_counts = np.unique(ovf_entries[:, 0], return_counts=True)
 
     if res_cap is not None:
@@ -827,8 +924,9 @@ def build_windowed_gather(
 
     return WindowedGather(
         starts=starts, rb_local=rb_local, res_ovf=res_ovf, ovf_v=ovf_v,
-        ovf_count=ovf_count, window=window, v_src=int(v_src),
-        sub_off=sub_off, sub=int(sub), subwin=int(subwin),
+        ovf_count=ovf_count, res_tile=res_tile, res_hent=res_hent,
+        res_htile=res_htile, window=window,
+        v_src=int(v_src), sub_off=sub_off, sub=int(sub), subwin=int(subwin),
     )
 
 

@@ -98,9 +98,28 @@ class Windowed27:
     rb_local:  (V, 27) int32     tap source pos - start[tile, k % nwin], or
                                  == window (sentinel -> zero one-hot row)
     res_ovf:   (E2, 3) int32     spilled entries [v, tap27, src], sorted
-                                 by v (pad rows carry v == src == V)
+                                 by v (pad rows carry v == src == V) —
+                                 legacy run-sum layout, normally EMPTY
+                                 when the tiled layouts below are present
+                                 (its per-owner scatter-add costs ~150
+                                 ns/row serialized on TPU)
     ovf_v:     (H,) int32        voxels owning spills (pad V)
     ovf_count: (H,) int32        entries per such voxel (prefix-run layout)
+    res_tile:  (T2, R1, 3) int32 TILE-GROUPED spills [v %% t_res, tap, src]
+                                 per t_res=512-row out tile (pad rows:
+                                 local == t_res, src == V): accumulation
+                                 becomes a per-tile one-hot MXU matmul —
+                                 scatter-free.  Tiles holding more than R1
+                                 spills (scene-boundary clusters would
+                                 blow R1 to thousands) route to
+    res_hent:  (EH, 3) int32     the compact flat heavy list sorted by
+                                 tile (pad v == V, src == V), walked by
+    res_htile: (H2, 2) int32     [tile_id, entry_offset] per heavy tile —
+                                 a lax.scan reads a fixed S2-entry window
+                                 of the flat list per heavy tile, one-hot
+                                 scatters it into a (t_res, C) block, and
+                                 block-adds via dynamic_update_slice (H2
+                                 serial steps; pad rows tile_id == T2).
     window:    static int        W (multiple of 8)
 
     The backward reuses the SAME metadata: the decomposition is an exact
@@ -114,6 +133,9 @@ class Windowed27:
     res_ovf: jnp.ndarray
     ovf_v: jnp.ndarray
     ovf_count: jnp.ndarray
+    res_tile: Optional[jnp.ndarray] = None
+    res_hent: Optional[jnp.ndarray] = None
+    res_htile: Optional[jnp.ndarray] = None
     window: int = flax.struct.field(pytree_node=False, default=512)
     # Two-level sub-windows (0 = disabled): rows are additionally split
     # into sub-tiles of ``sub`` rows whose taps read a ``subwin``-wide
@@ -154,6 +176,9 @@ class WindowedGather:
     res_ovf: jnp.ndarray
     ovf_v: jnp.ndarray
     ovf_count: jnp.ndarray
+    res_tile: Optional[jnp.ndarray] = None
+    res_hent: Optional[jnp.ndarray] = None
+    res_htile: Optional[jnp.ndarray] = None
     window: int = flax.struct.field(pytree_node=False, default=512)
     v_src: int = flax.struct.field(pytree_node=False, default=0)
     # Two-level sub-windows, exactly as in :class:`Windowed27` (the

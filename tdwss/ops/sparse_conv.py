@@ -441,6 +441,126 @@ def _res_ovf_dw(feats, res_ovf, dout, k=27):
         0, chunks, body, jnp.zeros((k * cin, cout), jnp.float32))
 
 
+def _res_tile_apply(feats, res_tile, w2d, cout, v_out):
+    """Tile-grouped spill corrections -> (v_out, Cout) f32 — scatter-free.
+
+    res_tile (T2, R, 3) [local, tap, src] per 512-row output tile (host
+    layout, tdwss.ops.host_plan._group_spill_tiles).  Contributions are
+    the usual per-entry tap-masked GEMM; the per-voxel accumulation is a
+    per-tile one-hot MATMUL instead of the (V,)-domain scatter-add the
+    legacy run-sum layout needs (~150 ns/row serialized on TPU — 14 ms at
+    86k spills).
+    """
+    t2, r, _ = res_tile.shape
+    t_res = v_out // t2
+    k = w2d.shape[0] // feats.shape[-1]
+    taps = res_tile[..., 1].reshape(-1)
+    srcs = res_tile[..., 2].reshape(-1)
+    c2 = _entry_contrib(feats, taps, srcs, w2d)          # (T2*R, Cout)
+    local = res_tile[..., 0]                             # (T2, R)
+    iota = jnp.arange(t_res, dtype=jnp.int32)
+    oh = (local[:, :, None] == iota[None, None, :]).astype(feats.dtype)
+    out = jnp.einsum("trf,trc->tfc", oh, c2.reshape(t2, r, cout)
+                     .astype(feats.dtype))
+    return out.reshape(v_out, cout).astype(jnp.float32)
+
+
+def _res_tile_dw(feats, res_tile, dout, k=27):
+    """Tile-grouped spill dW contribution -> (K*C, Cout) f32."""
+    t2, r, _ = res_tile.shape
+    v_out = dout.shape[0]
+    t_res = v_out // t2
+    taps = res_tile[..., 1].reshape(-1)
+    srcs = res_tile[..., 2].reshape(-1)
+    local = res_tile[..., 0].reshape(-1)
+    tile_ids = jnp.repeat(jnp.arange(t2, dtype=jnp.int32), r)
+    tgts = jnp.where(local < t_res, tile_ids * t_res + local, v_out)
+    z = _entry_z(feats, taps, srcs, k)
+    dv = jnp.take(dout, tgts, axis=0, mode="fill",
+                  fill_value=0).astype(feats.dtype)
+    return jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
+
+
+_RES_HCHUNK = 512     # must match tdwss.ops.host_plan._RES_HCHUNK
+
+
+def _res_heavy_apply(feats, res_hent, res_htile, w2d, cout, v_out, t2):
+    """Heavy-tile spill corrections -> (v_out, Cout) f32 — scatter-free.
+
+    The flat tile-sorted entry list stays COMPACT (no per-tile padding);
+    a lax.scan walks res_htile's [tile_id, offset] rows, reads a fixed
+    _RES_HCHUNK window of contributions at each offset, one-hot scatters
+    the rows belonging to that tile into a (t_res, Cout) block, and adds
+    the block at the tile's rows (dynamic_update_slice — H2 serial steps,
+    each microseconds).
+    """
+    t_res = v_out // t2
+    taps = res_hent[:, 1]
+    srcs = res_hent[:, 2]
+    c2 = _entry_contrib(feats, taps, srcs, w2d).astype(feats.dtype)
+    owners = res_hent[:, 0]
+    iota = jnp.arange(t_res, dtype=jnp.int32)
+
+    def body(out, ht):
+        tile, off = ht[0], ht[1]
+        rows = jax.lax.dynamic_slice(c2, (off, 0), (_RES_HCHUNK,
+                                                    c2.shape[1]))
+        own = jax.lax.dynamic_slice(owners, (off,), (_RES_HCHUNK,))
+        belongs = own // t_res == tile
+        local = jnp.where(belongs, own % t_res, t_res)
+        oh_t = (local[None, :] == iota[:, None]).astype(rows.dtype)
+        block = jnp.dot(oh_t, rows, preferred_element_type=jnp.float32)
+        start = jnp.clip(tile, 0, t2 - 1) * t_res
+        cur = jax.lax.dynamic_slice(out, (start, 0), (t_res, cout))
+        return jax.lax.dynamic_update_slice(out, cur + block,
+                                            (start, 0)), None
+
+    out0 = jnp.zeros((v_out, cout), jnp.float32)
+    out, _ = jax.lax.scan(body, out0, res_htile)
+    return out
+
+
+def _res_heavy_dw(feats, res_hent, dout, k=27):
+    """Heavy-list dW contribution — compact, gather-based (no layout
+    tricks needed: dW accumulates over entries, not owners)."""
+    v = feats.shape[0]
+    taps = res_hent[:, 1]
+    srcs = res_hent[:, 2]
+    tgts = jnp.where(srcs < v, res_hent[:, 0], dout.shape[0])
+    z = _entry_z(feats, taps, srcs, k)
+    dv = jnp.take(dout, tgts, axis=0, mode="fill",
+                  fill_value=0).astype(feats.dtype)
+    return jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
+
+
+def _res_all_apply(feats, rtile, res_ovf, ovf_v, ovf_count, w2d, cout,
+                   out_len=None):
+    """Tiled tiers (when present) + legacy overflow part.
+
+    ``rtile`` = (res_tile, res_hent, res_htile) or Nones.
+    """
+    v = out_len if out_len is not None else feats.shape[0]
+    out = _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout,
+                         out_len=v)
+    res_tile, res_hent, res_htile = rtile
+    if res_tile is not None and res_tile.shape[0]:
+        out = out + _res_tile_apply(feats, res_tile, w2d, cout, v)
+        if res_hent is not None and res_htile is not None:
+            out = out + _res_heavy_apply(feats, res_hent, res_htile, w2d,
+                                         cout, v, res_tile.shape[0])
+    return out
+
+
+def _res_all_dw(feats, rtile, res_ovf, dout, k=27):
+    dw = _res_ovf_dw(feats, res_ovf, dout, k)
+    res_tile, res_hent, res_htile = rtile
+    if res_tile is not None and res_tile.shape[0]:
+        dw = dw + _res_tile_dw(feats, res_tile, dout, k)
+        if res_hent is not None and res_htile is not None:
+            dw = dw + _res_heavy_dw(feats, res_hent, dout, k)
+    return dw
+
+
 from functools import partial
 
 
@@ -652,22 +772,25 @@ def _w27_dw_any(feats, rb_local, starts, dout, window, sub=0, subwin=0,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _subm_conv_w27(window, sub, subwin, feats, starts, sub_off, rb_local,
-                   res_ovf, ovf_v, ovf_count, weight):
+                   rtile, res_ovf, ovf_v, ovf_count, weight):
     """27-tap windowed submanifold conv (tdwss.ops.plan.Windowed27)."""
     k, cin, cout = weight.shape
     w2d = weight.reshape(k * cin, cout)
     out = _w27_matmul_any(feats, rb_local, starts, w2d, window, sub, subwin,
                           sub_off)
-    out = out + _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout)
+    out = out + _res_all_apply(feats, rtile, res_ovf, ovf_v, ovf_count,
+                               w2d, cout)
     return out.astype(feats.dtype)
 
 
 def _subm_conv_w27_fwd(window, sub, subwin, feats, starts, sub_off,
-                       rb_local, res_ovf, ovf_v, ovf_count, weight):
+                       rb_local, rtile, res_ovf, ovf_v, ovf_count,
+                       weight):
     out = _subm_conv_w27(window, sub, subwin, feats, starts, sub_off,
-                         rb_local, res_ovf, ovf_v, ovf_count, weight)
-    return out, (feats, starts, sub_off, rb_local, res_ovf, ovf_v,
-                 ovf_count, weight)
+                         rb_local, rtile, res_ovf, ovf_v, ovf_count,
+                         weight)
+    return out, (feats, starts, sub_off, rb_local, rtile, res_ovf,
+                 ovf_v, ovf_count, weight)
 
 
 def _w27_bwd_fused(feats, dout_c, weight, rb_local, starts, sub_off,
@@ -707,7 +830,7 @@ def _w27_bwd_fused(feats, dout_c, weight, rb_local, starts, sub_off,
 
 
 def _subm_conv_w27_bwd(window, sub, subwin, res, dout):
-    (feats, starts, sub_off, rb_local, res_ovf, ovf_v, ovf_count,
+    (feats, starts, sub_off, rb_local, rtile, res_ovf, ovf_v, ovf_count,
      weight) = res
     k, cin, cout = weight.shape
     feats, dout = jax.lax.optimization_barrier((feats, dout))
@@ -729,17 +852,19 @@ def _subm_conv_w27_bwd(window, sub, subwin, res, dout):
         dfeats = _w27_matmul_any(dout_c, rb_local, starts, wt2d_, window,
                                  sub, subwin, sub_off)
 
-    dw = dw + _res_ovf_dw(feats, res_ovf, dout_c)
+    dw = dw + _res_all_dw(feats, rtile, res_ovf, dout_c)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
 
     wt2d = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
-    dfeats = dfeats + _res_ovf_apply(dout_c, res_ovf, ovf_v, ovf_count,
-                                     wt2d, cin)
+    dfeats = dfeats + _res_all_apply(dout_c, rtile, res_ovf, ovf_v,
+                                     ovf_count, wt2d, cin)
     dfeats = dfeats.astype(feats.dtype)
 
     zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
+    zt = jax.tree_util.tree_map(zeros, rtile)
     return (dfeats, zeros(starts), zeros(sub_off), zeros(rb_local),
-            zeros(res_ovf), zeros(ovf_v), zeros(ovf_count), dw)
+            zt, zeros(res_ovf), zeros(ovf_v),
+            zeros(ovf_count), dw)
 
 
 _subm_conv_w27.defvjp(_subm_conv_w27_fwd, _subm_conv_w27_bwd)
@@ -819,9 +944,10 @@ def subm_conv_apply(feats: jnp.ndarray, rulebook: jnp.ndarray,
         if isinstance(win, Windowed27):
             sub_off = (win.sub_off if win.sub_off is not None
                        else jnp.zeros((0, win.starts.shape[1]), jnp.int32))
+            rtile = _pack_rtile(win)
             return _subm_conv_w27(
                 win.window, win.sub, win.subwin, feats, win.starts,
-                sub_off, win.rb_local, win.res_ovf,
+                sub_off, win.rb_local, rtile, win.res_ovf,
                 win.ovf_v, win.ovf_count, weight)
         return _subm_conv_windowed(
             win.window, feats, win.starts, win.rb_local, win.xprev_ok,
@@ -1130,8 +1256,9 @@ def _wg_dw_any(src, rb_local, starts, dout, window, sub=0, subwin=0,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _wg_conv(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b, feats,
-             f_starts, f_soff, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
-             b_starts, b_soff, b_rb, b_ovf, b_ovf_v, b_ovf_cnt, weight):
+             f_starts, f_soff, f_rb, f_rtile, f_ovf, f_ovf_v, f_ovf_cnt,
+             b_starts, b_soff, b_rb, b_rtile, b_ovf, b_ovf_v, b_ovf_cnt,
+             weight):
     """Forward-direction windowed rulebook conv with transposed backward.
 
     ``f_*`` metadata evaluates the forward rulebook (out domain = f_rb
@@ -1142,34 +1269,36 @@ def _wg_conv(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b, feats,
     w2d = weight.reshape(k * cin, cout)
     out = _wg_matmul_any(feats, f_rb, f_starts, w2d, window_f, sub_f,
                          subwin_f, f_soff)
-    out = out + _res_ovf_apply(feats, f_ovf, f_ovf_v, f_ovf_cnt, w2d, cout,
-                               out_len=f_rb.shape[0])
+    out = out + _res_all_apply(feats, f_rtile, f_ovf, f_ovf_v, f_ovf_cnt,
+                               w2d, cout, out_len=f_rb.shape[0])
     return out.astype(feats.dtype)
 
 
 def _wg_conv_fwd(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b,
-                 feats, f_starts, f_soff, f_rb, f_ovf, f_ovf_v,
-                 f_ovf_cnt, b_starts, b_soff, b_rb, b_ovf, b_ovf_v,
-                 b_ovf_cnt, weight):
+                 feats, f_starts, f_soff, f_rb, f_rtile, f_ovf, f_ovf_v,
+                 f_ovf_cnt, b_starts, b_soff, b_rb, b_rtile, b_ovf,
+                 b_ovf_v, b_ovf_cnt, weight):
     out = _wg_conv(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b,
-                   feats, f_starts, f_soff, f_rb, f_ovf,
-                   f_ovf_v, f_ovf_cnt, b_starts, b_soff, b_rb, b_ovf,
-                   b_ovf_v, b_ovf_cnt, weight)
-    return out, (feats, f_starts, f_soff, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
-                 b_starts, b_soff, b_rb, b_ovf, b_ovf_v, b_ovf_cnt, weight)
+                   feats, f_starts, f_soff, f_rb, f_rtile, f_ovf,
+                   f_ovf_v, f_ovf_cnt, b_starts, b_soff, b_rb, b_rtile,
+                   b_ovf, b_ovf_v, b_ovf_cnt, weight)
+    return out, (feats, f_starts, f_soff, f_rb, f_rtile, f_ovf, f_ovf_v,
+                 f_ovf_cnt, b_starts, b_soff, b_rb, b_rtile, b_ovf,
+                 b_ovf_v, b_ovf_cnt, weight)
 
 
 def _wg_conv_bwd(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b, res,
                  dout):
-    (feats, f_starts, f_soff, f_rb, f_ovf, f_ovf_v, f_ovf_cnt, b_starts,
-     b_soff, b_rb, b_ovf, b_ovf_v, b_ovf_cnt, weight) = res
+    (feats, f_starts, f_soff, f_rb, f_rtile, f_ovf, f_ovf_v, f_ovf_cnt,
+     b_starts, b_soff, b_rb, b_rtile, b_ovf, b_ovf_v, b_ovf_cnt,
+     weight) = res
     k, cin, cout = weight.shape
     feats, dout = jax.lax.optimization_barrier((feats, dout))
     dout_c = dout.astype(feats.dtype)
 
     dw = _wg_dw_any(feats, f_rb, f_starts, dout_c, window_f, sub_f,
                     subwin_f, f_soff)
-    dw = dw + _res_ovf_dw(feats, f_ovf, dout_c, k)
+    dw = dw + _res_all_dw(feats, f_rtile, f_ovf, dout_c, k)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
 
     # dfeats via the transposed rulebook: tap index (child_offset) is the
@@ -1177,14 +1306,16 @@ def _wg_conv_bwd(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b, res,
     wt2d = weight.transpose(0, 2, 1).reshape(k * cout, cin)
     dfeats = _wg_matmul_any(dout_c, b_rb, b_starts, wt2d, window_b, sub_b,
                             subwin_b, b_soff)
-    dfeats = dfeats + _res_ovf_apply(dout_c, b_ovf, b_ovf_v, b_ovf_cnt,
-                                     wt2d, cin, out_len=b_rb.shape[0])
+    dfeats = dfeats + _res_all_apply(dout_c, b_rtile, b_ovf, b_ovf_v,
+                                     b_ovf_cnt, wt2d, cin,
+                                     out_len=b_rb.shape[0])
     dfeats = dfeats.astype(feats.dtype)
 
     zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
+    zt = jax.tree_util.tree_map(zeros, (f_rtile, b_rtile))
     return (dfeats, zeros(f_starts), zeros(f_soff), zeros(f_rb),
-            zeros(f_ovf), zeros(f_ovf_v), zeros(f_ovf_cnt),
-            zeros(b_starts), zeros(b_soff), zeros(b_rb),
+            zt[0], zeros(f_ovf), zeros(f_ovf_v), zeros(f_ovf_cnt),
+            zeros(b_starts), zeros(b_soff), zeros(b_rb), zt[1],
             zeros(b_ovf), zeros(b_ovf_v), zeros(b_ovf_cnt), dw)
 
 
@@ -1199,6 +1330,21 @@ def _wg_soff(wg):
     return jnp.zeros((0, nwin), jnp.int32)
 
 
+def _pack_rtile(win):
+    """(res_tile, res_hent, res_htile) with array placeholders for Nones
+    (custom_vjp needs concrete array leaves)."""
+    rt = (win.res_tile if win.res_tile is not None
+          else jnp.zeros((0, 0, 3), jnp.int32))
+    he = (win.res_hent if win.res_hent is not None
+          else jnp.zeros((0, 3), jnp.int32))
+    ht = (win.res_htile if win.res_htile is not None
+          else jnp.zeros((0, 2), jnp.int32))
+    return (rt, he, ht)
+
+
+_wg_rtile = _pack_rtile
+
+
 def wg_conv_apply(feats: jnp.ndarray, weight: jnp.ndarray, wg_fwd,
                   wg_bwd) -> jnp.ndarray:
     """Cross-level conv through WindowedGather metadata.
@@ -1211,16 +1357,18 @@ def wg_conv_apply(feats: jnp.ndarray, weight: jnp.ndarray, wg_fwd,
                     wg_fwd.sub, wg_fwd.subwin, wg_bwd.sub, wg_bwd.subwin,
                     feats,
                     wg_fwd.starts, _wg_soff(wg_fwd), wg_fwd.rb_local,
+                    _wg_rtile(wg_fwd),
                     wg_fwd.res_ovf, wg_fwd.ovf_v, wg_fwd.ovf_count,
                     wg_bwd.starts, _wg_soff(wg_bwd), wg_bwd.rb_local,
+                    _wg_rtile(wg_bwd),
                     wg_bwd.res_ovf, wg_bwd.ovf_v, wg_bwd.ovf_count, weight)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _wg_unpool(window_f, window_b, c, sub_f, subwin_f, sub_b, subwin_b,
                feats,
-               f_starts, f_soff, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
-               b_starts, b_soff, b_rb, b_ovf, b_ovf_v, b_ovf_cnt):
+               f_starts, f_soff, f_rb, f_rtile, f_ovf, f_ovf_v, f_ovf_cnt,
+               b_starts, b_soff, b_rb, b_rtile, b_ovf, b_ovf_v, b_ovf_cnt):
     """Windowed unpool: out[f] = feats[parent[f]] via the up rulebook.
 
     Tap-tiled identity weights ride the generic machinery; the backward
@@ -1230,39 +1378,42 @@ def _wg_unpool(window_f, window_b, c, sub_f, subwin_f, sub_b, subwin_b,
     eye = jnp.tile(jnp.eye(c, dtype=feats.dtype), (k, 1))
     out = _wg_matmul_any(feats, f_rb, f_starts, eye, window_f, sub_f,
                          subwin_f, f_soff)
-    out = out + _res_ovf_apply(feats, f_ovf, f_ovf_v, f_ovf_cnt, eye, c,
-                               out_len=f_rb.shape[0])
+    out = out + _res_all_apply(feats, f_rtile, f_ovf, f_ovf_v, f_ovf_cnt,
+                               eye, c, out_len=f_rb.shape[0])
     return out.astype(feats.dtype)
 
 
 def _wg_unpool_fwd(window_f, window_b, c, sub_f, subwin_f, sub_b, subwin_b,
-                   feats, f_starts, f_soff, f_rb, f_ovf,
-                   f_ovf_v, f_ovf_cnt, b_starts, b_soff, b_rb, b_ovf,
-                   b_ovf_v, b_ovf_cnt):
+                   feats, f_starts, f_soff, f_rb, f_rtile, f_ovf,
+                   f_ovf_v, f_ovf_cnt, b_starts, b_soff, b_rb, b_rtile,
+                   b_ovf, b_ovf_v, b_ovf_cnt):
     out = _wg_unpool(window_f, window_b, c, sub_f, subwin_f, sub_b,
-                     subwin_b, feats, f_starts, f_soff, f_rb, f_ovf,
-                     f_ovf_v, f_ovf_cnt, b_starts, b_soff, b_rb, b_ovf,
-                     b_ovf_v, b_ovf_cnt)
-    return out, (feats, f_starts, f_soff, f_rb, f_ovf, f_ovf_v, f_ovf_cnt,
-                 b_starts, b_soff, b_rb, b_ovf, b_ovf_v, b_ovf_cnt)
+                     subwin_b, feats, f_starts, f_soff, f_rb, f_rtile,
+                     f_ovf, f_ovf_v, f_ovf_cnt, b_starts, b_soff, b_rb,
+                     b_rtile, b_ovf, b_ovf_v, b_ovf_cnt)
+    return out, (feats, f_starts, f_soff, f_rb, f_rtile, f_ovf, f_ovf_v,
+                 f_ovf_cnt, b_starts, b_soff, b_rb, b_rtile, b_ovf,
+                 b_ovf_v, b_ovf_cnt)
 
 
 def _wg_unpool_bwd(window_f, window_b, c, sub_f, subwin_f, sub_b, subwin_b,
                    res, dout):
-    (feats, f_starts, f_soff, f_rb, f_ovf, f_ovf_v, f_ovf_cnt, b_starts,
-     b_soff, b_rb, b_ovf, b_ovf_v, b_ovf_cnt) = res
+    (feats, f_starts, f_soff, f_rb, f_rtile, f_ovf, f_ovf_v, f_ovf_cnt,
+     b_starts, b_soff, b_rb, b_rtile, b_ovf, b_ovf_v, b_ovf_cnt) = res
     k = b_rb.shape[1]
     dout_c = jax.lax.optimization_barrier(dout).astype(feats.dtype)
     eye = jnp.tile(jnp.eye(c, dtype=dout_c.dtype), (k, 1))
     dfeats = _wg_matmul_any(dout_c, b_rb, b_starts, eye, window_b, sub_b,
                             subwin_b, b_soff)
-    dfeats = dfeats + _res_ovf_apply(dout_c, b_ovf, b_ovf_v, b_ovf_cnt,
-                                     eye, c, out_len=b_rb.shape[0])
+    dfeats = dfeats + _res_all_apply(dout_c, b_rtile, b_ovf, b_ovf_v,
+                                     b_ovf_cnt, eye, c,
+                                     out_len=b_rb.shape[0])
     dfeats = dfeats.astype(feats.dtype)
     zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
+    zt = jax.tree_util.tree_map(zeros, (f_rtile, b_rtile))
     return (dfeats, zeros(f_starts), zeros(f_soff), zeros(f_rb),
-            zeros(f_ovf), zeros(f_ovf_v), zeros(f_ovf_cnt),
-            zeros(b_starts), zeros(b_soff), zeros(b_rb),
+            zt[0], zeros(f_ovf), zeros(f_ovf_v), zeros(f_ovf_cnt),
+            zeros(b_starts), zeros(b_soff), zeros(b_rb), zt[1],
             zeros(b_ovf), zeros(b_ovf_v), zeros(b_ovf_cnt))
 
 
@@ -1275,6 +1426,8 @@ def wg_unpool_apply(coarse_feats: jnp.ndarray, wg_up, wg_down) -> jnp.ndarray:
                       wg_up.sub, wg_up.subwin, wg_down.sub, wg_down.subwin,
                       coarse_feats,
                       wg_up.starts, _wg_soff(wg_up), wg_up.rb_local,
+                      _wg_rtile(wg_up),
                       wg_up.res_ovf, wg_up.ovf_v, wg_up.ovf_count,
                       wg_down.starts, _wg_soff(wg_down), wg_down.rb_local,
+                      _wg_rtile(wg_down),
                       wg_down.res_ovf, wg_down.ovf_v, wg_down.ovf_count)

@@ -135,7 +135,16 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
                     for b in batches]
             caps[i] = (max(w.res_ovf.shape[0] for w in wins),
                        max(w.ovf_v.shape[0] for w in wins),
-                       max(w.window for w in wins))
+                       max(w.window for w in wins),
+                       max((w.res_tile.shape[1]
+                            for w in wins if w.res_tile is not None),
+                           default=0),
+                       max((w.res_hent.shape[0]
+                            for w in wins if w.res_hent is not None),
+                           default=0),
+                       max((w.res_htile.shape[0]
+                            for w in wins if w.res_htile is not None),
+                           default=0))
             if len({(getattr(w, "sub", 0), getattr(w, "subwin", 0))
                     for w in wins}) > 1:
                 flatten_sub.add(i)
@@ -145,13 +154,34 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
     out = []
     for b in batches:
         flat, treedef = jax.tree_util.tree_flatten(b, is_leaf=is_win)
-        for i, (e_cap, h_cap, w_max) in caps.items():
+        for i, (e_cap, h_cap, w_max, r_max, he_max, ht_max) in caps.items():
             win = flat[i]
             if i in flatten_sub:
                 win = _flatten_sub(win)
             win = _expand_window(win, w_max)
             v = win.rb_local.shape[0]
             src_pad = win.v_src if isinstance(win, WindowedGather) else v
+            if win.res_tile is not None and win.res_tile.shape[1] < r_max:
+                t2, r, _ = win.res_tile.shape
+                pad = np.full((t2, r_max - r, 3), src_pad, np.int32)
+                pad[..., 0] = v // t2      # local sentinel == t_res
+                pad[..., 1] = 0
+                win = win.replace(res_tile=np.concatenate(
+                    [np.asarray(win.res_tile), pad], axis=1))
+            if win.res_hent is not None and win.res_hent.shape[0] < he_max:
+                pad = np.full((he_max - win.res_hent.shape[0], 3), src_pad,
+                              np.int32)
+                pad[:, 0] = v              # owner sentinel == v_out
+                win = win.replace(res_hent=np.concatenate(
+                    [np.asarray(win.res_hent), pad]))
+            if win.res_htile is not None and win.res_htile.shape[0] < ht_max:
+                t2 = (win.res_tile.shape[0] if win.res_tile is not None
+                      else 0)
+                pad = np.zeros((ht_max - win.res_htile.shape[0], 2),
+                               np.int32)
+                pad[:, 0] = t2             # tile sentinel
+                win = win.replace(res_htile=np.concatenate(
+                    [np.asarray(win.res_htile), pad]))
             e, h = win.res_ovf.shape[0], win.ovf_v.shape[0]
             if e < e_cap:
                 pad = np.full((e_cap - e, 3), v, np.int32)

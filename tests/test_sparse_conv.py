@@ -623,3 +623,88 @@ def test_pallas_fused_bwd_sub_interpret(rng):
     np.testing.assert_allclose(
         np.asarray(dw_l[:, :cin, :].reshape(27 * cin, cout)),
         np.asarray(dw_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_res_tile_grouping_matches_plain(rng):
+    """Default (sticky-cap) builds now tile-group the spills; the conv
+    must still equal the plain path exactly — fwd and both grads."""
+    import jax
+
+    from tdwss.ops.host_plan import (build_subm_rulebook_np,
+                                     build_windowed_subm27,
+                                     reset_sticky_plans, voxelize_np)
+    from tdwss.ops.sparse_conv import subm_conv_apply
+    from tests.test_host_plan import _random_coords
+
+    reset_sticky_plans()
+    rng_np = np.random.default_rng(23)
+    n = 4096
+    coords, feats_raw, valid = _random_coords(rng_np, n=n, size=40,
+                                              invalid_frac=0.05)
+    grid, _, _ = voxelize_np(coords, feats_raw[:, :3], valid, n)
+    rb = build_subm_rulebook_np(grid, 3)
+    # tiny window forces MANY spills -> the tile grouping carries them
+    win = build_windowed_subm27(rb, grid, tile=512, window=136,
+                                sub=0, subwin=0)
+    assert win is not None and win.res_tile is not None
+    n_tile = int((win.res_tile[..., 2] < n).sum())
+    n_heavy = int((win.res_hent[:, 0] < n).sum())
+    n_legacy = int((win.res_ovf[:, 0] < n).sum())
+    assert n_legacy == 0
+    assert n_tile + n_heavy > 500, "tiled layouts must carry the spills"
+    assert n_heavy > 0, "tiny window should overflow some 512-row tiles"
+
+    jm = jax.tree_util.tree_map
+    winj = jm(jnp.asarray, win)
+    vf = jnp.asarray(rng_np.normal(size=(n, 6)).astype(np.float32))
+    w = jnp.asarray(rng_np.normal(size=(27, 6, 5)).astype(np.float32))
+    ref = np.asarray(subm_conv_apply(vf, jnp.asarray(rb), w))
+    out = np.asarray(subm_conv_apply(vf, jnp.asarray(rb), w, winj))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    gp = jax.grad(lambda f, w_: jnp.sum(
+        subm_conv_apply(f, jnp.asarray(rb), w_) ** 2), argnums=(0, 1))(vf, w)
+    gw = jax.grad(lambda f, w_: jnp.sum(
+        subm_conv_apply(f, jnp.asarray(rb), w_, winj) ** 2),
+        argnums=(0, 1))(vf, w)
+    np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gp[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gp[1]),
+                               rtol=2e-4, atol=2e-4)
+    reset_sticky_plans()
+
+
+def test_group_spill_tiles_layout():
+    """Host grouping: dense slots, heavy-tile routing, sentinels."""
+    from tdwss.ops.host_plan import (_RES_HCHUNK, _RES_TILE, _RES_TILE_R1,
+                                     _group_spill_tiles, reset_sticky_plans)
+
+    reset_sticky_plans()
+    v_out, v_src = 2048, 4096
+    # light spills in tiles 0/3, one HEAVY tile 1 (> R1 entries)
+    light = np.array([[5, 1, 100], [5, 2, 101], [400, 0, 7],
+                      [1600, 26, 9]], np.int32)
+    heavy = np.stack([
+        512 + np.arange(_RES_TILE_R1 + 10),
+        np.zeros(_RES_TILE_R1 + 10, np.int64),
+        np.arange(_RES_TILE_R1 + 10) + 50,
+    ], axis=1).astype(np.int32)
+    entries = np.concatenate([light[:3], heavy, light[3:]])  # v-sorted
+    res_tile, hent, htile, leftover = _group_spill_tiles(
+        entries, v_out, v_src, ("t",))
+    assert leftover.shape[0] == 0
+    t2, r, _ = res_tile.shape
+    assert t2 == v_out // _RES_TILE and r == _RES_TILE_R1
+    np.testing.assert_array_equal(res_tile[0, 0], [5, 1, 100])
+    np.testing.assert_array_equal(res_tile[0, 1], [5, 2, 101])
+    np.testing.assert_array_equal(res_tile[0, 2], [400, 0, 7])
+    np.testing.assert_array_equal(res_tile[3, 0], [1600 % 512, 26, 9])
+    # heavy tile 1: NOT in the dense layout, all entries in the flat list
+    assert (res_tile[1, :, 0] == _RES_TILE).all()
+    nh = _RES_TILE_R1 + 10
+    np.testing.assert_array_equal(hent[:nh], heavy)
+    assert (hent[nh:, 0] == v_out).all()          # pad sentinel
+    real = htile[htile[:, 0] < t2]
+    np.testing.assert_array_equal(real, [[1, 0]])  # one chunk at offset 0
+    assert hent.shape[0] >= nh + _RES_HCHUNK - 1   # slice never OOB
+    reset_sticky_plans()
