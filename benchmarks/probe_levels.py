@@ -41,6 +41,8 @@ def main() -> None:
     ap.add_argument("--levels", type=str, default="",
                     help="comma list of level indices (default all)")
     ap.add_argument("--no-bwd", action="store_true")
+    ap.add_argument("--plain", action="store_true",
+                    help="time the plain gather-GEMM path instead")
     args = ap.parse_args()
     if args.min_v is not None:
         os.environ["TDWSS_PALLAS_MIN_V"] = str(args.min_v)
@@ -100,13 +102,15 @@ def main() -> None:
             (frng.standard_normal((27, c, c)) * 0.05).astype(np.float32),
             dtype=jnp.bfloat16)
 
+        use_win = lvl.win if not args.plain else None
+
         def fwd(f, wt):
-            return sc.subm_conv_apply(f, lvl.subm_rb, wt, win=lvl.win)
+            return sc.subm_conv_apply(f, lvl.subm_rb, wt, win=use_win)
 
         def fwdbwd(f, wt):
             def loss(f_, w_):
                 return jnp.sum(sc.subm_conv_apply(
-                    f_, lvl.subm_rb, w_, win=lvl.win).astype(jnp.float32))
+                    f_, lvl.subm_rb, w_, win=use_win).astype(jnp.float32))
             _, grads = jax.value_and_grad(loss, argnums=(0, 1))(f, wt)
             return grads
 
