@@ -57,6 +57,26 @@ def _lane_pad(c: int) -> int:
     return ((c + 127) // 128) * 128
 
 
+# Experimental: build the one-hot compare in bf16 (window-local values
+# <= 2048 are exact in bf16's 8-bit mantissa... only up to 256; subwin
+# defaults to 256 so sub-kernels qualify).  Whether Mosaic packs bf16
+# VPU compares 2-per-lane on v5e is measured, not assumed.
+_OH_BF16 = bool(__import__("os").environ.get("TDWSS_OH_BF16"))
+
+
+def _onehot(rbs, iota, dtype, axis_expand):
+    """(len(rbs), len(iota)) or transposed one-hot in ``dtype``.
+
+    axis_expand=1: oh[i, j] = rbs[i] == iota[j] (iota pre-broadcast);
+    the caller passes broadcast-ready operands — this helper only picks
+    the compare dtype.
+    """
+    if _OH_BF16 and iota.shape[-1] <= 256:
+        return (rbs.astype(jnp.bfloat16) == iota.astype(jnp.bfloat16)
+                ).astype(dtype)
+    return (rbs == iota).astype(dtype)
+
+
 def _anchor_gmap(nanchor: int, nwin: int) -> tuple:
     """Static anchor->window map: group = tap % nwin.
 
@@ -127,7 +147,7 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str,
         if ablate == "z":
             acc = acc + z[:t, :cout].astype(jnp.float32)
             continue
-        oh = (rb_ref[a, :][:, None] == iota).astype(win_a.dtype)
+        oh = _onehot(rb_ref[a, :][:, None], iota, win_a.dtype, 1)
         acc = acc + jnp.dot(oh, z, preferred_element_type=jnp.float32)
     out_ref[:] = acc
 
@@ -230,7 +250,7 @@ def _win_dw_kernel(gmap: tuple, w8: int, t: int,
     iota = jax.lax.broadcasted_iota(jnp.int32, (w, t), 0)
     for a in range(len(gmap)):
         win_a = win[cur, gmap[a]].reshape(w, l)
-        oh_t = (rb_ref[a, :][None, :] == iota).astype(dout.dtype)
+        oh_t = _onehot(rb_ref[a, :][None, :], iota, dout.dtype, 0)
         s = jnp.dot(oh_t, dout,
                     preferred_element_type=jnp.float32).astype(dout.dtype)
         acc[a] += jax.lax.dot_general(
@@ -354,7 +374,7 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
             off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
             zs = zbuf[a, pl.ds(off8, swk8)].reshape(swk, cout)
             rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
-            oh = (rbs[:, None] == iota).astype(zs.dtype)
+            oh = _onehot(rbs[:, None], iota, zs.dtype, 1)
             acc = acc + jnp.dot(oh, zs, preferred_element_type=jnp.float32)
         out_ref[s_i * sub:(s_i + 1) * sub] = acc
 
@@ -600,11 +620,11 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         for a in range(len(gmap)):
             off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
             rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
-            oh = (rbs[:, None] == iota).astype(dsub.dtype)
+            oh = _onehot(rbs[:, None], iota, dsub.dtype, 1)
             zs = zbuf[a, pl.ds(off8, swk8)].reshape(swk, cin)
             dx_acc = dx_acc + jnp.dot(oh, zs,
                                       preferred_element_type=jnp.float32)
-            oh_t = (rbs[None, :] == iota_t).astype(dsub.dtype)
+            oh_t = _onehot(rbs[None, :], iota_t, dsub.dtype, 0)
             s = jnp.dot(oh_t, dsub, preferred_element_type=jnp.float32)
             fslice = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(swk, l)
             acc[a] += jax.lax.dot_general(
