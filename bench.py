@@ -17,9 +17,14 @@ finished compiling; host-built rulebooks + scatter-free
 transposed-rulebook VJPs 0.063 Mpts/s; windowed-MXU x-triple engine
 0.077-0.086; 27-tap windowed Pallas engine + windowed cross-level
 transitions 0.46; two-level sub-window kernels + z-parity
-grouped transition windows 0.602.  Remaining levers
-(docs/DESIGN.md): VPU one-hot construction, MXU lane use at Cout=32,
-the einsum fallback at small levels, and 8-chip data parallelism.
+grouped transition windows 0.602.
+Round 2: sub-windows on the cross-level gathers (L0 strided 31.6 ->
+12.8 ms fwd), fused dfeats+dW backward kernel for C<=64 levels, Pallas
+routing down to 8k-voxel levels (einsum fallback cost 4.5-12.5 ms/conv
+there), scatter-free two-tier residual spills, native C++ plan builder
+(host 9.6 -> ~1.3 s/batch).  Remaining levers (docs/DESIGN.md): VPU
+one-hot construction and MXU lane use at Cout=32, and 8-chip data
+parallelism.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpoints/s", "vs_baseline": N}
