@@ -1,0 +1,137 @@
+"""Can Mosaic's tpu.dynamic_gather replace the one-hot inner op?
+
+The sub-window kernel's inner op per (anchor, sub-tile) is
+    oh = (rbs[:, None] == iota(swk))          # (sub, swk) VPU build
+    acc += oh @ zs                            # (sub, swk)@(swk, cout) MXU
+i.e. a row gather of ``zs`` expressed as a matmul.  jax 0.9 Mosaic lowers
+``jnp.take_along_axis(x, idx, axis=0)`` (x.shape == idx.shape, 2D) to
+``tpu.dynamic_gather`` — if that is efficient on v5e at (256, 128) f32,
+the one-hot build + matmul (the kernel's measured majority) collapses to
+a VPU shuffle.
+
+Times three standalone Pallas kernels over identical data at production
+sub-kernel shape (sub=128, swk=256, cout=32, 27 anchors x 4 sub-tiles per
+grid step, 1244 steps ~ L0):
+  onehot  — the production inner op
+  gather  — dynamic_gather + sentinel mask
+  both    — correctness cross-check (max |diff|), small grid
+
+Run (real TPU, AFTER any running chain): python -m benchmarks.probe_dyngather
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def build(kind: str, sub: int, swk: int, cout: int, nanchor: int,
+          nsub: int, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(zs_ref, rb_ref, out_ref):
+        # zs: (nanchor, swk, cout) "pre-transformed window slices";
+        # rb:  (nanchor, nsub*sub) window-local rows, sentinel == swk.
+        iota = jax.lax.broadcasted_iota(jnp.int32, (sub, swk), 1)
+        for s in range(nsub):
+            acc = jnp.zeros((sub, cout), jnp.float32)
+            for a in range(nanchor):
+                zs = zs_ref[a]
+                rbs = rb_ref[a, s * sub:(s + 1) * sub]
+                if kind == "onehot":
+                    oh = (rbs[:, None] == iota).astype(zs.dtype)
+                    acc = acc + jnp.dot(oh, zs,
+                                        preferred_element_type=jnp.float32)
+                else:
+                    idx = jnp.pad(rbs, (0, swk - sub))
+                    g = jnp.take_along_axis(
+                        zs, jnp.broadcast_to(idx[:, None], (swk, cout)),
+                        axis=0, mode="promise_in_bounds")
+                    live = (rbs < swk)[:, None]
+                    acc = acc + jnp.where(live, g[:sub], 0.0).astype(
+                        jnp.float32)
+            out_ref[s * sub:(s + 1) * sub] = acc
+
+    t = nsub * sub
+
+    @jax.jit
+    def run(zs, rb):
+        tiles = rb.shape[1] // t
+        return pl.pallas_call(
+            kernel,
+            grid=(tiles,),
+            in_specs=[
+                pl.BlockSpec((nanchor, swk, cout), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nanchor, t), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((t, cout), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rb.shape[1], cout), jnp.float32),
+            interpret=interpret,
+        )(zs, rb)
+
+    return run
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sub", type=int, default=128)
+    ap.add_argument("--swk", type=int, default=256)
+    ap.add_argument("--cout", type=int, default=32)
+    ap.add_argument("--nanchor", type=int, default=27)
+    ap.add_argument("--nsub", type=int, default=4)
+    ap.add_argument("--tiles", type=int, default=1244)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--interpret", action="store_true")
+    args = ap.parse_args()
+    if args.interpret:
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    t = args.nsub * args.sub
+    v = args.tiles * t
+    zs = jnp.asarray(
+        rng.normal(size=(args.nanchor, args.swk, args.cout)), args.dtype)
+    rb = rng.integers(0, args.swk, (args.nanchor, v)).astype(np.int32)
+    rb[rng.random(rb.shape) < 0.1] = args.swk            # 10% sentinels
+    rb = jnp.asarray(rb)
+
+    runs = {}
+    for kind in ("onehot", "gather"):
+        try:
+            fn = build(kind, args.sub, args.swk, args.cout, args.nanchor,
+                       args.nsub, args.interpret)
+            out = fn(zs, rb)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = fn(zs, rb)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / 10
+            runs[kind] = (dt, out)
+            print(f"{kind:8s} {dt * 1e3:8.2f} ms")
+        except Exception as e:
+            print(f"{kind:8s} FAILED: {type(e).__name__}: {str(e)[:300]}")
+    if len(runs) == 2:
+        d = float(jnp.max(jnp.abs(runs["onehot"][1] - runs["gather"][1])))
+        print(f"max |onehot - gather| = {d:.3e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -77,6 +77,30 @@ def _onehot(rbs, iota, dtype, axis_expand):
     return (rbs == iota).astype(dtype)
 
 
+# Replace the one-hot build + MXU matmul of the gather direction (fwd,
+# dfeats) with Mosaic's tpu.dynamic_gather (jnp.take_along_axis at equal
+# 2D shapes): out[i] = z[rb[i]] as a VPU row shuffle.  The one-hot build
+# is the kernel's measured majority (VPU compare+convert scales with
+# T x width), so this is worth a flag until on-chip numbers pick the
+# winner.  dW keeps the one-hot (scatter direction has no gather form).
+_GATHER_INNER = bool(__import__("os").environ.get("TDWSS_GATHER_INNER"))
+
+
+def _gather_rows(zs, rbs, nrows: int, width: int):
+    """(nrows, C): zs[rbs[i]] for live rows, 0 where rbs[i] >= width.
+
+    ``zs`` is (width, C); ``rbs`` (nrows,) window-local rows with
+    sentinel == width.  Requires nrows <= width (take_along_axis needs
+    indices.shape == operand.shape, so rbs is padded up to width).
+    """
+    c = zs.shape[-1]
+    idx = jnp.minimum(jnp.pad(rbs, (0, width - nrows)), width - 1)
+    g = jnp.take_along_axis(
+        zs, jnp.broadcast_to(idx[:, None], (width, c)), axis=0,
+        mode="promise_in_bounds")
+    return jnp.where((rbs < width)[:, None], g[:nrows], 0)
+
+
 def _anchor_gmap(nanchor: int, nwin: int) -> tuple:
     """Static anchor->window map: group = tap % nwin.
 
@@ -146,6 +170,10 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str,
                     preferred_element_type=jnp.float32).astype(win_a.dtype)
         if ablate == "z":
             acc = acc + z[:t, :cout].astype(jnp.float32)
+            continue
+        if _GATHER_INNER and t <= w:
+            acc = acc + _gather_rows(z, rb_ref[a, :], t, w).astype(
+                jnp.float32)
             continue
         oh = _onehot(rb_ref[a, :][:, None], iota, win_a.dtype, 1)
         acc = acc + jnp.dot(oh, z, preferred_element_type=jnp.float32)
@@ -374,6 +402,10 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
             off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
             zs = zbuf[a, pl.ds(off8, swk8)].reshape(swk, cout)
             rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
+            if _GATHER_INNER and sub <= swk:
+                acc = acc + _gather_rows(zs, rbs, sub, swk).astype(
+                    jnp.float32)
+                continue
             oh = _onehot(rbs[:, None], iota, zs.dtype, 1)
             acc = acc + jnp.dot(oh, zs, preferred_element_type=jnp.float32)
         out_ref[s_i * sub:(s_i + 1) * sub] = acc
@@ -620,10 +652,14 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         for a in range(len(gmap)):
             off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
             rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
-            oh = _onehot(rbs[:, None], iota, dsub.dtype, 1)
             zs = zbuf[a, pl.ds(off8, swk8)].reshape(swk, cin)
-            dx_acc = dx_acc + jnp.dot(oh, zs,
-                                      preferred_element_type=jnp.float32)
+            if _GATHER_INNER and sub <= swk:
+                dx_acc = dx_acc + _gather_rows(zs, rbs, sub, swk).astype(
+                    jnp.float32)
+            else:
+                oh = _onehot(rbs[:, None], iota, dsub.dtype, 1)
+                dx_acc = dx_acc + jnp.dot(oh, zs,
+                                          preferred_element_type=jnp.float32)
             oh_t = _onehot(rbs[None, :], iota_t, dsub.dtype, 0)
             s = jnp.dot(oh_t, dsub, preferred_element_type=jnp.float32)
             fslice = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(swk, l)
