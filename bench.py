@@ -92,6 +92,20 @@ def main() -> None:
     rng = np.random.default_rng(0)
     scenes = make_dataset(NUM_SCENES, num_points=POINTS_PER_SCENE, seed=7,
                           with_text=False)
+    # Converge sticky plan shapes over the e2e epochs' batch compositions
+    # BEFORE any plan that feeds jit: every later window/cap ratchet
+    # re-specializes the step (~15 min/compile via the relay).  With the
+    # registry at its ceiling the timed loop and the e2e epochs share ONE
+    # executable.
+    import sys
+
+    from tdwss.data.loader import warm_plan_shapes
+
+    e2e_scenes = make_dataset(3 * NUM_SCENES, num_points=POINTS_PER_SCENE,
+                              seed=11, with_text=False)
+    t0 = time.perf_counter()
+    warm_plan_shapes(e2e_scenes, cfg, epochs=(1, 2))
+    print(f"shape prewarm: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     batch = train_collate(scenes, cfg, rng)
     from tdwss.data.plans import attach_host_plans
 
@@ -137,9 +151,6 @@ def main() -> None:
 
     e2e_mpts = None
     try:
-        e2e_scenes = make_dataset(3 * NUM_SCENES,
-                                  num_points=POINTS_PER_SCENE,
-                                  seed=11, with_text=False)
         for epoch in (1, 2):
             t0 = time.perf_counter()
             pts = 0

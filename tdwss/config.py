@@ -105,6 +105,10 @@ class EngineConfig:
                                      # (removes all sorts from the TPU step)
     collate_workers: int = 4         # host collate/plan threads (reference
                                      # DataLoader num_workers=4, data.py:243)
+    prewarm_shapes: bool = True      # dry plan-build pass over epoch 1 so
+                                     # sticky window/cap shapes converge
+                                     # before the first jit (see
+                                     # tdwss.data.loader.warm_plan_shapes)
 
 
 @dataclass

@@ -95,6 +95,26 @@ def train_batches(scenes: Sequence[Scene], cfg: Config, epoch: int,
     return _prefetch(gen) if prefetch else gen
 
 
+def warm_plan_shapes(scenes: Sequence[Scene], cfg: Config,
+                     epochs=(1,)) -> None:
+    """Converge the sticky plan-shape registry BEFORE the first jit.
+
+    Auto-sized windows and residual capacities ratchet monotonically
+    across batches (tdwss.ops.host_plan registry); every ratchet after
+    the first compile re-specializes the whole training step — tens of
+    seconds locally, ~15 min through a remote-compile relay.  One dry
+    pass over an epoch's batch compositions (collate + host plans,
+    results discarded) pushes every per-level shape to its ceiling rung
+    so the subsequent training epochs compile exactly once.  Costs one
+    epoch of host plan building; a no-op when host plans are disabled.
+    """
+    if not cfg.engine.host_plans:
+        return
+    for e in epochs:
+        for _ in train_batches(scenes, cfg, epoch=e, prefetch=False):
+            pass
+
+
 def val_batches(scenes: Sequence[Scene], cfg: Config,
                 scene_offsets: np.ndarray, rep: int,
                 stats: Optional[CollateStats] = None,

@@ -62,6 +62,10 @@ class Trainer:
         self.train_step = jax.jit(make_train_step(cfg, self.model, self.tx))
         self.eval_step = jax.jit(make_eval_step(self.model))
 
+        if cfg.engine.prewarm_shapes:
+            from tdwss.data.loader import warm_plan_shapes
+
+            warm_plan_shapes(train_scenes, cfg)
         example = next(iter(train_batches(train_scenes, cfg, epoch=0, prefetch=False)))
         example = jax.tree_util.tree_map(jnp.asarray, example)
         self.state = init_state(cfg, self.model, self.tx, example)

@@ -335,10 +335,30 @@ def reset_sticky_plans() -> None:
         _ECAP_REGISTRY.clear()
 
 
+def _window_rung(needed: int) -> int:
+    """Quantize an auto window size onto a coarse ladder.
+
+    Every distinct static shape costs a full-step XLA recompile (tens of
+    seconds locally, ~15 min through the axon relay), while an extra 128
+    window rows cost ~1 ms/conv — so sizes snap UP onto few rungs: 128
+    steps to 768 (the sub-kernel VMEM cliff at 27 anchors sits there —
+    geometric rungs would jump straight past it), ~1.3x geometric above.
+    A 10% safety factor absorbs batch-to-batch quantile jitter so the
+    first batch usually lands on the final rung already.
+    """
+    needed = int(needed * 1.1)
+    if needed <= 768:
+        return max(128, ((needed + 127) // 128) * 128)
+    rung = 768
+    while rung < needed:
+        rung = ((int(rung * 1.3) + 127) // 128) * 128
+    return rung
+
+
 def _sticky_window(key, needed: int) -> int:
-    """Monotone per-geometry auto-window size (already 128-aligned)."""
+    """Monotone per-geometry auto-window size, ladder-quantized."""
     with _ECAP_LOCK:
-        cap = max(needed, _ECAP_REGISTRY.get(key, 0))
+        cap = max(_window_rung(needed), _ECAP_REGISTRY.get(key, 0))
         _ECAP_REGISTRY[key] = cap
     return cap
 

@@ -702,7 +702,12 @@ def _sub_vmem_fits(window: int, c: int, cout: int, dw: bool,
     zbuf = nanchor * window * cout * 2
     sbuf = nanchor * window * cout * 4 + nanchor * l * cout * 4 if dw else 0
     win = 2 * nwin * window * l * 2
-    return win + max(zbuf, sbuf) < _VMEM_BUDGET
+    # Mosaic keeps a few full-width f32 Z temporaries live across the
+    # unrolled anchor loop beyond the declared scratch (observed: a wg dw
+    # at nanchor=8/window~1900/cout=160 declared ~12.5 MB but allocated
+    # 17.88 MB scoped -> ~4 window x cout f32 buffers of stack).
+    stack = (4 if dw else 2) * window * cout * 4
+    return win + max(zbuf, sbuf) + stack < _VMEM_BUDGET
 
 
 def _w27_matmul_any(feats, rb_local, starts, w2d, window, sub=0, subwin=0,
