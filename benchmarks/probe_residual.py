@@ -178,7 +178,7 @@ def main_tiered() -> None:
         dout = jnp.asarray(rng.standard_normal((v, c)).astype(np.float32),
                            dtype=jnp.bfloat16)
         rtile = sc._pack_rtile(win)
-        nt = int((np.asarray(win.res_tile)[..., 2] < v).sum())
+        nt = int((np.asarray(win.res_ovf)[:, 0] < v).sum())
         nh = int((np.asarray(win.res_hent)[:, 0] < v).sum())
         f_apply = jax.jit(lambda f, w: sc._res_all_apply(
             f, rtile, win.res_ovf, win.ovf_v, win.ovf_count, w, c))
@@ -186,8 +186,26 @@ def main_tiered() -> None:
         f_dw = jax.jit(lambda f, d: sc._res_all_dw(
             f, rtile, win.res_ovf, d))
         t2 = timed(f_dw, feats, dout) * 1e3
-        print(f"L{li} tiered: tile={nt} heavy={nh} "
+        print(f"L{li} tiered: ovf={nt} heavy={nh} "
               f"apply={t:6.2f} ms  dw={t2:6.2f} ms", flush=True)
+        # per-tier ablation: where does the apply cost live?
+        f_ovf = jax.jit(lambda f, w: sc._res_ovf_apply(
+            f, win.res_ovf, win.ovf_v, win.ovf_count, w, c))
+        ta = timed(f_ovf, feats, w2d) * 1e3
+        tb = 0.0
+        if rtile[0].shape[0] and rtile[0].shape[1]:
+            f_tile = jax.jit(lambda f, w: sc._res_tile_apply(
+                f, rtile[0], w, c, v))
+            tb = timed(f_tile, feats, w2d) * 1e3
+        tc = 0.0
+        if rtile[1].shape[0]:
+            f_hvy = jax.jit(lambda f, w: sc._res_heavy_apply(
+                f, rtile[1], rtile[2], w, c, v, v // sc._RES_TILE))
+            tc = timed(f_hvy, feats, w2d) * 1e3
+        no = int(np.asarray(win.res_ovf).shape[0])
+        print(f"   tiers: ovf[{no}]={ta:6.2f}  tile[{rtile[0].shape[0]}x"
+              f"{rtile[0].shape[1]}]={tb:6.2f}  heavy[{rtile[1].shape[0]}]"
+              f"={tc:6.2f} ms", flush=True)
 
 
 if __name__ == "__main__" and "--tiered" in __import__("sys").argv:

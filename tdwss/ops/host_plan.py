@@ -363,6 +363,19 @@ def _sticky_window(key, needed: int) -> int:
     return cap
 
 
+def _sticky_small(key, needed: int, floor: int) -> int:
+    """Sticky cap for SMALL counts (heavy-chunk rows: each unit is a
+    _RES_HCHUNK-entry block, so the entry-tuned +256/512-align buckets of
+    _sticky_ecap would turn needed=4 into 512 chunks = 262k rows)."""
+    cap = floor
+    while cap < needed:
+        cap = ((int(cap * 1.5) + 3) // 4) * 4
+    with _ECAP_LOCK:
+        cap = max(cap, _ECAP_REGISTRY.get(key, 0))
+        _ECAP_REGISTRY[key] = cap
+    return cap
+
+
 def _sticky_ecap(key, needed: int, floor: int) -> int:
     # 1.25x geometric buckets (pow2 over-allocates gather rows by up to 2x,
     # and residual gathers are row-count-priced).  Alignment keeps the
@@ -675,27 +688,31 @@ def build_windowed_subm27(
 
 
 _RES_TILE = 512          # output rows per residual tile group
-_RES_TILE_R1 = 16        # dense per-tile slots; heavier tiles go flat
-_RES_HCHUNK = 512        # flat heavy-list entries read per scan step
+_RES_TILE_R1 = 16        # retired dense-tier slot count (layout compat)
+_RES_HEAVY_MIN = 64      # entries per tile above which the chunk tier wins
+_RES_HCHUNK = 512        # heavy-list entries per chunk row
 
 
 def _group_spill_tiles(ovf_entries: np.ndarray, v_out: int, v_src: int,
                        sticky_key):
-    """v-sorted spills -> (res_tile, res_hent, res_htile, leftover).
+    """v-sorted spills -> (res_tile=None, res_hent, res_htile, leftover).
 
-    The legacy run-sum layout ends in a per-owner scatter-add that costs
-    ~150 ns/row serialized on TPU (2.6 ms at L0's 17k real spills; 14 ms
-    at a synthetic 86k).  Two scatter-free tiers replace it:
+    Spill accumulation is priced by STATIC capacity, not real entries, so
+    the split is by per-512-row-tile density (measured v5e, L0 real
+    spills = 261 scattered + 17.5k clustered):
 
-    - res_tile (T2, R1, 3): dense per-512-row-tile slots for SCATTERED
-      spills (tile count <= R1) — accumulation is a per-tile one-hot MXU
-      matmul;
-    - res_hent (EH, 3) + res_htile (H2, 2): tiles above R1 (scene-boundary
-      clusters run to thousands of spills; padding them dense would blow
-      the row-priced contribution gather) keep their entries COMPACT in a
-      tile-sorted flat list; a lax.scan walks the heavy tiles, reads a
-      fixed window of the flat list at each tile's offset, and block-adds
-      its one-hot-scattered partial into the tile's rows.
+    - scattered tiles (<= _RES_HEAVY_MIN entries) go back to the caller's
+      compact v-sorted overflow list — its per-owner scatter-add costs
+      ~150 ns/row, trivial at real scattered counts, and its capacity now
+      tracks the real count (a retired dense (T2, 16, 3) tier cost 6 ms
+      at L0 for those 261 entries because every empty slot still paid the
+      contribution gather);
+    - heavy tiles (scene-boundary clusters, thousands of entries) fill
+      CHUNK-ALIGNED rows: res_hent is (H2 * _RES_HCHUNK, 3) with each
+      chunk's entries at offset chunk_index * _RES_HCHUNK, so the device
+      pass is a plain reshape — no row gathers — followed by a batched
+      one-hot einsum and an H2-row block scatter.  res_htile (H2, 2)
+      carries [tile_id, flat offset]; padding rows use tile_id == T2.
 
     Returns (None, None, None, entries) when the domain doesn't tile.
     """
@@ -703,60 +720,40 @@ def _group_spill_tiles(ovf_entries: np.ndarray, v_out: int, v_src: int,
         return None, None, None, ovf_entries
     t2 = v_out // _RES_TILE
     e = ovf_entries.shape[0]
-    r1 = _RES_TILE_R1
     key = sticky_key + ("rtile",)
 
-    def empty_tile():
-        rt = np.full((t2, r1, 3), v_src, np.int32)
-        rt[..., 0] = _RES_TILE
-        rt[..., 1] = 0
-        return rt
-
     if e == 0:
-        eh = _sticky_ecap(key + ("hent",), _RES_HCHUNK, 8)
-        h2 = _sticky_ecap(key + ("htile",), 8, 8)
-        hent = np.full((eh, 3), v_src, np.int32)
+        h2 = _sticky_small(key + ("htile",), 4, 4)
+        hent = np.full((h2 * _RES_HCHUNK, 3), v_src, np.int32)
         hent[:, 0] = v_out
-        htile = np.full((h2, 2), 0, np.int32)
+        htile = np.zeros((h2, 2), np.int32)
         htile[:, 0] = t2
-        return empty_tile(), hent, htile, ovf_entries[:0]
+        return None, hent, htile, ovf_entries[:0]
 
     tile_of = ovf_entries[:, 0] // _RES_TILE
     counts = np.bincount(tile_of, minlength=t2)
-    firsts = np.zeros(t2 + 1, np.int64)
-    np.cumsum(counts, out=firsts[1:])
-    slot = np.arange(e) - firsts[tile_of]
-    heavy_tile = counts > r1                      # (t2,) bool
+    heavy_tile = counts > _RES_HEAVY_MIN          # (t2,) bool
     is_heavy = heavy_tile[tile_of]
-
-    res_tile = empty_tile()
-    lt = ~is_heavy
-    res_tile[tile_of[lt], slot[lt], 0] = ovf_entries[lt, 0] % _RES_TILE
-    res_tile[tile_of[lt], slot[lt], 1] = ovf_entries[lt, 1]
-    res_tile[tile_of[lt], slot[lt], 2] = ovf_entries[lt, 2]
 
     hvy = ovf_entries[is_heavy]                   # tile-sorted already
     h_ids = np.nonzero(heavy_tile)[0].astype(np.int32)
     h_cnt = counts[heavy_tile].astype(np.int64)
-    h_off = np.zeros(h_ids.shape[0], np.int64)
-    if h_ids.shape[0]:
-        np.cumsum(h_cnt[:-1], out=h_off[1:])
-    # one htile row per 512-entry chunk of a tile's entries: the device
-    # scan reads a FIXED _RES_HCHUNK window per row (no static plumbing)
-    rows = []
-    for tid, cnt, off in zip(h_ids, h_cnt, h_off):
-        for c in range(0, int(cnt), _RES_HCHUNK):
-            rows.append((int(tid), int(off + c)))
-    eh = _sticky_ecap(key + ("hent",), hvy.shape[0] + _RES_HCHUNK, 8)
-    h2 = _sticky_ecap(key + ("htile",), len(rows), 8)
-    hent = np.full((eh, 3), v_src, np.int32)
+    chunks_per = [(int(c) + _RES_HCHUNK - 1) // _RES_HCHUNK for c in h_cnt]
+    h2 = _sticky_small(key + ("htile",), max(sum(chunks_per), 4), 4)
+    hent = np.full((h2 * _RES_HCHUNK, 3), v_src, np.int32)
     hent[:, 0] = v_out
-    hent[: hvy.shape[0]] = hvy
     htile = np.zeros((h2, 2), np.int32)
     htile[:, 0] = t2
-    if rows:
-        htile[: len(rows)] = np.asarray(rows, np.int32)
-    return res_tile, hent, htile, ovf_entries[:0]
+    row = 0
+    off = 0
+    for tid, cnt, nch in zip(h_ids, h_cnt, chunks_per):
+        hent[row * _RES_HCHUNK: row * _RES_HCHUNK + int(cnt)] = \
+            hvy[off: off + int(cnt)]
+        for c in range(nch):
+            htile[row + c] = (int(tid), (row + c) * _RES_HCHUNK)
+        row += nch
+        off += int(cnt)
+    return None, hent, htile, ovf_entries[~is_heavy]
 
 
 def _finish_w27(rb27, v, tile, window, nwin, sub, subwin, starts, sub_off,
@@ -777,10 +774,17 @@ def _finish_w27(rb27, v, tile, window, nwin, sub, subwin, starts, sub_off,
         e2_cap = max(res_cap, 32)
         h_cap = max(res_cap, 32)
     else:
+        # With chunk-tier grouping the compact list holds only scattered
+        # spills — its cost is capacity-priced (contribution gather + a
+        # per-owner scatter walk the CAP, not the real count), so the
+        # floor tracks the grouped reality, not v.
+        grouped = res_hent is not None
         e2_cap = _sticky_ecap((v, tile, window, 27, nwin, sub, "ovf"),
-                              ovf_entries.shape[0], max(64, v // 64))
+                              ovf_entries.shape[0],
+                              512 if grouped else max(64, v // 64))
         h_cap = _sticky_ecap((v, tile, window, 27, nwin, sub, "heavy"),
-                             heavy.shape[0], max(64, v // 128))
+                             heavy.shape[0],
+                             64 if grouped else max(64, v // 128))
 
     res_ovf = np.full((e2_cap, 3), v, np.int32)
     res_ovf[: ovf_entries.shape[0]] = ovf_entries
@@ -929,10 +933,11 @@ def build_windowed_gather(
     else:
         key = (sticky_key or (v_out, v_src, t, k, group_mod, "wg")) + (
             window, sub)
+        grouped = res_hent is not None
         e2_cap = _sticky_ecap(key + ("ovf",), ovf_entries.shape[0],
-                              max(64, v_out // 64))
+                              512 if grouped else max(64, v_out // 64))
         h_cap = _sticky_ecap(key + ("heavy",), heavy.shape[0],
-                             max(64, v_out // 128))
+                             64 if grouped else max(64, v_out // 128))
 
     res_ovf = np.full((e2_cap, 3), v_out, np.int32)
     res_ovf[:, 2] = v_src

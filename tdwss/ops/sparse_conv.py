@@ -482,29 +482,26 @@ def _res_tile_dw(feats, res_tile, dout, k=27):
 
 
 _RES_HCHUNK = 512     # must match tdwss.ops.host_plan._RES_HCHUNK
+_RES_TILE = 512       # must match tdwss.ops.host_plan._RES_TILE
 
 
 def _res_heavy_apply(feats, res_hent, res_htile, w2d, cout, v_out, t2):
     """Heavy-tile spill corrections -> (v_out, Cout) f32 — scatter-free.
 
-    The flat tile-sorted entry list stays COMPACT (no per-tile padding).
-    All chunks evaluate in ONE batched pass: gather each [tile, offset]
-    row's fixed _RES_HCHUNK contribution window, one-hot scatter every
-    chunk into its (t_res, Cout) block with a batched einsum, then add
-    the H2 blocks into the (T2, t_res, C) output view — an H2-row block
-    scatter (tens of rows), not a per-owner one.  (A lax.scan variant
-    measured 4+ ms of pure serial-step overhead at ~130 chunks.)
+    ``res_hent`` is CHUNK-ALIGNED by the host (H2 * _RES_HCHUNK rows,
+    chunk i's entries at offset i * _RES_HCHUNK, sentinel-padded), so the
+    per-chunk view is a plain reshape — the row gathers a compact layout
+    needed cost ~2 ms at L0's caps.  Each chunk one-hot scatters into its
+    (t_res, Cout) block with a batched einsum; the blocks land via an
+    H2-row block scatter (tens of rows), not a per-owner one.
     """
     t_res = v_out // t2
     taps = res_hent[:, 1]
     srcs = res_hent[:, 2]
     c2 = _entry_contrib(feats, taps, srcs, w2d).astype(feats.dtype)
-    owners = res_hent[:, 0]
     h2 = res_htile.shape[0]
-    idx = res_htile[:, 1:2] + jnp.arange(_RES_HCHUNK, dtype=jnp.int32)[None]
-    idx = jnp.minimum(idx, c2.shape[0] - 1).reshape(-1)
-    rows = jnp.take(c2, idx, axis=0).reshape(h2, _RES_HCHUNK, cout)
-    own = jnp.take(owners, idx, axis=0).reshape(h2, _RES_HCHUNK)
+    rows = c2.reshape(h2, _RES_HCHUNK, cout)
+    own = res_hent[:, 0].reshape(h2, _RES_HCHUNK)
     tiles = res_htile[:, 0:1]
     local = jnp.where(own // t_res == tiles, own % t_res, t_res)
     iota = jnp.arange(t_res, dtype=jnp.int32)
@@ -539,21 +536,22 @@ def _res_all_apply(feats, rtile, res_ovf, ovf_v, ovf_count, w2d, cout,
     out = _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout,
                          out_len=v)
     res_tile, res_hent, res_htile = rtile
-    if res_tile is not None and res_tile.shape[0]:
+    if res_tile is not None and res_tile.shape[0] and res_tile.shape[1]:
         out = out + _res_tile_apply(feats, res_tile, w2d, cout, v)
-        if res_hent is not None and res_htile is not None:
-            out = out + _res_heavy_apply(feats, res_hent, res_htile, w2d,
-                                         cout, v, res_tile.shape[0])
+    if (res_hent is not None and res_htile is not None
+            and res_hent.shape[0] and v % _RES_TILE == 0):
+        out = out + _res_heavy_apply(feats, res_hent, res_htile, w2d,
+                                     cout, v, v // _RES_TILE)
     return out
 
 
 def _res_all_dw(feats, rtile, res_ovf, dout, k=27):
     dw = _res_ovf_dw(feats, res_ovf, dout, k)
     res_tile, res_hent, res_htile = rtile
-    if res_tile is not None and res_tile.shape[0]:
+    if res_tile is not None and res_tile.shape[0] and res_tile.shape[1]:
         dw = dw + _res_tile_dw(feats, res_tile, dout, k)
-        if res_hent is not None and res_htile is not None:
-            dw = dw + _res_heavy_dw(feats, res_hent, dout, k)
+    if res_hent is not None and res_hent.shape[0]:
+        dw = dw + _res_heavy_dw(feats, res_hent, dout, k)
     return dw
 
 

@@ -175,11 +175,11 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
                 win = win.replace(res_hent=np.concatenate(
                     [np.asarray(win.res_hent), pad]))
             if win.res_htile is not None and win.res_htile.shape[0] < ht_max:
-                t2 = (win.res_tile.shape[0] if win.res_tile is not None
-                      else 0)
+                from tdwss.ops.host_plan import _RES_TILE
+
                 pad = np.zeros((ht_max - win.res_htile.shape[0], 2),
                                np.int32)
-                pad[:, 0] = t2             # tile sentinel
+                pad[:, 0] = v // _RES_TILE  # tile sentinel == T2
                 win = win.replace(res_htile=np.concatenate(
                     [np.asarray(win.res_htile), pad]))
             e, h = win.res_ovf.shape[0], win.ovf_v.shape[0]

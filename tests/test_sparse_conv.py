@@ -646,13 +646,12 @@ def test_res_tile_grouping_matches_plain(rng):
     # tiny window forces MANY spills -> the tile grouping carries them
     win = build_windowed_subm27(rb, grid, tile=512, window=136,
                                 sub=0, subwin=0)
-    assert win is not None and win.res_tile is not None
-    n_tile = int((win.res_tile[..., 2] < n).sum())
+    assert win is not None and win.res_hent is not None
     n_heavy = int((win.res_hent[:, 0] < n).sum())
     n_legacy = int((win.res_ovf[:, 0] < n).sum())
-    assert n_legacy == 0
-    assert n_tile + n_heavy > 500, "tiled layouts must carry the spills"
+    assert n_legacy + n_heavy > 500, "spill layouts must carry the spills"
     assert n_heavy > 0, "tiny window should overflow some 512-row tiles"
+    assert win.res_hent.shape[0] % 512 == 0, "heavy list is chunk-aligned"
 
     jm = jax.tree_util.tree_map
     winj = jm(jnp.asarray, win)
@@ -675,36 +674,43 @@ def test_res_tile_grouping_matches_plain(rng):
 
 
 def test_group_spill_tiles_layout():
-    """Host grouping: dense slots, heavy-tile routing, sentinels."""
-    from tdwss.ops.host_plan import (_RES_HCHUNK, _RES_TILE, _RES_TILE_R1,
+    """Host grouping: light tiles -> leftover, heavy tiles chunk-aligned."""
+    from tdwss.ops.host_plan import (_RES_HCHUNK, _RES_HEAVY_MIN, _RES_TILE,
                                      _group_spill_tiles, reset_sticky_plans)
 
     reset_sticky_plans()
     v_out, v_src = 2048, 4096
-    # light spills in tiles 0/3, one HEAVY tile 1 (> R1 entries)
+    # light spills in tiles 0/3, one HEAVY tile 1 (> _RES_HEAVY_MIN), one
+    # heavy tile 2 spanning two chunks (> _RES_HCHUNK entries)
     light = np.array([[5, 1, 100], [5, 2, 101], [400, 0, 7],
                       [1600, 26, 9]], np.int32)
-    heavy = np.stack([
-        512 + np.arange(_RES_TILE_R1 + 10),
-        np.zeros(_RES_TILE_R1 + 10, np.int64),
-        np.arange(_RES_TILE_R1 + 10) + 50,
+    nh1 = _RES_HEAVY_MIN + 10
+    heavy1 = np.stack([
+        512 + np.arange(nh1) % _RES_TILE,
+        np.zeros(nh1, np.int64),
+        np.arange(nh1) + 50,
     ], axis=1).astype(np.int32)
-    entries = np.concatenate([light[:3], heavy, light[3:]])  # v-sorted
+    nh2 = _RES_HCHUNK + 5
+    heavy2 = np.stack([
+        1024 + np.arange(nh2) % _RES_TILE,
+        np.ones(nh2, np.int64),
+        np.arange(nh2) + 9,
+    ], axis=1).astype(np.int32)
+    entries = np.concatenate([light[:3], heavy1, heavy2, light[3:]])
     res_tile, hent, htile, leftover = _group_spill_tiles(
         entries, v_out, v_src, ("t",))
-    assert leftover.shape[0] == 0
-    t2, r, _ = res_tile.shape
-    assert t2 == v_out // _RES_TILE and r == _RES_TILE_R1
-    np.testing.assert_array_equal(res_tile[0, 0], [5, 1, 100])
-    np.testing.assert_array_equal(res_tile[0, 1], [5, 2, 101])
-    np.testing.assert_array_equal(res_tile[0, 2], [400, 0, 7])
-    np.testing.assert_array_equal(res_tile[3, 0], [1600 % 512, 26, 9])
-    # heavy tile 1: NOT in the dense layout, all entries in the flat list
-    assert (res_tile[1, :, 0] == _RES_TILE).all()
-    nh = _RES_TILE_R1 + 10
-    np.testing.assert_array_equal(hent[:nh], heavy)
-    assert (hent[nh:, 0] == v_out).all()          # pad sentinel
+    t2 = v_out // _RES_TILE
+    assert res_tile is None
+    # light entries come back as leftover, original order
+    np.testing.assert_array_equal(leftover, light)
+    # chunk-aligned heavy list: tile 1 at chunk 0, tile 2 at chunks 1-2
+    assert hent.shape[0] % _RES_HCHUNK == 0
+    assert hent.shape[0] == htile.shape[0] * _RES_HCHUNK
+    np.testing.assert_array_equal(hent[:nh1], heavy1)
+    assert (hent[nh1:_RES_HCHUNK, 0] == v_out).all()       # chunk pad
+    np.testing.assert_array_equal(
+        hent[_RES_HCHUNK:_RES_HCHUNK + nh2], heavy2)
     real = htile[htile[:, 0] < t2]
-    np.testing.assert_array_equal(real, [[1, 0]])  # one chunk at offset 0
-    assert hent.shape[0] >= nh + _RES_HCHUNK - 1   # slice never OOB
+    np.testing.assert_array_equal(
+        real, [[1, 0], [2, _RES_HCHUNK], [2, 2 * _RES_HCHUNK]])
     reset_sticky_plans()
