@@ -42,8 +42,47 @@ def build(kind: str, sub: int, swk: int, cout: int, nanchor: int,
     def kernel(zs_ref, rb_ref, out_ref):
         # zs: (nanchor, swk, cout) "pre-transformed window slices";
         # rb:  (nanchor, nsub*sub) window-local rows, sentinel == swk.
+        if kind in ("onehot_t", "onehot_tz"):
+            # Transposed accumulate: acc^T (cout, sub) += Z^T @ oh^T.
+            # N=sub=128 fills the MXU lanes that N=cout=32 wastes; the
+            # one-hot build count is identical, orientation flipped.  In
+            # production zbuf comes straight from the Z-transform and can
+            # be STORED transposed ("onehot_tz"); "onehot_t" pays an
+            # explicit per-anchor (swk, cout) transpose like a retrofit
+            # would.
+            iota_t = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
+            if kind == "onehot_t":
+                zts = [zs_ref[a].T for a in range(nanchor)]
+            else:
+                zts = [zs_ref[a] for a in range(nanchor)]      # (cout, swk)
+            for s in range(nsub):
+                acc_t = jnp.zeros((cout, sub), jnp.float32)
+                for a in range(nanchor):
+                    rbs = rb_ref[a, s * sub:(s + 1) * sub]
+                    oh_t = (rbs[None, :] == iota_t).astype(zts[a].dtype)
+                    acc_t = acc_t + jnp.dot(
+                        zts[a], oh_t, preferred_element_type=jnp.float32)
+                out_ref[s * sub:(s + 1) * sub] = acc_t.T
+            return
         iota = jax.lax.broadcasted_iota(jnp.int32, (sub, swk), 1)
         for s in range(nsub):
+            if kind == "gather1":
+                # transposed accumulate: per-anchor LANE gather (axis=1)
+                # on Z^T, one (cout, sub) -> (sub, cout) transpose per
+                # sub-tile at the end
+                acc_t = jnp.zeros((cout, sub), jnp.float32)
+                for a in range(nanchor):
+                    zs_t = zs_ref[a].T                     # (cout, swk)
+                    rbs = rb_ref[a, s * sub:(s + 1) * sub]
+                    idx = jnp.minimum(jnp.pad(rbs, (0, swk - sub)), swk - 1)
+                    g = jnp.take_along_axis(
+                        zs_t, jnp.broadcast_to(idx[None, :], (cout, swk)),
+                        axis=1, mode="promise_in_bounds")
+                    live = (rbs < swk)[None, :]
+                    acc_t = acc_t + jnp.where(live, g[:, :sub], 0.0
+                                              ).astype(jnp.float32)
+                out_ref[s * sub:(s + 1) * sub] = acc_t.T
+                continue
             acc = jnp.zeros((sub, cout), jnp.float32)
             for a in range(nanchor):
                 zs = zs_ref[a]
@@ -67,11 +106,13 @@ def build(kind: str, sub: int, swk: int, cout: int, nanchor: int,
     @jax.jit
     def run(zs, rb):
         tiles = rb.shape[1] // t
+        zspec = ((nanchor, cout, swk) if kind == "onehot_tz"
+                 else (nanchor, swk, cout))
         return pl.pallas_call(
             kernel,
             grid=(tiles,),
             in_specs=[
-                pl.BlockSpec((nanchor, swk, cout), lambda i: (0, 0, 0),
+                pl.BlockSpec(zspec, lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nanchor, t), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -113,24 +154,26 @@ def main() -> None:
     rb = jnp.asarray(rb)
 
     runs = {}
-    for kind in ("onehot", "gather"):
+    for kind in ("onehot", "onehot_t", "onehot_tz", "gather", "gather1"):
         try:
             fn = build(kind, args.sub, args.swk, args.cout, args.nanchor,
                        args.nsub, args.interpret)
-            out = fn(zs, rb)
+            zin = jnp.swapaxes(zs, 1, 2) if kind == "onehot_tz" else zs
+            out = fn(zin, rb)
             jax.block_until_ready(out)
             t0 = time.perf_counter()
             for _ in range(10):
-                out = fn(zs, rb)
+                out = fn(zin, rb)
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / 10
             runs[kind] = (dt, out)
             print(f"{kind:8s} {dt * 1e3:8.2f} ms")
         except Exception as e:
             print(f"{kind:8s} FAILED: {type(e).__name__}: {str(e)[:300]}")
-    if len(runs) == 2:
-        d = float(jnp.max(jnp.abs(runs["onehot"][1] - runs["gather"][1])))
-        print(f"max |onehot - gather| = {d:.3e}")
+    for kind in ("onehot_t", "onehot_tz", "gather", "gather1"):
+        if "onehot" in runs and kind in runs:
+            d = float(jnp.max(jnp.abs(runs["onehot"][1] - runs[kind][1])))
+            print(f"max |onehot - {kind}| = {d:.3e}")
 
 
 if __name__ == "__main__":

@@ -211,6 +211,7 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
         raise ValueError(f"w9 second dim must be lane-padded to {l}")
     if c3 != l:
         feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
+    w9 = w9.astype(feats3.dtype)   # bf16 halves the VMEM weight block
     src = feats3.reshape(v_src // 8, 8, l)
     starts = starts // 8  # block index into the (V/8, 8, L) view
 
@@ -440,6 +441,7 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
         raise ValueError(f"w9 second dim must be lane-padded to {l}")
     if c3 != l:
         feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
+    w9 = w9.astype(feats3.dtype)   # bf16 halves the VMEM weight block
     src = feats3.reshape(v_src // 8, 8, l)
     scal = jnp.concatenate([starts // 8, soff // 8])
     nstarts = starts.shape[0]

@@ -572,7 +572,7 @@ def _kernel_vmem_fits(nanchor: int, window: int, c3: int, cout: int,
     """
     l = ((c3 + 127) // 128) * 128
     scratch = 2 * nwin * window * l * 2                # bf16 windows
-    w9 = nanchor * l * cout * 2                        # fwd weight block
+    w9 = nanchor * l * cout * 2                        # bf16 fwd weight block
     acc = nanchor * l * cout * 4                       # dw f32 accumulator
     blocks = 2 * (nanchor * tile * 4 + tile * cout * 6)
     return scratch + max(w9, acc + cout * l * 2) + blocks < _VMEM_BUDGET
@@ -700,12 +700,21 @@ def _sub_vmem_fits(window: int, c: int, cout: int, dw: bool,
     zbuf = nanchor * window * cout * 2
     sbuf = nanchor * window * cout * 4 + nanchor * l * cout * 4 if dw else 0
     win = 2 * nwin * window * l * 2
+    # The weight block (bf16: the wrappers cast to feats dtype) and the
+    # double-buffered rb/out pipeline blocks are real VMEM too (observed:
+    # a fwd sub instance at l=128/cout=192/window=640 passed the
+    # scratch-only estimate at ~10.6 MB but allocated 16.34 MB scoped ->
+    # stack OOM; the missing ~6 MB was w9 + io blocks + Z/one-hot
+    # temporaries).
+    w9 = nanchor * l * cout * 2
+    tile = 512
+    io = 2 * (nanchor * tile * 4 + tile * cout * 4)
     # Mosaic keeps a few full-width f32 Z temporaries live across the
     # unrolled anchor loop beyond the declared scratch (observed: a wg dw
     # at nanchor=8/window~1900/cout=160 declared ~12.5 MB but allocated
     # 17.88 MB scoped -> ~4 window x cout f32 buffers of stack).
-    stack = (4 if dw else 2) * window * cout * 4
-    return win + max(zbuf, sbuf) + stack < _VMEM_BUDGET
+    stack = 4 * window * cout * 4
+    return win + max(zbuf, sbuf) + w9 + io + stack < _VMEM_BUDGET
 
 
 def _w27_matmul_any(feats, rb_local, starts, w2d, window, sub=0, subwin=0,
