@@ -64,6 +64,40 @@ def build(kind: str, sub: int, swk: int, cout: int, nanchor: int,
                         zts[a], oh_t, preferred_element_type=jnp.float32)
                 out_ref[s * sub:(s + 1) * sub] = acc_t.T
             return
+        if kind == "onehot_dg":
+            # the production _OH_T kernel form: normal-orientation one-hot,
+            # transposed accumulate via dot_general contracting (0, 1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (sub, swk), 1)
+            for s in range(nsub):
+                acc_t = jnp.zeros((cout, sub), jnp.float32)
+                for a in range(nanchor):
+                    zs = zs_ref[a]
+                    rbs = rb_ref[a, s * sub:(s + 1) * sub]
+                    oh = (rbs[:, None] == iota).astype(zs.dtype)
+                    acc_t = acc_t + jax.lax.dot_general(
+                        zs, oh, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                out_ref[s * sub:(s + 1) * sub] = acc_t.T
+            return
+        if kind == "gatherL":
+            # lane-dimension dynamic gather: operate on zs^T (cout, swk)
+            # and gather along the minor axis — the orientation Mosaic's
+            # tpu.dynamic_gather has historically supported.
+            for s in range(nsub):
+                acc_t = jnp.zeros((cout, sub), jnp.float32)
+                for a in range(nanchor):
+                    zt = zs_ref[a].T                         # (cout, swk)
+                    rbs = rb_ref[a, s * sub:(s + 1) * sub]
+                    idx = jnp.broadcast_to(
+                        jnp.pad(jnp.minimum(rbs, swk - 1),
+                                (0, swk - sub))[None, :], (cout, swk))
+                    g = jnp.take_along_axis(zt, idx, axis=1,
+                                            mode="promise_in_bounds")
+                    live = (rbs < swk)[None, :]
+                    acc_t = acc_t + jnp.where(live, g[:, :sub], 0.0
+                                              ).astype(jnp.float32)
+                out_ref[s * sub:(s + 1) * sub] = acc_t.T
+            return
         iota = jax.lax.broadcasted_iota(jnp.int32, (sub, swk), 1)
         for s in range(nsub):
             if kind == "gather1":
@@ -154,7 +188,8 @@ def main() -> None:
     rb = jnp.asarray(rb)
 
     runs = {}
-    for kind in ("onehot", "onehot_t", "onehot_tz", "gather", "gather1"):
+    for kind in ("onehot", "onehot_t", "onehot_tz", "onehot_dg", "gatherL",
+                 "gather", "gather1"):
         try:
             fn = build(kind, args.sub, args.swk, args.cout, args.nanchor,
                        args.nsub, args.interpret)
@@ -170,7 +205,8 @@ def main() -> None:
             print(f"{kind:8s} {dt * 1e3:8.2f} ms")
         except Exception as e:
             print(f"{kind:8s} FAILED: {type(e).__name__}: {str(e)[:300]}")
-    for kind in ("onehot_t", "onehot_tz", "gather", "gather1"):
+    for kind in ("onehot_t", "onehot_tz", "onehot_dg", "gatherL", "gather",
+                 "gather1"):
         if "onehot" in runs and kind in runs:
             d = float(jnp.max(jnp.abs(runs["onehot"][1] - runs[kind][1])))
             print(f"max |onehot - {kind}| = {d:.3e}")

@@ -85,6 +85,12 @@ def _onehot(rbs, iota, dtype, axis_expand):
 # winner.  dW keeps the one-hot (scatter direction has no gather form).
 _GATHER_INNER = bool(__import__("os").environ.get("TDWSS_GATHER_INNER"))
 
+# Transposed-accumulate form for the sub-window fwd kernel: compute
+# acc^T (cout, sub) += zs^T-contraction via dot_general((0,),(0,)) so the
+# one-hot matmul's N dimension is sub (=128, full MXU lanes) instead of
+# cout (=32 at L0 -> 25% lanes).  Measured before defaulting.
+_OH_T = bool(__import__("os").environ.get("TDWSS_OH_T"))
+
 
 def _gather_rows(zs, rbs, nrows: int, width: int):
     """(nrows, C): zs[rbs[i]] for live rows, 0 where rbs[i] >= width.
@@ -161,6 +167,23 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str,
     if ablate == "dma":
         out_ref[:] = win[cur, 0, :1].reshape(8, l)[:1, :cout] * jnp.zeros(
             (t, cout), jnp.float32)
+        return
+    if _OH_T and ablate == "":
+        # Transposed accumulate (see _sub_fwd_kernel): the one-hot build
+        # broadcasts rb along SUBLANES (cheap) instead of lanes, and the
+        # matmul's N dim is t (128+) instead of cout (often 32).
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (w, t), 0)
+        acc_t = jnp.zeros((cout, t), jnp.float32)
+        for a in range(len(gmap)):
+            win_a = win[cur, gmap[a]].reshape(w, l)
+            z = jnp.dot(win_a, w9_ref[a],
+                        preferred_element_type=jnp.float32
+                        ).astype(win_a.dtype)
+            oh_t = _onehot(rb_ref[a, :][None, :], iota_t, win_a.dtype, 0)
+            acc_t = acc_t + jax.lax.dot_general(
+                z, oh_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[:] = acc_t.T
         return
     acc = jnp.zeros((t, cout), jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
@@ -395,6 +418,28 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         win_a = win[cur, gmap[a]].reshape(w, l)
         z = jnp.dot(win_a, w9_ref[a], preferred_element_type=jnp.float32)
         zbuf[a] = z.astype(win_a.dtype).reshape(w8, 8, cout)
+
+    if _OH_T:
+        # Transposed accumulate: acc^T (cout, sub) += zs^T @ oh^T.  The
+        # plain form's one-hot matmul has N=cout (32 at L0 -> 25% MXU
+        # lanes); flipped, N=sub=128 fills the lanes.  Costs one (swk,
+        # cout) -> (cout, swk) transpose per (anchor, sub-tile) and a
+        # (cout, sub) -> (sub, cout) transpose per sub-tile, both tiny
+        # next to the sub x swk one-hot build.
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
+        for s_i in range(nsub):
+            acc_t = jnp.zeros((cout, sub), jnp.float32)
+            for a in range(len(gmap)):
+                off8 = scal_ref[soff_base
+                                + (step * nsub + s_i) * nwin + gmap[a]]
+                zs = zbuf[a, pl.ds(off8, swk8)].reshape(swk, cout)
+                rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
+                oh_t = _onehot(rbs[None, :], iota_t, zs.dtype, 0)
+                acc_t = acc_t + jax.lax.dot_general(
+                    zs, oh_t, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            out_ref[s_i * sub:(s_i + 1) * sub] = acc_t.T
+        return
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (sub, swk), 1)
     for s_i in range(nsub):
@@ -650,6 +695,31 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
     for s_i in range(nsub):
         dsub = dout_ref[s_i * sub:(s_i + 1) * sub, :]
+        if _OH_T:
+            # One transposed one-hot per (sub, anchor) drives BOTH
+            # products: dx via zs^T-contraction (full N=sub lanes, no
+            # second build in the expensive lane-broadcast orientation)
+            # and the dW scatter as before.
+            dx_acc_t = jnp.zeros((cin, sub), jnp.float32)
+            for a in range(len(gmap)):
+                off8 = scal_ref[soff_base
+                                + (step * nsub + s_i) * nwin + gmap[a]]
+                rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
+                zs = zbuf[a, pl.ds(off8, swk8)].reshape(swk, cin)
+                oh_t = _onehot(rbs[None, :], iota_t, dsub.dtype, 0)
+                dx_acc_t = dx_acc_t + jax.lax.dot_general(
+                    zs, oh_t, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s = jnp.dot(oh_t, dsub,
+                            preferred_element_type=jnp.float32)
+                fslice = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(
+                    swk, l)
+                acc[a] += jax.lax.dot_general(
+                    fslice, s.astype(fslice.dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            dx_ref[s_i * sub:(s_i + 1) * sub] = dx_acc_t.T
+            continue
         dx_acc = jnp.zeros((sub, cin), jnp.float32)
         for a in range(len(gmap)):
             off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]

@@ -811,6 +811,10 @@ def _w27_bwd_fused(feats, dout_c, weight, rb_local, starts, sub_off,
     Pallas route and the concat does not grow the lane padding (C <= 64
     levels — exactly the expensive ones).
     """
+    import os
+
+    if os.environ.get("TDWSS_NO_FUSED_BWD"):   # bisect/ablation knob
+        return None
     v = feats.shape[0]
     tiles = starts.shape[0]
     k, cin, cout = weight.shape
