@@ -155,9 +155,9 @@ def main() -> None:
             t0 = time.perf_counter()
             pts = 0
             nb = 0
-            for b in train_batches(e2e_scenes, cfg, epoch=epoch):
+            for b in train_batches(e2e_scenes, cfg, epoch=epoch,
+                                   to_device=True):
                 pts += int(np.asarray(b.valid).sum())
-                b = jax.tree_util.tree_map(jnp.asarray, b)
                 state, aux = train_step(state, b)
                 nb += 1
             jax.block_until_ready(state.params)

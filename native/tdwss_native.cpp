@@ -688,3 +688,185 @@ int64_t windowed_rb(const int32_t* rb27, int64_t v, int64_t v_src,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused submanifold windowed plan (27-tap form)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// One pass from key-sorted coords to the Windowed27 metadata, never
+// materializing the (V, 27) global rulebook: the 85 MB rb27 at bench L0
+// plus windowed_rb's two further passes over it made plan building
+// memory-bandwidth-bound on host (~1.7 s/batch of the 2.5 s total).  A
+// tile's 27 neighbor columns live in a 55 KB stack buffer (cache
+// resident); DRAM traffic drops to the key reads + the int16 rb_local
+// write.
+//
+// coords (v, 4) int32 [x,y,z,b], key-sorted with a valid prefix (invalid
+// tail rows produce all-sentinel locals, like subm_rulebook's -1 rows).
+// Semantics match subm_rulebook + windowed_rb composed (starts clamping,
+// sub offsets, sentinel = subwin when sub else window, v-sorted spills
+// [row, tap, src]).  Returns the TOTAL spill count; only the first e_cap
+// spill rows are written — callers re-invoke with a larger buffer.
+int64_t subm_windowed_plan(const int32_t* coords, const uint8_t* valid,
+                           int64_t v, int32_t tile, int32_t window,
+                           int32_t nwin, int32_t sub, int32_t subwin,
+                           int32_t* out_starts, int32_t* out_suboff,
+                           int16_t* out_rblocal, int32_t* out_spills,
+                           int64_t e_cap) {
+    constexpr int32_t kK = 27;
+    const int32_t cmax = 1 << kCoordBits;
+    const int64_t tiles = v / tile;
+
+    int64_t nv = 0;
+    while (nv < v && valid[nv]) ++nv;
+
+    std::vector<int64_t> keys(static_cast<size_t>(nv));
+    parallel_for(nv, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i)
+            keys[i] = pack_voxel_key(coords + 4 * i);
+    });
+
+    // per-tap key shift + group map (tap = ox*9 + oy*3 + oz, x slowest in
+    // the tap index; group = tap % nwin — see tdwss.ops.plan.Windowed27)
+    int64_t dkey[kK];
+    int32_t offs[kK][3];
+    int32_t gmap[kK];
+    for (int32_t o = 0; o < kK; ++o) {
+        const int32_t ox = o / 9 - 1, oy = (o / 3) % 3 - 1, oz = o % 3 - 1;
+        offs[o][0] = ox; offs[o][1] = oy; offs[o][2] = oz;
+        dkey[o] = (static_cast<int64_t>(oz) << (2 * kCoordBits)) +
+                  (static_cast<int64_t>(oy) << kCoordBits) + ox;
+        gmap[o] = o % nwin;
+    }
+    const int32_t centre = 13;
+    const int32_t start_hi = static_cast<int32_t>(v > window ? v - window : 0);
+    const int32_t sentinel = sub ? subwin : window;
+    const int64_t spt = sub ? tile / sub : 1;
+
+    std::vector<std::vector<int32_t>> tile_spills(static_cast<size_t>(tiles));
+
+    parallel_for(tiles, [&](int64_t lo, int64_t hi) {
+        std::vector<int32_t> rbcol(static_cast<size_t>(kK) * tile);
+        for (int64_t t = lo; t < hi; ++t) {
+            const int64_t row0 = t * tile;
+            const int64_t rows_v = std::max<int64_t>(
+                0, std::min<int64_t>(tile, nv - row0));   // valid rows here
+            // 1. resolve the 27 neighbor columns for this tile
+            for (int32_t o = 0; o < kK; ++o) {
+                int32_t* col = rbcol.data() + static_cast<int64_t>(o) * tile;
+                if (o == centre) {
+                    for (int64_t r = 0; r < rows_v; ++r)
+                        col[r] = static_cast<int32_t>(row0 + r);
+                    for (int64_t r = rows_v; r < tile; ++r) col[r] = -1;
+                    continue;
+                }
+                if (rows_v == 0) { std::fill(col, col + tile, -1); continue; }
+                int64_t j = std::lower_bound(keys.begin(), keys.end(),
+                                             keys[row0] + dkey[o]) -
+                            keys.begin();
+                for (int64_t r = 0; r < rows_v; ++r) {
+                    const int32_t* c = coords + 4 * (row0 + r);
+                    const int32_t qx = c[0] + offs[o][0];
+                    const int32_t qy = c[1] + offs[o][1];
+                    const int32_t qz = c[2] + offs[o][2];
+                    const int64_t q = keys[row0 + r] + dkey[o];
+                    while (j < nv && keys[j] < q) ++j;
+                    int32_t hit = -1;
+                    if (qx >= 0 && qx < cmax && qy >= 0 && qy < cmax &&
+                        qz >= 0 && qz < cmax && j < nv && keys[j] == q)
+                        hit = static_cast<int32_t>(j);
+                    col[r] = hit;
+                }
+                for (int64_t r = rows_v; r < tile; ++r) col[r] = -1;
+            }
+            // 2. per-group window starts
+            int32_t gmin[32];
+            for (int32_t g = 0; g < nwin; ++g) gmin[g] = INT32_MAX;
+            for (int32_t o = 0; o < kK; ++o) {
+                const int32_t* col = rbcol.data() + static_cast<int64_t>(o) * tile;
+                int32_t m = INT32_MAX;
+                for (int64_t r = 0; r < tile; ++r) {
+                    const int32_t e = col[r];
+                    if (e >= 0 && e < m) m = e;
+                }
+                if (m < gmin[gmap[o]]) gmin[gmap[o]] = m;
+            }
+            int32_t* st = out_starts + t * nwin;
+            for (int32_t g = 0; g < nwin; ++g) {
+                int32_t s = (gmin[g] == INT32_MAX) ? start_hi : (gmin[g] & ~7);
+                st[g] = std::min(std::max(s, 0), start_hi);
+            }
+            // 3. sub offsets + 4. int16 locals + spill collection
+            auto& spills = tile_spills[t];
+            for (int64_t si = 0; si < spt; ++si) {
+                int32_t base[32];
+                if (sub) {
+                    int32_t smin[32];
+                    for (int32_t g = 0; g < nwin; ++g) smin[g] = INT32_MAX;
+                    for (int32_t o = 0; o < kK; ++o) {
+                        const int32_t* col = rbcol.data() +
+                            static_cast<int64_t>(o) * tile + si * sub;
+                        int32_t m = INT32_MAX;
+                        for (int64_t r = 0; r < sub; ++r) {
+                            const int32_t e = col[r];
+                            if (e >= 0 && e < m) m = e;
+                        }
+                        if (m < smin[gmap[o]]) smin[gmap[o]] = m;
+                    }
+                    int32_t* so = out_suboff + (t * spt + si) * nwin;
+                    for (int32_t g = 0; g < nwin; ++g) {
+                        int32_t off = (smin[g] == INT32_MAX)
+                            ? (window - subwin)
+                            : ((smin[g] - st[g]) & ~7);
+                        off = std::min(std::max(off, 0), window - subwin);
+                        so[g] = off;
+                        base[g] = st[g] + off;
+                    }
+                } else {
+                    for (int32_t g = 0; g < nwin; ++g) base[g] = st[g];
+                }
+                const int64_t rows = sub ? sub : tile;
+                const int64_t r0 = row0 + si * (sub ? sub : 0);
+                for (int64_t r = 0; r < rows; ++r) {
+                    int16_t* out_r = out_rblocal + (r0 + r) * kK;
+                    for (int32_t o = 0; o < kK; ++o) {
+                        const int32_t e =
+                            rbcol[static_cast<int64_t>(o) * tile +
+                                  (r0 + r - row0)];
+                        if (e < 0) {
+                            out_r[o] = static_cast<int16_t>(sentinel);
+                            continue;
+                        }
+                        const int32_t local = e - base[gmap[o]];
+                        if (local >= 0 && local < sentinel) {
+                            out_r[o] = static_cast<int16_t>(local);
+                        } else {
+                            out_r[o] = static_cast<int16_t>(sentinel);
+                            spills.push_back(static_cast<int32_t>(r0 + r));
+                            spills.push_back(o);
+                            spills.push_back(e);
+                        }
+                    }
+                }
+            }
+        }
+    });
+
+    int64_t total = 0;
+    for (int64_t t = 0; t < tiles; ++t)
+        total += static_cast<int64_t>(tile_spills[t].size()) / 3;
+    int64_t at = 0;
+    for (int64_t t = 0; t < tiles && at < e_cap; ++t) {
+        const auto& sp = tile_spills[t];
+        const int64_t n = std::min<int64_t>(
+            static_cast<int64_t>(sp.size()) / 3, e_cap - at);
+        std::memcpy(out_spills + at * 3, sp.data(),
+                    static_cast<size_t>(n) * 3 * sizeof(int32_t));
+        at += n;
+    }
+    return total;
+}
+
+}  // extern "C"

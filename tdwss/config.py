@@ -109,6 +109,10 @@ class EngineConfig:
                                      # sticky window/cap shapes converge
                                      # before the first jit (see
                                      # tdwss.data.loader.warm_plan_shapes)
+    slim_device_plans: bool = True   # strip device-dead plan leaves (global
+                                     # rulebooks, coarse grids) + int16
+                                     # rb_local before host->device transfer
+                                     # (tdwss.data.plans.slim_plans_for_device)
 
 
 @dataclass

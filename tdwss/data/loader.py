@@ -22,13 +22,21 @@ from tdwss.data.plans import attach_host_plans
 from tdwss.data.synthetic import Scene
 
 
-def _prefetch(gen, depth: int = 2):
+def _prefetch(gen, depth: int = 2, to_device: bool = False):
+    """Background-thread iterator; ``to_device`` additionally issues the
+    (asynchronous) host->device transfer from the worker thread so the
+    ~100+ MB/batch of rulebooks upload while the previous step computes,
+    instead of serializing with it in the training loop."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
 
     def worker():
         try:
             for item in gen:
+                if to_device:
+                    import jax
+
+                    item = jax.device_put(item)
                 q.put(item)
         finally:
             q.put(sentinel)
@@ -48,7 +56,13 @@ def _parallel_map_ordered(fn, items, num_workers: int, depth: int = 4):
     Collate + host plan building are numpy/native-heavy (GIL released), so
     threads give true parallelism — the reference's num_workers=4 torch
     DataLoader equivalent (dataset/data.py:243) without process overhead.
+    Workers are capped at the machine's core count: extra threads on a
+    small host delay the FIRST batch (every in-flight batch shares the
+    cores) without finishing the epoch any sooner.
     """
+    import os
+
+    num_workers = min(num_workers, os.cpu_count() or num_workers)
     if num_workers <= 1:
         for it in items:
             yield fn(it)
@@ -74,7 +88,8 @@ def _parallel_map_ordered(fn, items, num_workers: int, depth: int = 4):
 
 def train_batches(scenes: Sequence[Scene], cfg: Config, epoch: int,
                   stats: Optional[CollateStats] = None,
-                  prefetch: bool = True) -> Iterator[PointBatch]:
+                  prefetch: bool = True,
+                  to_device: bool = False) -> Iterator[PointBatch]:
     """Shuffled, drop_last batches of ``cfg.pointcloud_data.batch_size``."""
     rng = np.random.default_rng(np.random.SeedSequence([cfg.seed, epoch]))
     order = rng.permutation(len(scenes))
@@ -92,7 +107,7 @@ def train_batches(scenes: Sequence[Scene], cfg: Config, epoch: int,
         return batch
 
     gen = _parallel_map_ordered(make, starts, cfg.engine.collate_workers)
-    return _prefetch(gen) if prefetch else gen
+    return _prefetch(gen, to_device=to_device) if prefetch else gen
 
 
 def warm_plan_shapes(scenes: Sequence[Scene], cfg: Config,

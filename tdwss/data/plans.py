@@ -24,10 +24,64 @@ def encoder_plan_spec(cfg: Config, n_points: int):
     return encoder.plan_spec(n_points)
 
 
-def attach_host_plans(batch: PointBatch, cfg: Config) -> PointBatch:
+def _slim_win(win):
+    """rb_local (the dominant plan leaf) travels int16: windows are <= a
+    few thousand rows so every local offset (and the == window / == subwin
+    sentinel) fits, and halving the leaf halves both the host write
+    traffic and the per-batch host->device transfer.  The apply entry
+    points (tdwss.ops.sparse_conv) cast back to int32 in-graph."""
+    if win is None or win.rb_local.dtype == np.int16:
+        return win
+    return win.replace(rb_local=np.asarray(win.rb_local, np.int16))
+
+
+def slim_plans_for_device(plans):
+    """Drop device-dead plan leaves before the host->device transfer.
+
+    The windowed conv path (Windowed27 / WindowedGather, including its
+    in-graph einsum fallbacks) never reads the global rulebooks — they are
+    host-side inputs to the window builders.  A full bench batch carries
+    ~480 MB; the global ``subm_rb`` (~146 MB), ``down_rb``/``parent``/
+    ``child_offset`` at wg levels (~23 MB), coarse-level grid arrays, and
+    int32 rb_locals (~100 MB saved as int16) are pure transfer cost.
+    Zero-row placeholders keep the static kernel-volume dimension (modules
+    size weights from ``rulebook.shape[-1]``) and the pytree structure.
+    """
+    new_levels = []
+    for i, lvl in enumerate(plans.levels):
+        grid = lvl.grid
+        subm_rb = lvl.subm_rb
+        parent, child_offset, down_rb = lvl.parent, lvl.child_offset, lvl.down_rb
+        if lvl.win is not None and subm_rb is not None and subm_rb.shape[0]:
+            subm_rb = np.zeros((0, subm_rb.shape[1]), np.int32)
+        if lvl.wg_down is not None and lvl.wg_up is not None:
+            if down_rb is not None and down_rb.shape[0]:
+                down_rb = np.zeros((0, down_rb.shape[1]), np.int32)
+            if parent is not None and parent.shape[0]:
+                parent = np.zeros((0,), np.int32)
+            if child_offset is not None and child_offset.shape[0]:
+                child_offset = np.zeros((0,), np.int32)
+        if i > 0 and grid.coords.shape[0]:
+            # in-graph consumers above level 0 only read grid.valid
+            grid = grid.replace(coords=np.zeros((0, 4), np.int32),
+                                key_hi=np.zeros((0,), np.int32),
+                                key_lo=np.zeros((0,), np.int32),
+                                counts=np.zeros((0,), np.int32))
+        new_levels.append(lvl.replace(
+            grid=grid, subm_rb=subm_rb, parent=parent,
+            child_offset=child_offset, down_rb=down_rb,
+            win=_slim_win(lvl.win),
+            wg_down=_slim_win(lvl.wg_down), wg_up=_slim_win(lvl.wg_up)))
+    return plans.replace(levels=tuple(new_levels))
+
+
+def attach_host_plans(batch: PointBatch, cfg: Config,
+                      slim: bool = True) -> PointBatch:
     """Return the batch with plans/vox_feats/point2voxel filled in (numpy).
 
-    No-op if the batch already carries plans.
+    No-op if the batch already carries plans.  ``slim`` strips
+    device-dead plan leaves (see :func:`slim_plans_for_device`); pass
+    False to keep the full host plan (e.g. for plan introspection).
     """
     if batch.plans is not None:
         return batch
@@ -36,5 +90,7 @@ def attach_host_plans(batch: PointBatch, cfg: Config) -> PointBatch:
     plans, vox_feats, p2v, perm = host_voxelize_and_plan(
         coords, np.asarray(batch.feats), np.asarray(batch.valid),
         num_levels, caps, downsample)
+    if slim and cfg.engine.slim_device_plans:
+        plans = slim_plans_for_device(plans)
     return batch.replace(plans=plans, vox_feats=vox_feats, point2voxel=p2v,
                          point_perm=perm)

@@ -40,7 +40,7 @@ def _load() -> Optional[ctypes.CDLL]:
                     check=True, capture_output=True, timeout=120,
                 )
             lib = ctypes.CDLL(_LIB_PATH)
-            if not hasattr(lib, "windowed_rb"):  # stale pre-plan-ops build
+            if not hasattr(lib, "subm_windowed_plan"):  # stale build
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR, "clean", "all"],
                     check=True, capture_output=True, timeout=120,
@@ -51,6 +51,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.subm_rulebook.restype = None
             lib.voxelize.restype = ctypes.c_int32
             lib.windowed_rb.restype = ctypes.c_int64
+            lib.subm_windowed_plan.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -353,4 +354,50 @@ def windowed_rb(rb: np.ndarray, tile: int, window: int, nwin: int,
         lib.windowed_rb(*args[:-1],
                         spills.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                         ctypes.c_int64(int(total)))
+    return starts, sub_off, rb_local, spills[: int(total)]
+
+
+def subm_windowed_plan(coords: np.ndarray, valid: np.ndarray, tile: int,
+                       window: int, nwin: int, sub: int, subwin: int,
+                       e_cap: int):
+    """Fused 27-tap windowed plan straight from key-sorted coords.
+
+    Returns (starts (tiles, nwin) i32, sub_off (v/sub, nwin) i32 | None,
+    rb_local (v, 27) int16, spills (n, 3) i32 v-sorted) or None when the
+    library is unavailable.  Equivalent to build_subm_rulebook_np followed
+    by windowed_rb, but never materializes the (V, 27) global rulebook
+    (~85 MB at bench L0) — plan building was memory-bandwidth-bound on it.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "subm_windowed_plan"):
+        return None
+    if window >= 32768:
+        return None                      # locals must fit int16
+    coords = _i32(coords)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    v = coords.shape[0]
+    tiles = v // tile
+    starts = np.empty((tiles, nwin), np.int32)
+    sub_off = np.empty((v // sub, nwin), np.int32) if sub else None
+    rb_local = np.empty((v, 27), np.int16)
+    e_cap = max(int(e_cap), 1)
+    spills = np.empty((e_cap, 3), np.int32)
+    args = (
+        coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(v), ctypes.c_int32(tile), ctypes.c_int32(window),
+        ctypes.c_int32(nwin), ctypes.c_int32(sub), ctypes.c_int32(subwin),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sub_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        if sub_off is not None else None,
+        rb_local.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        spills.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    total = lib.subm_windowed_plan(*args, ctypes.c_int64(e_cap))
+    if total > e_cap:
+        spills = np.empty((int(total), 3), np.int32)
+        lib.subm_windowed_plan(
+            *args[:-1],
+            spills.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(int(total)))
     return starts, sub_off, rb_local, spills[: int(total)]

@@ -216,6 +216,7 @@ def build_plans_np(
     window: int = 640,
     nwin: int = 9,
     form: str = "w27",
+    fused: bool = False,
 ) -> LevelPlans:
     """Numpy twin of :func:`tdwss.ops.plan.build_plans` (+ windowed-conv
     metadata when ``windowed``; ``window <= 0`` means auto-sized).
@@ -225,15 +226,23 @@ def build_plans_np(
     than the x-triple form at V=636k) or "w9" (9-anchor x-triples).  The
     tile halves until it divides the level capacity; levels smaller than
     the window fall back to the plain gather path (win=None).
+
+    ``fused`` (production: on via :func:`host_voxelize_and_plan`) builds
+    the w27 metadata straight from the level coords with the native
+    single-pass planner (native/tdwss_native.cpp subm_windowed_plan):
+    the (V, 27) global rulebook is never materialized and ``subm_rb``
+    ships as a (0, 27) placeholder at windowed levels — the device conv
+    path only reads ``win`` there (tdwss.ops.sparse_conv), and host plan
+    building was memory-bandwidth-bound on the ~85 MB rb27.
     """
     f, s = int(downsample[0]), int(downsample[1])
     levels = []
     grid = grid0
     for lvl in range(num_levels):
-        subm_rb = build_subm_rulebook_np(grid, subm_kernel)
+        subm_rb = None
         win = None
         if windowed and subm_kernel == 3:
-            v = subm_rb.shape[0]
+            v = grid.coords.shape[0]
             t = tile
             while t > 32 and v % t != 0:
                 t //= 2
@@ -244,16 +253,30 @@ def build_plans_np(
                 if nwin not in (9, 3):
                     raise ValueError(
                         f"form='w27' supports nwin in (9, 3), got {nwin}")
-                win = build_windowed_subm27(subm_rb, grid, tile=t,
-                                            window=max(window, 0),
-                                            auto_window=window <= 0,
-                                            nwin=nwin,
-                                            sub=sub,
-                                            subwin=256 if sub else 0)
+                if fused and window > 0:
+                    win = build_windowed_subm27_fused(
+                        grid, tile=t, window=window, nwin=nwin, sub=sub,
+                        subwin=256 if sub else 0)
+                if win is None:
+                    subm_rb = build_subm_rulebook_np(grid, subm_kernel)
+                    win = build_windowed_subm27(subm_rb, grid, tile=t,
+                                                window=max(window, 0),
+                                                auto_window=window <= 0,
+                                                nwin=nwin,
+                                                sub=sub,
+                                                subwin=256 if sub else 0)
             else:
+                subm_rb = build_subm_rulebook_np(grid, subm_kernel)
                 win = build_windowed_subm(subm_rb, grid, tile=t,
                                           window=max(window, 0), nwin=nwin,
                                           auto_window=window <= 0)
+        if subm_rb is None:
+            if win is not None and fused:
+                # device contract: windowed levels never read the global
+                # rulebook (see tdwss.data.plans.slim_plans_for_device)
+                subm_rb = np.zeros((0, subm_kernel ** 3), np.int32)
+            else:
+                subm_rb = build_subm_rulebook_np(grid, subm_kernel)
         wg_down = wg_up = None
         if lvl + 1 < num_levels:
             coarse_grid, parent, child_offset, down_rb = downsample_level_np(
@@ -305,7 +328,7 @@ def host_voxelize_and_plan(
         coords, feats, valid, int(capacities[0]), mode="mean",
         return_order=True)
     plans = build_plans_np(grid, num_levels, capacities, downsample,
-                           subm_kernel)
+                           subm_kernel, fused=True)
     return plans, vox_feats, p2v, order
 
 
@@ -361,6 +384,12 @@ def _sticky_window(key, needed: int) -> int:
         cap = max(_window_rung(needed), _ECAP_REGISTRY.get(key, 0))
         _ECAP_REGISTRY[key] = cap
     return cap
+
+
+def _sticky_window_peek(key) -> Optional[int]:
+    """Previously-ratcheted window for ``key`` (None on first sight)."""
+    with _ECAP_LOCK:
+        return _ECAP_REGISTRY.get(key)
 
 
 def _sticky_small(key, needed: int, floor: int) -> int:
@@ -550,6 +579,47 @@ def build_windowed_subm(
         res_pad=res_pad, res_ovf=res_ovf, ovf_v=ovf_v, ovf_count=ovf_count,
         window=window,
     )
+
+
+def build_windowed_subm27_fused(
+    grid: SparseGrid,
+    tile: int = 512,
+    window: int = 640,
+    nwin: int = 9,
+    sub: int = 0,
+    subwin: int = 0,
+):
+    """Windowed27 metadata straight from key-sorted level coords.
+
+    Single native pass (native/tdwss_native.cpp subm_windowed_plan):
+    resolves the 27 neighbor columns per tile in cache, emits starts /
+    sub offsets / int16 locals / v-sorted spills — identical semantics to
+    ``build_subm_rulebook_np`` + ``build_windowed_subm27`` composed, with
+    the (V, 27) int32 rulebook never hitting DRAM.  Returns None when the
+    native library is unavailable or the level is unsuitable (callers
+    fall back to the two-pass path).
+    """
+    from tdwss import native as _native
+
+    if nwin not in (9, 3):
+        raise ValueError("w27 nwin must be 9 or 3")
+    v = grid.coords.shape[0]
+    if v % tile != 0 or v % 8 != 0 or v < window + 2:
+        return None
+    if sub and subwin >= window:
+        sub = subwin = 0
+    if sub and (tile % sub or subwin % 8):
+        raise ValueError("sub must divide tile; subwin must be 8-aligned")
+    guess = _ECAP_REGISTRY.get((v, tile, window, 27, nwin, sub, "ovf"),
+                               max(64, v // 64))
+    nat = _native.subm_windowed_plan(
+        np.asarray(grid.coords), np.asarray(grid.valid), tile, window,
+        nwin, sub, subwin, e_cap=guess)
+    if nat is None:
+        return None
+    starts, sub_off, rb_local, ovf_entries = nat
+    return _finish_w27(None, v, tile, window, nwin, sub, subwin,
+                       starts, sub_off, rb_local, ovf_entries, None)
 
 
 def build_windowed_subm27(
@@ -842,45 +912,85 @@ def build_windowed_gather(
         return None
     tiles = v_out // t
     gmap = np.arange(k, dtype=np.int32) % group_mod
-
-    rb3 = rb.reshape(tiles, t, k)
-    live3 = rb3 >= 0
-    masked3 = np.where(live3, rb3, np.int32(np.iinfo(np.int32).max))
-    tapmin = masked3.min(axis=1)                             # (tiles, k)
-    starts = np.full((tiles, group_mod), np.iinfo(np.int32).max, np.int32)
-    for kk in range(k):
-        g = gmap[kk]
-        np.minimum(starts[:, g], tapmin[:, kk], out=starts[:, g])
-    starts &= ~np.int32(7)
+    key = sticky_key or (v_out, v_src, t, k, group_mod, "wg")
     auto = window <= 0
-    if auto:
-        loc3 = np.where(live3, rb3 - starts[:, None, gmap], -1)
+
+    from tdwss import native as _native
+
+    have_native = _native.available()
+
+    def _span_window():
+        """Numpy starts + span-quantile window (ratchets the sticky)."""
+        rb3 = rb.reshape(tiles, t, k)
+        live3 = rb3 >= 0
+        masked3 = np.where(live3, rb3, np.int32(np.iinfo(np.int32).max))
+        tapmin = masked3.min(axis=1)                         # (tiles, k)
+        st = np.full((tiles, group_mod), np.iinfo(np.int32).max, np.int32)
+        for kk in range(k):
+            g = gmap[kk]
+            np.minimum(st[:, g], tapmin[:, kk], out=st[:, g])
+        st &= ~np.int32(7)
+        if not auto:
+            return st, window
+        loc3 = np.where(live3, rb3 - st[:, None, gmap], -1)
         span = (loc3.reshape(tiles, t * k).max(axis=1) + 1) if tiles \
             else np.zeros((1,), np.int64)
         need = float(np.quantile(span, auto_quantile))
-        window = int(np.clip(need, 128, max(min(auto_max, v_src), 128)))
-        window = ((window + 127) // 128) * 128
-        window = _sticky_window(
-            sticky_key or (v_out, v_src, t, k, group_mod, "wg"), window)
+        w = int(np.clip(need, 128, max(min(auto_max, v_src), 128)))
+        w = ((w + 127) // 128) * 128
+        return st, _sticky_window(key, w)
+
+    # Steady state skips the span pass: the sticky window converges after
+    # the prewarm epoch, at which point the per-call numpy sizing section
+    # (several (V, K)-sized temporaries) was pure overhead (~4 s/batch at
+    # bench shapes on one core).  A deferred spill check below re-ratchets
+    # if the data outgrows the remembered window.
+    starts = None
+    deferred = False
+    prev = _sticky_window_peek(key) if auto else None
+    if auto and prev is not None and have_native:
+        window = prev
+        deferred = True
+    else:
+        starts, window = _span_window()
     if v_src < window:
         return None
-    np.clip(starts, 0, max(v_src - window, 0), out=starts)
+    if starts is not None:
+        np.clip(starts, 0, max(v_src - window, 0), out=starts)
 
     if sub and (subwin >= window or t % sub or subwin % 8):
         sub = subwin = 0          # geometry unsuitable — run flat
 
-    from tdwss import native as _native
-
     sub_off = None
     nat = None
-    if _native.available():
+    if have_native:
         # heavy passes in one native sweep now that the window is fixed
-        # (the starts computed above are recomputed there — cheap)
+        # (any starts computed above are recomputed there — cheap)
         guess = _ECAP_REGISTRY.get(
-            (sticky_key or (v_out, v_src, t, k, group_mod, "wg"))
-            + (window, sub, "ovf"), max(64, v_out // 64))
+            key + (window, sub, "ovf"), max(64, v_out // 64))
         nat = _native.windowed_rb(rb, t, window, group_mod, sub, subwin,
                                   e_cap=guess, v_src=v_src)
+        if nat is not None and deferred:
+            # spill-ratio feedback: if this batch spills far beyond the
+            # converged regime, re-run the exact sizing and redo the
+            # native pass at the grown window (rare after prewarm)
+            n_spill = nat[3].shape[0]
+            if n_spill > max(2048, (v_out * k) // 50):
+                starts, window = _span_window()
+                if v_src < window:
+                    return None
+                np.clip(starts, 0, max(v_src - window, 0), out=starts)
+                if sub and subwin >= window:
+                    sub = subwin = 0
+                guess = _ECAP_REGISTRY.get(
+                    key + (window, sub, "ovf"), max(64, v_out // 64))
+                nat = _native.windowed_rb(rb, t, window, group_mod, sub,
+                                          subwin, e_cap=guess, v_src=v_src)
+    if nat is None and starts is None:
+        starts, window = _span_window()
+        if v_src < window:
+            return None
+        np.clip(starts, 0, max(v_src - window, 0), out=starts)
     if nat is not None:
         starts, sub_off, rb_local, ovf_entries = nat
     elif sub:

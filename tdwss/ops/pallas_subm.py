@@ -85,11 +85,21 @@ def _onehot(rbs, iota, dtype, axis_expand):
 # winner.  dW keeps the one-hot (scatter direction has no gather form).
 _GATHER_INNER = bool(__import__("os").environ.get("TDWSS_GATHER_INNER"))
 
-# Transposed-accumulate form for the sub-window fwd kernel: compute
-# acc^T (cout, sub) += zs^T-contraction via dot_general((0,),(0,)) so the
-# one-hot matmul's N dimension is sub (=128, full MXU lanes) instead of
-# cout (=32 at L0 -> 25% lanes).  Measured before defaulting.
-_OH_T = bool(__import__("os").environ.get("TDWSS_OH_T"))
+# Transposed-accumulate form: compute acc^T (cout, sub) += zs^T-contraction
+# via dot_general((0,),(0,)) so the one-hot matmul's N dimension is sub
+# (=128, full MXU lanes) instead of cout (=32 at L0 -> 25% lanes), and the
+# one-hot build broadcasts rb along SUBLANES (cheap) instead of lanes.
+# Measured on v5e (bench L0-L2 probes): f+b 73.4 -> 37.3 ms at C=32,
+# 42.6 -> 26.0 at C=64, but the fwd LOSES at C=96 (6.8 -> 9.8 ms) where
+# the plain form's N=cout already fills most lanes.  Default: auto by
+# cout; TDWSS_OH_T=1/0 forces.
+_OH_T_ENV = __import__("os").environ.get("TDWSS_OH_T", "").strip()
+
+
+def _oh_t(n_chan: int) -> bool:
+    if _OH_T_ENV:
+        return _OH_T_ENV not in ("0", "false", "off")
+    return n_chan <= 64
 
 
 def _gather_rows(zs, rbs, nrows: int, width: int):
@@ -168,7 +178,7 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str,
         out_ref[:] = win[cur, 0, :1].reshape(8, l)[:1, :cout] * jnp.zeros(
             (t, cout), jnp.float32)
         return
-    if _OH_T and ablate == "":
+    if _oh_t(cout) and ablate == "":
         # Transposed accumulate (see _sub_fwd_kernel): the one-hot build
         # broadcasts rb along SUBLANES (cheap) instead of lanes, and the
         # matmul's N dim is t (128+) instead of cout (often 32).
@@ -414,12 +424,29 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
 
     l = win.shape[-1]
     cout = w9_ref.shape[-1]
-    for a in range(len(gmap)):
-        win_a = win[cur, gmap[a]].reshape(w, l)
-        z = jnp.dot(win_a, w9_ref[a], preferred_element_type=jnp.float32)
-        zbuf[a] = z.astype(win_a.dtype).reshape(w8, 8, cout)
+    # The full-width Z-transform costs nanchor x W rows of MXU work but
+    # only nsub x swk rows are ever read through the sub-window slices —
+    # for the cross-level gathers (tile 256, sub 128, W 1024-2560) that is
+    # a 2-5x overshoot, so transform each slice on demand instead.  The
+    # subm form (tile 512, W 640) keeps the shared buffer: its slices
+    # overlap enough that the full transform is cheaper.
+    z_ondemand = nsub * swk < w
 
-    if _OH_T:
+    if not z_ondemand:
+        for a in range(len(gmap)):
+            win_a = win[cur, gmap[a]].reshape(w, l)
+            z = jnp.dot(win_a, w9_ref[a], preferred_element_type=jnp.float32)
+            zbuf[a] = z.astype(win_a.dtype).reshape(w8, 8, cout)
+
+    def get_zs(a, off8):
+        if z_ondemand:
+            sl = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(swk, l)
+            return jnp.dot(sl, w9_ref[a],
+                           preferred_element_type=jnp.float32
+                           ).astype(sl.dtype)
+        return zbuf[a, pl.ds(off8, swk8)].reshape(swk, cout)
+
+    if _oh_t(cout):
         # Transposed accumulate: acc^T (cout, sub) += zs^T @ oh^T.  The
         # plain form's one-hot matmul has N=cout (32 at L0 -> 25% MXU
         # lanes); flipped, N=sub=128 fills the lanes.  Costs one (swk,
@@ -432,7 +459,7 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
             for a in range(len(gmap)):
                 off8 = scal_ref[soff_base
                                 + (step * nsub + s_i) * nwin + gmap[a]]
-                zs = zbuf[a, pl.ds(off8, swk8)].reshape(swk, cout)
+                zs = get_zs(a, off8)
                 rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
                 oh_t = _onehot(rbs[None, :], iota_t, zs.dtype, 0)
                 acc_t = acc_t + jax.lax.dot_general(
@@ -446,7 +473,7 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         acc = jnp.zeros((sub, cout), jnp.float32)
         for a in range(len(gmap)):
             off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
-            zs = zbuf[a, pl.ds(off8, swk8)].reshape(swk, cout)
+            zs = get_zs(a, off8)
             rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
             if _GATHER_INNER and sub <= swk:
                 acc = acc + _gather_rows(zs, rbs, sub, swk).astype(
@@ -508,7 +535,10 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, max(gmap) + 1, window // 8, 8, l), feats3.dtype),
-            pltpu.VMEM((nanchor, window // 8, 8, cout), feats3.dtype),
+            # on-demand Z (nsub*swk < window) never touches zbuf
+            pltpu.VMEM((nanchor, window // 8, 8, cout), feats3.dtype)
+            if (tile // sub) * subwin >= window
+            else pltpu.VMEM((1, 1, 8, cout), feats3.dtype),
             pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
         ],
     )
@@ -686,16 +716,29 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
-    for a in range(len(gmap)):
-        win_a = win[cur, gmap[a]].reshape(w, l)
-        z = jnp.dot(win_a, wt_ref[a], preferred_element_type=jnp.float32)
-        zbuf[a] = z.astype(win_a.dtype).reshape(w8, 8, cin)
+    # see _sub_fwd_kernel: transform only the read slices when that is
+    # less MXU work than the full window
+    z_ondemand = nsub * swk < w
+
+    if not z_ondemand:
+        for a in range(len(gmap)):
+            win_a = win[cur, gmap[a]].reshape(w, l)
+            z = jnp.dot(win_a, wt_ref[a], preferred_element_type=jnp.float32)
+            zbuf[a] = z.astype(win_a.dtype).reshape(w8, 8, cin)
+
+    def get_zs(a, off8):
+        if z_ondemand:
+            sl = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(swk, l)
+            return jnp.dot(sl, wt_ref[a],
+                           preferred_element_type=jnp.float32
+                           ).astype(sl.dtype)
+        return zbuf[a, pl.ds(off8, swk8)].reshape(swk, cin)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (sub, swk), 1)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
     for s_i in range(nsub):
         dsub = dout_ref[s_i * sub:(s_i + 1) * sub, :]
-        if _OH_T:
+        if _oh_t(cin):
             # One transposed one-hot per (sub, anchor) drives BOTH
             # products: dx via zs^T-contraction (full N=sub lanes, no
             # second build in the expensive lane-broadcast orientation)
@@ -705,7 +748,7 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                 off8 = scal_ref[soff_base
                                 + (step * nsub + s_i) * nwin + gmap[a]]
                 rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
-                zs = zbuf[a, pl.ds(off8, swk8)].reshape(swk, cin)
+                zs = get_zs(a, off8)
                 oh_t = _onehot(rbs[None, :], iota_t, dsub.dtype, 0)
                 dx_acc_t = dx_acc_t + jax.lax.dot_general(
                     zs, oh_t, (((0,), (0,)), ((), ())),
@@ -724,7 +767,7 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         for a in range(len(gmap)):
             off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
             rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
-            zs = zbuf[a, pl.ds(off8, swk8)].reshape(swk, cin)
+            zs = get_zs(a, off8)
             if _GATHER_INNER and sub <= swk:
                 dx_acc = dx_acc + _gather_rows(zs, rbs, sub, swk).astype(
                     jnp.float32)

@@ -939,6 +939,13 @@ def _subm_conv_windowed_bwd(window, res, dout):
 _subm_conv_windowed.defvjp(_subm_conv_windowed_fwd, _subm_conv_windowed_bwd)
 
 
+def _rb32(rb):
+    """rb_local ships host->device as int16 (tdwss.data.plans slimming);
+    kernels and einsum fallbacks index with int32 — one fused upcast."""
+    rb = jnp.asarray(rb)
+    return rb if rb.dtype == jnp.int32 else rb.astype(jnp.int32)
+
+
 def subm_conv_apply(feats: jnp.ndarray, rulebook: jnp.ndarray,
                     weight: jnp.ndarray, win=None) -> jnp.ndarray:
     """Submanifold convolution: output sites == input sites.
@@ -959,10 +966,10 @@ def subm_conv_apply(feats: jnp.ndarray, rulebook: jnp.ndarray,
             rtile = _pack_rtile(win)
             return _subm_conv_w27(
                 win.window, win.sub, win.subwin, feats, win.starts,
-                sub_off, win.rb_local, rtile, win.res_ovf,
+                sub_off, _rb32(win.rb_local), rtile, win.res_ovf,
                 win.ovf_v, win.ovf_count, weight)
         return _subm_conv_windowed(
-            win.window, feats, win.starts, win.rb_local, win.xprev_ok,
+            win.window, feats, win.starts, _rb32(win.rb_local), win.xprev_ok,
             win.xnext_ok, win.res_pad, win.res_ovf, win.ovf_v,
             win.ovf_count, weight)
     return _subm_conv(feats, rulebook, weight)
@@ -1368,10 +1375,10 @@ def wg_conv_apply(feats: jnp.ndarray, weight: jnp.ndarray, wg_fwd,
     return _wg_conv(wg_fwd.window, wg_bwd.window,
                     wg_fwd.sub, wg_fwd.subwin, wg_bwd.sub, wg_bwd.subwin,
                     feats,
-                    wg_fwd.starts, _wg_soff(wg_fwd), wg_fwd.rb_local,
+                    wg_fwd.starts, _wg_soff(wg_fwd), _rb32(wg_fwd.rb_local),
                     _wg_rtile(wg_fwd),
                     wg_fwd.res_ovf, wg_fwd.ovf_v, wg_fwd.ovf_count,
-                    wg_bwd.starts, _wg_soff(wg_bwd), wg_bwd.rb_local,
+                    wg_bwd.starts, _wg_soff(wg_bwd), _rb32(wg_bwd.rb_local),
                     _wg_rtile(wg_bwd),
                     wg_bwd.res_ovf, wg_bwd.ovf_v, wg_bwd.ovf_count, weight)
 
@@ -1437,9 +1444,9 @@ def wg_unpool_apply(coarse_feats: jnp.ndarray, wg_up, wg_down) -> jnp.ndarray:
     return _wg_unpool(wg_up.window, wg_down.window, coarse_feats.shape[-1],
                       wg_up.sub, wg_up.subwin, wg_down.sub, wg_down.subwin,
                       coarse_feats,
-                      wg_up.starts, _wg_soff(wg_up), wg_up.rb_local,
+                      wg_up.starts, _wg_soff(wg_up), _rb32(wg_up.rb_local),
                       _wg_rtile(wg_up),
                       wg_up.res_ovf, wg_up.ovf_v, wg_up.ovf_count,
-                      wg_down.starts, _wg_soff(wg_down), wg_down.rb_local,
-                      _wg_rtile(wg_down),
+                      wg_down.starts, _wg_soff(wg_down),
+                      _rb32(wg_down.rb_local), _wg_rtile(wg_down),
                       wg_down.res_ovf, wg_down.ovf_v, wg_down.ovf_count)
