@@ -166,3 +166,80 @@ def test_masked_batch_norm_matches_torch_batchnorm1d():
     np.testing.assert_allclose(
         np.asarray(mutated["batch_stats"]["var"]),
         tbn.running_var.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_conv_block_matches_torch_composition():
+    """Residual ConvBlock == the reference block composed from torch ops.
+
+    Reference (models/SparseConvNet.py:34-55 block(), sparseconvnet
+    semantics): shortcut = NiN(x) [channel change]; branch = BNReLU ->
+    SubmConv -> BNReLU -> SubmConv; out = shortcut + branch.  The torch
+    twin evaluates the same rulebook gather-matmul-sum with
+    torch.nn.BatchNorm1d / relu / matmul on the valid rows, weights copied
+    from the flax init.
+    """
+    from tdwss.models.sparse_encoders import ConvBlock
+    from tdwss.ops.host_plan import build_subm_rulebook_np, voxelize_np
+
+    rng = np.random.default_rng(11)
+    n, cap = 600, 640
+    coords = np.concatenate(
+        [rng.integers(0, 24, (n, 3)), rng.integers(0, 2, (n, 1))],
+        axis=1).astype(np.int32)
+    feats = rng.standard_normal((n, 3)).astype(np.float32)
+    valid = np.ones(n, bool)
+    coords = np.pad(coords, ((0, cap - n), (0, 0)))
+    feats = np.pad(feats, ((0, cap - n), (0, 0)))
+    valid = np.pad(valid, (0, cap - n))
+    grid, vfeats, _ = voxelize_np(coords, feats, valid, cap)
+    rb = build_subm_rulebook_np(grid, 3)
+    v = rb.shape[0]
+    cin, cout = 3, 8
+    gvalid = np.asarray(grid.valid)
+
+    block = ConvBlock(cout, residual=True)
+    variables = block.init(jax.random.PRNGKey(3), jnp.asarray(vfeats),
+                           jnp.asarray(rb), jnp.asarray(gvalid), True, None)
+    out, _ = block.apply(variables, jnp.asarray(vfeats), jnp.asarray(rb),
+                         jnp.asarray(gvalid), True, None,
+                         mutable=["batch_stats"])
+    out = np.asarray(out)
+
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    x = torch.from_numpy(np.asarray(vfeats))
+    vmask = torch.from_numpy(gvalid)
+
+    def t_bn_relu(h, scale, bias):
+        bn = torch.nn.BatchNorm1d(h.shape[1], eps=1e-4, momentum=0.1)
+        bn.train()
+        with torch.no_grad():
+            bn.weight.copy_(torch.from_numpy(scale))
+            bn.bias.copy_(torch.from_numpy(bias))
+        full = torch.zeros_like(h)
+        full[vmask] = bn(h[vmask])
+        return torch.relu(full)
+
+    def t_subm(h, w):
+        # rulebook gather-matmul-sum, -1 rows contribute zero
+        k = w.shape[0]
+        acc = torch.zeros((v, w.shape[2]))
+        trb = torch.from_numpy(rb.astype(np.int64))
+        for kk in range(k):
+            idx = trb[:, kk]
+            live = idx >= 0
+            g = torch.zeros((v, h.shape[1]))
+            g[live] = h[idx[live]]
+            acc += g @ torch.from_numpy(w[kk])
+        return acc
+
+    with torch.no_grad():
+        shortcut = x @ torch.from_numpy(p["nin"]["kernel"])
+        h = t_bn_relu(x, p["bnrelu1"]["bn"]["scale"], p["bnrelu1"]["bn"]["bias"])
+        h = t_subm(h, p["conv1"]["kernel"])
+        h = t_bn_relu(h, p["bnrelu2"]["bn"]["scale"], p["bnrelu2"]["bn"]["bias"])
+        h = t_subm(h, p["conv2"]["kernel"])
+        t_out = (shortcut + h).numpy()
+
+    nv = int(gvalid.sum())
+    np.testing.assert_allclose(out[:nv], t_out[:nv], rtol=2e-4, atol=2e-5)
