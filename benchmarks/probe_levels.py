@@ -81,7 +81,10 @@ def main() -> None:
     scenes = make_dataset(bench.NUM_SCENES,
                           num_points=bench.POINTS_PER_SCENE, seed=7,
                           with_text=False)
-    batch = attach_host_plans(train_collate(scenes, cfg, rng), cfg)
+    # --plain times the raw gather-GEMM on the global rulebook, which the
+    # production slimming strips — keep the full plan for that mode
+    batch = attach_host_plans(train_collate(scenes, cfg, rng), cfg,
+                              slim=not args.plain)
     plans = jax.tree_util.tree_map(jnp.asarray, batch.plans)
 
     frng = np.random.default_rng(1)

@@ -46,7 +46,10 @@ class SparseGrid:
 
     @property
     def capacity(self) -> int:
-        return self.coords.shape[0]
+        # from ``valid``, not ``coords``: device-slimmed coarse grids
+        # (tdwss.data.plans.slim_plans_for_device) drop coords/keys/counts
+        # but always keep the (V,) valid mask
+        return self.valid.shape[0]
 
 
 def voxelize(
