@@ -558,7 +558,7 @@ int32_t voxelize(const int32_t* coords, const uint8_t* valid, int64_t n,
 // rulebook (measured 8.2 s -> well under 1 s per bench batch on one core).
 // ---------------------------------------------------------------------------
 
-extern "C" {
+namespace {
 
 // rb (v, kmax) int32 (-1 = missing; entries index a v_src-row source
 // array); v % tile == 0; nwin must divide kmax
@@ -567,15 +567,18 @@ extern "C" {
 // cross-level gathers k % stride separates the fine z-slabs).
 // sub == 0 disables the two-level split, else sub | tile and subwin % 8 == 0.
 // Outputs: out_starts (v/tile, nwin), out_suboff (v/sub, nwin) when sub,
-// out_rblocal (v, kmax), out_spills (e_cap, 3) rows [v, tap, src] v-sorted.
+// out_rblocal (v, kmax) in LocalT (int32, or int16 when window < 32768 —
+// rb_local is the dominant host->device leaf and the kernels upcast
+// in-graph), out_spills (e_cap, 3) rows [v, tap, src] v-sorted.
 // Returns the TOTAL spill count (only the first e_cap rows are written);
 // callers re-invoke with a larger buffer when it exceeds e_cap.
-int64_t windowed_rb(const int32_t* rb27, int64_t v, int64_t v_src,
+template <typename LocalT>
+int64_t windowed_rb_impl(const int32_t* rb27, int64_t v, int64_t v_src,
                     int32_t kmax,
                     int32_t tile, int32_t window, int32_t nwin, int32_t sub,
                     int32_t subwin,
                     int32_t* out_starts, int32_t* out_suboff,
-                    int32_t* out_rblocal, int32_t* out_spills, int64_t e_cap) {
+                    LocalT* out_rblocal, int32_t* out_spills, int64_t e_cap) {
     const int64_t tiles = v / tile;
     std::vector<int32_t> gmap(static_cast<size_t>(kmax));
     for (int32_t k = 0; k < kmax; ++k) gmap[k] = k % nwin;
@@ -638,15 +641,15 @@ int64_t windowed_rb(const int32_t* rb27, int64_t v, int64_t v_src,
                 const int64_t row0 = t * tile + si * (sub ? sub : 0);
                 for (int64_t r = 0; r < rows; ++r) {
                     const int32_t* rb_r = rb27 + (row0 + r) * kmax;
-                    int32_t* out_r = out_rblocal + (row0 + r) * kmax;
+                    LocalT* out_r = out_rblocal + (row0 + r) * kmax;
                     for (int32_t k = 0; k < kmax; ++k) {
                         int32_t e = rb_r[k];
-                        if (e < 0) { out_r[k] = sentinel; continue; }
+                        if (e < 0) { out_r[k] = static_cast<LocalT>(sentinel); continue; }
                         int32_t local = e - base[gmap[k]];
                         if (local >= 0 && local < sentinel) {
-                            out_r[k] = local;
+                            out_r[k] = static_cast<LocalT>(local);
                         } else {
-                            out_r[k] = sentinel;
+                            out_r[k] = static_cast<LocalT>(sentinel);
                             ++spills;
                         }
                     }
@@ -668,9 +671,10 @@ int64_t windowed_rb(const int32_t* rb27, int64_t v, int64_t v_src,
                 if (at >= e_cap) continue;
                 for (int64_t r = t * tile; r < (t + 1) * tile; ++r) {
                     const int32_t* rb_r = rb27 + r * kmax;
-                    const int32_t* loc_r = out_rblocal + r * kmax;
+                    const LocalT* loc_r = out_rblocal + r * kmax;
                     for (int32_t k = 0; k < kmax; ++k) {
-                        if (rb_r[k] >= 0 && loc_r[k] == sentinel) {
+                        if (rb_r[k] >= 0 &&
+                            loc_r[k] == static_cast<LocalT>(sentinel)) {
                             if (at < e_cap) {
                                 int32_t* s = out_spills + at * 3;
                                 s[0] = static_cast<int32_t>(r);
@@ -685,6 +689,33 @@ int64_t windowed_rb(const int32_t* rb27, int64_t v, int64_t v_src,
         });
     }
     return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t windowed_rb(const int32_t* rb27, int64_t v, int64_t v_src,
+                    int32_t kmax, int32_t tile, int32_t window, int32_t nwin,
+                    int32_t sub, int32_t subwin, int32_t* out_starts,
+                    int32_t* out_suboff, int32_t* out_rblocal,
+                    int32_t* out_spills, int64_t e_cap) {
+    return windowed_rb_impl<int32_t>(rb27, v, v_src, kmax, tile, window,
+                                     nwin, sub, subwin, out_starts,
+                                     out_suboff, out_rblocal, out_spills,
+                                     e_cap);
+}
+
+int64_t windowed_rb16(const int32_t* rb27, int64_t v, int64_t v_src,
+                      int32_t kmax, int32_t tile, int32_t window,
+                      int32_t nwin, int32_t sub, int32_t subwin,
+                      int32_t* out_starts, int32_t* out_suboff,
+                      int16_t* out_rblocal, int32_t* out_spills,
+                      int64_t e_cap) {
+    return windowed_rb_impl<int16_t>(rb27, v, v_src, kmax, tile, window,
+                                     nwin, sub, subwin, out_starts,
+                                     out_suboff, out_rblocal, out_spills,
+                                     e_cap);
 }
 
 }  // extern "C"

@@ -51,6 +51,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.subm_rulebook.restype = None
             lib.voxelize.restype = ctypes.c_int32
             lib.windowed_rb.restype = ctypes.c_int64
+            lib.windowed_rb16.restype = ctypes.c_int64
             lib.subm_windowed_plan.restype = ctypes.c_int64
             _lib = lib
         except Exception:
@@ -323,6 +324,8 @@ def windowed_rb(rb: np.ndarray, tile: int, window: int, nwin: int,
     tdwss.ops.host_plan.build_windowed_subm27 / build_windowed_gather
     (tap -> window group = tap % nwin); spills come back v-sorted.
     Re-invokes itself with the exact count when ``e_cap`` is too small.
+    rb_local comes back int16 whenever the window fits (it is the
+    dominant host->device plan leaf; the conv appliers upcast in-graph).
     """
     lib = _load()
     if lib is None:
@@ -332,11 +335,14 @@ def windowed_rb(rb: np.ndarray, tile: int, window: int, nwin: int,
     if v_src is None:
         v_src = v
     tiles = v // tile
+    use16 = window < 32768 and hasattr(lib, "windowed_rb16")
     starts = np.empty((tiles, nwin), np.int32)
     sub_off = np.empty((v // sub, nwin), np.int32) if sub else None
-    rb_local = np.empty((v, k), np.int32)
+    rb_local = np.empty((v, k), np.int16 if use16 else np.int32)
     e_cap = max(int(e_cap), 1)
     spills = np.empty((e_cap, 3), np.int32)
+    fn = lib.windowed_rb16 if use16 else lib.windowed_rb
+    local_ct = ctypes.c_int16 if use16 else ctypes.c_int32
     args = (
         rb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int64(v), ctypes.c_int64(int(v_src)), ctypes.c_int32(k),
@@ -345,15 +351,15 @@ def windowed_rb(rb: np.ndarray, tile: int, window: int, nwin: int,
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         sub_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         if sub_off is not None else None,
-        rb_local.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rb_local.ctypes.data_as(ctypes.POINTER(local_ct)),
         spills.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
-    total = lib.windowed_rb(*args, ctypes.c_int64(e_cap))
+    total = fn(*args, ctypes.c_int64(e_cap))
     if total > e_cap:
         spills = np.empty((int(total), 3), np.int32)
-        lib.windowed_rb(*args[:-1],
-                        spills.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                        ctypes.c_int64(int(total)))
+        fn(*args[:-1],
+           spills.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+           ctypes.c_int64(int(total)))
     return starts, sub_off, rb_local, spills[: int(total)]
 
 
