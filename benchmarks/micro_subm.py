@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--skip-plain", action="store_true")
     ap.add_argument("--geometries", type=str,
                     default="128:256,256:384,512:640,1024:1280",
-                    help="comma list of tile:window[:nwin]")
+                    help="comma list of tile:window[:nwin[:sub[:subwin]]]")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +50,7 @@ def main():
 
     from tdwss.data.synthetic import make_dataset
     from tdwss.ops.host_plan import build_subm_rulebook_np, \
-        build_windowed_subm, build_windowed_subm27, voxelize_np
+        build_windowed_subm27, voxelize_np
     from tdwss.ops.sparse_conv import subm_conv_apply
     from tdwss.ops.voxelize import SparseGrid
 
@@ -102,28 +102,21 @@ def main():
     for geom in args.geometries.split(","):
         parts = [int(x) for x in geom.split(":")]
         t, w = parts[0], parts[1]
-        nw = parts[2] if len(parts) > 2 else 9
-        w27_nwin = parts[3] if len(parts) > 3 else 9
-        sub = parts[4] if len(parts) > 4 else 0
-        subwin = parts[5] if len(parts) > 5 else 0
+        w27_nwin = parts[2] if len(parts) > 2 else 9
+        sub = parts[3] if len(parts) > 3 else 0
+        subwin = parts[4] if len(parts) > 4 else 0
         if cap % t or cap < w + 2:
             print(f"tile={t} window={w}: skipped (cap {cap})")
             continue
-        if nw == 27:   # 27-tap single-stage form (tdwss.ops.plan.Windowed27)
-            win = build_windowed_subm27(rb27, grid, tile=t, window=max(w, 0),
-                                        auto_window=w <= 0, nwin=w27_nwin,
-                                        sub=sub, subwin=subwin)
-        else:
-            win = build_windowed_subm(rb27, grid, tile=t, window=max(w, 0),
-                                      nwin=nw, auto_window=w <= 0)
+        win = build_windowed_subm27(rb27, grid, tile=t, window=max(w, 0),
+                                    auto_window=w <= 0, nwin=w27_nwin,
+                                    sub=sub, subwin=subwin)
         if win is None:
             print(f"tile={t} window={w}: builder returned None")
             continue
         w = win.window
         winj = jax.tree_util.tree_map(jnp.asarray, win)
         n_ovf = int((np.asarray(win.res_ovf[:, 0]) < cap).sum())
-        n_pad = (int((np.asarray(win.res_pad[..., 1]) < cap).sum())
-                 if hasattr(win, "res_pad") else 0)
 
         def fwd_win(f, wgt, wj=winj):
             return subm_conv_apply(f, rb, wgt, win=wj)
@@ -132,8 +125,8 @@ def main():
             return jnp.sum(
                 subm_conv_apply(f, rb, wgt, win=wj).astype(jnp.float32) ** 2)
 
-        key = (f"win t={t} w={w} n={nw}/{w27_nwin} s={sub}/{subwin} "
-               f"(pad={n_pad} ovf={n_ovf})")
+        key = (f"win t={t} w={w} n={w27_nwin} s={sub}/{subwin} "
+               f"(ovf={n_ovf})")
         results[key + " fwd"] = timed(jax.jit(fwd_win), feats, weight)
         if not args.fwd_only:
             gw = jax.jit(jax.grad(loss_win, argnums=(0, 1)))

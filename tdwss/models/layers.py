@@ -34,7 +34,7 @@ def _conv_init(key, shape, dtype=jnp.float32):
 class SubmConv(nn.Module):
     """Submanifold convolution over a fixed coordinate set (scn parity).
 
-    ``win`` (host-built WindowedSubm) selects the windowed-MXU fast path.
+    ``win`` (host-built Windowed27) selects the windowed-MXU fast path.
     """
 
     out_channels: int

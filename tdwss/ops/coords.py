@@ -112,22 +112,3 @@ def kernel_offsets(size: int, dimension: int = 3) -> np.ndarray:
     return offs.astype(np.int32)
 
 
-def window_group_map(nwin: int) -> np.ndarray:
-    """Anchor-tap -> shared-window map for the windowed submanifold conv.
-
-    The 9 dx==0 anchor taps are ordered j = (dy+1)*3 + (dz+1)
-    (:func:`kernel_offsets`, x fastest).  Under the b,z,y,x key sort a dy
-    shift moves physical rows by ~one x-run and a dz shift by ~one z-slab,
-    so anchors sharing dz (j % 3) can share one slightly-widened window:
-
-      nwin=9 -> identity (one window per anchor)
-      nwin=3 -> group by dz (j % 3)
-      nwin=1 -> all anchors on one wide window
-    """
-    if nwin == 9:
-        return np.arange(9, dtype=np.int32)
-    if nwin == 3:
-        return (np.arange(9, dtype=np.int32)) % 3
-    if nwin == 1:
-        return np.zeros(9, np.int32)
-    raise ValueError("nwin must be 1, 3 or 9")

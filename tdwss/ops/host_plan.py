@@ -23,8 +23,7 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-from tdwss.ops.coords import (COORD_BITS, INVALID_KEY, kernel_offsets,
-                              window_group_map)
+from tdwss.ops.coords import COORD_BITS, INVALID_KEY, kernel_offsets
 from tdwss.ops.plan import GridLevel, LevelPlans
 from tdwss.ops.voxelize import SparseGrid
 
@@ -221,11 +220,11 @@ def build_plans_np(
     """Numpy twin of :func:`tdwss.ops.plan.build_plans` (+ windowed-conv
     metadata when ``windowed``; ``window <= 0`` means auto-sized).
 
-    ``form`` picks the windowed decomposition: "w27" (27-tap,
-    tdwss.ops.plan.Windowed27 — production default, measured 1.8x faster
-    than the x-triple form at V=636k) or "w9" (9-anchor x-triples).  The
-    tile halves until it divides the level capacity; levels smaller than
-    the window fall back to the plain gather path (win=None).
+    ``form`` must be "w27" (27-tap, tdwss.ops.plan.Windowed27; the older
+    9-anchor x-triple form measured 1.8x slower at V=636k and was
+    dropped).  The tile halves until it divides the level capacity;
+    levels smaller than the window fall back to the plain gather path
+    (win=None).
 
     ``fused`` (production: on via :func:`host_voxelize_and_plan`) builds
     the w27 metadata straight from the level coords with the native
@@ -266,10 +265,7 @@ def build_plans_np(
                                                 sub=sub,
                                                 subwin=256 if sub else 0)
             else:
-                subm_rb = build_subm_rulebook_np(grid, subm_kernel)
-                win = build_windowed_subm(subm_rb, grid, tile=t,
-                                          window=max(window, 0), nwin=nwin,
-                                          auto_window=window <= 0)
+                raise ValueError(f"unknown windowed form {form!r}")
         if subm_rb is None:
             if win is not None and fused:
                 # device contract: windowed levels never read the global
@@ -333,7 +329,7 @@ def host_voxelize_and_plan(
 
 
 # ---------------------------------------------------------------------------
-# Windowed-subm-conv metadata (see tdwss.ops.plan.WindowedSubm)
+# Windowed-subm-conv metadata (see tdwss.ops.plan.Windowed27)
 # ---------------------------------------------------------------------------
 
 # Sticky residual capacities: static shapes must not flip between batches
@@ -421,164 +417,6 @@ def _sticky_ecap(key, needed: int, floor: int) -> int:
         cap = max(cap, _ECAP_REGISTRY.get(key, 0))
         _ECAP_REGISTRY[key] = cap
     return cap
-
-
-def build_windowed_subm(
-    rb27: np.ndarray,
-    grid: SparseGrid,
-    tile: int = 1024,
-    window: int = 1280,
-    res_cap: Optional[int] = None,
-    nwin: int = 9,
-    auto_window: bool = False,
-    auto_quantile: float = 0.97,
-    auto_max: int = 4096,
-):
-    """Host-side decomposition of a 27-tap rulebook for the windowed conv.
-
-    ``nwin`` is the number of shared windows per tile: 9 (one per (dy,dz)
-    anchor), 3 (anchors grouped by dz — the y shift moves rows by only one
-    x-run in the b,z,y,x sort order, so the three dy anchors of a dz group
-    share a window), or 1 (one window covering all 9 anchors; the +-z shift
-    moves rows by one z-slab, so the window must span ~tile + 2 z-slabs).
-    Fewer windows mean fewer DMA descriptors in the fused Pallas kernel —
-    the scalar core issues ~2 us per descriptor, which dominates the conv
-    at nwin=9 (measured: 9 DMAs x 2484 tiles ~ 45 ms of a 59 ms conv).
-
-    ``auto_window`` sizes the window from the data instead of ``window``:
-    the ``auto_quantile`` of per-tile anchor spans (spilling tiles fall to
-    the residual list), 128-aligned, sticky-bucketed per (V, tile, nwin) so
-    batch pytree shapes stay stable, capped at ``auto_max``.
-
-    Returns a :class:`tdwss.ops.plan.WindowedSubm` (numpy leaves), or None
-    for structurally unsuitable levels (capacity not tile-aligned or below
-    the window size).
-    """
-    from tdwss.ops.plan import WindowedSubm
-
-    if nwin not in (1, 3, 9):
-        raise ValueError("nwin must be 1, 3 or 9")
-    v = rb27.shape[0]
-    if v % tile != 0 or (not auto_window and v < window + 2):
-        return None
-    tiles = v // tile
-    coords = np.asarray(grid.coords)
-    valid = np.asarray(grid.valid)
-
-    # x-adjacency masks: physical row v-+1 holds my x-+1 neighbor.
-    pair_ok = (
-        (coords[1:, 1] == coords[:-1, 1]) & (coords[1:, 2] == coords[:-1, 2])
-        & (coords[1:, 3] == coords[:-1, 3])
-        & (coords[1:, 0] == coords[:-1, 0] + 1)
-        & valid[1:] & valid[:-1]
-    )
-    f = np.zeros((1,), bool)
-    xprev = np.concatenate([f, pair_ok])
-    xnext = np.concatenate([pair_ok, f])
-
-    rb9 = rb27[:, 9:18]                                     # dx == 0 anchors
-    anchors = rb9.reshape(tiles, tile, 9)
-    masked = np.where(anchors >= 0, anchors, np.iinfo(np.int32).max)
-    starts9 = masked.min(axis=1)                            # (tiles, 9)
-    # Group anchors onto shared windows (anchor j = (dy+1)*3 + (dz+1);
-    # tap ordering: tdwss.ops.coords.kernel_offsets, x fastest).
-    gmap = window_group_map(nwin)                           # (9,) -> group
-    starts = np.full((tiles, nwin), np.iinfo(np.int64).max, np.int64)
-    for j in range(9):
-        np.minimum(starts[:, gmap[j]], starts9[:, j], out=starts[:, gmap[j]])
-    # 8-aligned starts: the fused Pallas kernel (tdwss.ops.pallas_subm)
-    # DMAs windows as tile-aligned leading-dim slices of a (V/8, 8, C)
-    # view; alignment costs at most 7 rows of window coverage.
-    starts = (starts // 8) * 8
-    if auto_window:
-        # Size the window from per-tile anchor spans: the auto_quantile
-        # tile is fully covered, spill tiles fall to the residual list.
-        s9 = starts[:, gmap]
-        loc = np.where(rb9 >= 0, rb9 - np.repeat(s9, tile, axis=0), -1)
-        span = (loc.reshape(tiles, tile * 9).max(axis=1) + 1) if tiles \
-            else np.zeros((1,), np.int64)
-        need = float(np.quantile(span, auto_quantile))
-        window = int(np.clip(need, 128, max(min(auto_max, v), 128)))
-        window = ((window + 127) // 128) * 128
-        window = _sticky_window((v, tile, nwin, "win"), window)
-        if v < window + 2:
-            return None
-    starts = np.clip(starts, 0, max(v - window, 0)).astype(np.int32)
-    starts9 = starts[:, gmap]                               # (tiles, 9)
-    local = rb9 - np.repeat(starts9, tile, axis=0)
-    cover = (rb9 >= 0) & (local >= 0) & (local < window)
-    rb_local = np.where(cover, local, window).astype(np.int32)
-
-    # Residual corrections (single-source tap27 entries):
-    ent_v, ent_t, ent_s = [], [], []
-    # (a) spilled anchors: whole triple via physical rows u-1, u, u+1.
-    sp_v, sp_j = np.nonzero((rb9 >= 0) & ~cover)
-    if sp_v.size:
-        u = rb9[sp_v, sp_j]
-        ent_v.append(sp_v); ent_t.append(9 + sp_j); ent_s.append(u)
-        has_prev = xprev[u]
-        ent_v.append(sp_v[has_prev]); ent_t.append(sp_j[has_prev])
-        ent_s.append(u[has_prev] - 1)
-        has_next = xnext[u]
-        ent_v.append(sp_v[has_next]); ent_t.append(18 + sp_j[has_next])
-        ent_s.append(u[has_next] + 1)
-    # (b) anchor missing but a +-x diagonal exists.
-    for dxcol in (0, 18):
-        dd_v, dd_j = np.nonzero((rb9 == -1) & (rb27[:, dxcol:dxcol + 9] >= 0))
-        if dd_v.size:
-            ent_v.append(dd_v); ent_t.append(dxcol + dd_j)
-            ent_s.append(rb27[dd_v, dxcol + dd_j])
-
-    if ent_v:
-        res_v = np.concatenate(ent_v).astype(np.int32)
-        res_t = np.concatenate(ent_t).astype(np.int32)
-        res_s = np.concatenate(ent_s).astype(np.int32)
-    else:
-        res_v = res_t = res_s = np.zeros((0,), np.int32)
-
-    # Tiered packing: first R slots per voxel aligned at (V, R), overflow
-    # (voxels with more corrections) as a compact v-sorted list.
-    r_slots = 2
-    order = np.argsort(res_v, kind="stable")
-    res_v, res_t, res_s = res_v[order], res_t[order], res_s[order]
-    counts = np.bincount(res_v, minlength=v + 1)[:v]
-    rank = np.arange(res_v.shape[0]) - np.concatenate(
-        [[0], np.cumsum(counts)])[res_v]                      # slot within v
-
-    res_pad = np.full((v, r_slots, 2), v, np.int32)
-    res_pad[..., 0] = 0
-    in_pad = rank < r_slots
-    res_pad[res_v[in_pad], rank[in_pad], 0] = res_t[in_pad]
-    res_pad[res_v[in_pad], rank[in_pad], 1] = res_s[in_pad]
-
-    ovf = ~in_pad
-    ovf_entries = np.stack(
-        [res_v[ovf], res_t[ovf], res_s[ovf]], axis=1).astype(np.int32)
-    heavy, heavy_counts = np.unique(res_v[ovf], return_counts=True)
-
-    if res_cap is not None:
-        if ovf_entries.shape[0] > res_cap:
-            return None
-        e2_cap = max(res_cap, 32)
-        h_cap = max(res_cap, 32)
-    else:
-        e2_cap = _sticky_ecap((v, tile, window, nwin, "ovf"),
-                              ovf_entries.shape[0], max(64, v // 64))
-        h_cap = _sticky_ecap((v, tile, window, nwin, "heavy"),
-                             heavy.shape[0], max(64, v // 128))
-
-    res_ovf = np.full((e2_cap, 3), v, np.int32)
-    res_ovf[: ovf_entries.shape[0]] = ovf_entries
-    ovf_v = np.full((h_cap,), v, np.int32)
-    ovf_count = np.zeros((h_cap,), np.int32)
-    ovf_v[: heavy.shape[0]] = heavy
-    ovf_count[: heavy.shape[0]] = heavy_counts
-
-    return WindowedSubm(
-        starts=starts, rb_local=rb_local, xprev_ok=xprev, xnext_ok=xnext,
-        res_pad=res_pad, res_ovf=res_ovf, ovf_v=ovf_v, ovf_count=ovf_count,
-        window=window,
-    )
 
 
 def build_windowed_subm27_fused(

@@ -6,9 +6,9 @@ per-tile one-hot tensors and gathered windows in HBM (~GBs per conv) and
 issues tiles x 9 slice-gathers; this kernel keeps everything in VMEM:
 
   per grid step (one tile of T voxel rows):
-    1. 9 window DMAs  feats3[starts[t,j] : +W]  (HBM -> VMEM, double
-       buffered across steps; feats3 is the x-triple array (V, 3C) padded
-       to 128 lanes and viewed (V/8, 8, L) so the copies are tile-aligned
+    1. nwin window DMAs  feats3[starts[t,j] : +W]  (HBM -> VMEM, double
+       buffered across steps; feats3 is the (V, C) source padded to 128
+       lanes and viewed (V/8, 8, L) so the copies are tile-aligned
        leading-dim slices — Mosaic requires lane counts % 128 == 0).
     2. per anchor j: Z_j = win_j @ W9_j          (W, L) @ (L, Cout)  MXU
     3. out_tile = sum_j onehot(rb_local[:, j]) @ Z_j   (T, W) @ (W, Cout)
@@ -20,15 +20,13 @@ The Z-first ordering ("transform the window, then gather") costs
 9TW·3C + T·27C·Cout — cheaper whenever Cout < 3C, and every operand it
 touches stays on-chip.
 
-Two metadata forms share these kernels (anchor count = rb rows):
-  - 9-anchor x-triple form (tdwss.ops.plan.WindowedSubm): src = (V, 3C)
-    x-triples, 9 anchors on nwin in {1,3,9} shared windows;
-  - 27-tap form (tdwss.ops.plan.Windowed27, preferred): src = plain
-    (V, C) feats, 27 taps riding 9 shared (dy,dz) windows (taps of a
-    group differ by +-1 physical row).  Measured v5e, V=636k C=32:
-    the x-triple form leaves 1.2M structural residual entries whose
-    correction dominates the conv (64 ms of a 59 ms fwd... overlapped);
-    the 27-tap form leaves only ~0.1M window spills.
+The kernels are generic over the tap count (= rb rows): the 27-tap subm
+form (tdwss.ops.plan.Windowed27) rides 9 shared (dy,dz) windows (taps of
+a group differ by +-1 physical row) and leaves only ~0.1M window spills
+at V=636k; the cross-level WindowedGather forms reuse them at f^3 taps.
+(An earlier 9-anchor x-triple form left 1.2M structural residual entries
+whose correction dominated the conv — 64 ms of a 59 ms fwd — and was
+dropped.)
 
 The backward pass reuses this same kernel for dfeats (transposed conv ==
 same windows/rulebook with flipped-transposed weights, see
@@ -122,8 +120,8 @@ def _anchor_gmap(nanchor: int, nwin: int) -> tuple:
 
     One rule covers every form because tap orderings put the
     smallest-row-shift dimension fastest: the 27-tap subm form (x fastest
-    -> k%9 is the (dy,dz) pair, k%3 the dz), the 9-anchor x-triple form
-    (j%3 = dz), and cross-level gathers grouped by the child z parity
+    -> k%9 is the (dy,dz) pair, k%3 the dz), and cross-level gathers
+    grouped by the child z parity
     (child_offset has oz fastest, so k % stride separates the fine
     z-slabs a coarse tile's children straddle).
     """
@@ -137,10 +135,9 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str,
                     win, sems):
     """One tile: DMA the shared windows, Z-transform, one-hot matmul.
 
-    ``gmap[a]`` is the shared-window slot for anchor ``a`` (see
-    tdwss.ops.coords.window_group_map) — len(set(gmap)) DMAs feed 9
-    anchors; the scalar core pays ~2 us per DMA descriptor, so fewer
-    windows win even though each is wider.
+    ``gmap[a]`` is the shared-window slot for tap ``a`` (tap %% nwin) —
+    len(set(gmap)) DMAs feed all taps; the scalar core pays ~2 us per DMA
+    descriptor, so fewer windows win even though each is wider.
 
     ``ablate`` is a benchmarking aid ("" production): "dma" skips the
     matmuls, "compute" skips the DMAs (reads whatever is in scratch),
@@ -221,8 +218,8 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
                     interpret: bool = False, ablate: str = "") -> jnp.ndarray:
     """sum_a onehot(rb_local[:, a], W) @ (window_{g(a)} @ w9[a]) -> (V, Cout).
 
-    feats3     (V, C3)  source rows (x-triples for the 9-anchor form,
-               plain feats for the 27-tap form); V % 8 == 0
+    feats3     (V, C3)  source rows (feats fwd, cotangents in the
+               transposed-conv backward); V % 8 == 0
     starts     (tiles * nwin,) int32 shared-window starts, multiples of 8,
                in [0, V - window]; anchor->window map: _anchor_gmap
     rb_local_t (nanchor, V) int32 window-local positions (sentinel >=

@@ -31,60 +31,17 @@ from tdwss.ops.voxelize import SparseGrid, voxelize
 
 
 @flax.struct.dataclass
-class WindowedSubm:
-    """Metadata for the windowed-MXU submanifold conv (host-built).
-
-    TPU gathers run at a fixed ~62M rows/s; this decomposition replaces
-    them with (a) zero-descriptor +-x shifts (key-sorted voxels are
-    physically adjacent along x), (b) per-tile contiguous window loads +
-    one-hot MXU matmuls for the 9 (dy,dz) anchor taps (indices are
-    monotone, so a tile's anchors live in a narrow window), and (c) a
-    compact residual list for the exact entries the first two miss.
-
-    starts:   (tiles, nwin) int32  shared-window start per row-tile,
-                                nwin in {1, 3, 9}; anchor tap -> window
-                                slot via tdwss.ops.coords.window_group_map
-                                (fewer, wider windows = fewer DMA
-                                descriptors); clamped to [0, V - window]
-    rb_local: (V, 9) int32      anchor pos - start, or == window (sentinel
-                                -> one_hot yields a zero row)
-    xprev_ok/xnext_ok: (V,) bool  physical row v-+1 is my x-+1 neighbor
-    Residual corrections are tiered so no per-voxel prefix/boundary
-    machinery is needed on device (boundary gathers cost ~120 ms at
-    V=786k).  The backward pass reuses the SAME entries with flipped taps
-    (the transposed conv shares this rulebook; only the weight flips).
-
-    res_pad:  (V, R, 2) int32   first R corrections per voxel as aligned
-                                slots [tap27, src]; empty slots src = V
-    res_ovf:  (E2, 3) int32     overflow entries [v, tap27, src] of voxels
-                                with > R corrections, sorted by v
-    ovf_v:    (H, ) int32       the heavy voxels (pad V)
-    ovf_count:(H, ) int32       entries per heavy voxel (prefix-run layout
-                                over res_ovf); H is small, so the final
-                                H-row scatter-add is cheap
-    window:   static int        W
-    """
-
-    starts: jnp.ndarray
-    rb_local: jnp.ndarray
-    xprev_ok: jnp.ndarray
-    xnext_ok: jnp.ndarray
-    res_pad: jnp.ndarray
-    res_ovf: jnp.ndarray
-    ovf_v: jnp.ndarray
-    ovf_count: jnp.ndarray
-    window: int = flax.struct.field(pytree_node=False, default=256)
-
-
-@flax.struct.dataclass
 class Windowed27:
     """Metadata for the 27-tap windowed-MXU submanifold conv (host-built).
 
-    Successor of :class:`WindowedSubm`: instead of anchoring x-triples on
-    the 9 dx==0 taps (which floods the residual list with ~7% of entries —
+    TPU gathers run at a fixed ~62M rows/s regardless of row width, which
+    made plain 27-tap gathers ~90% of the train step; this decomposition
+    replaces them with per-tile contiguous window loads + one-hot MXU
+    matmuls.  (An earlier x-triple form anchored on the 9 dx==0 taps, but
     on surfaces the dx==0 anchor is often missing while a diagonal
-    neighbor exists; measured 1.03M of 1.07M residuals at V=636k), every
-    one of the 27 taps is evaluated as a windowed one-hot matmul.  Taps
+    neighbor exists, flooding its residual list with ~7% of entries —
+    measured 1.03M of 1.07M residuals at V=636k — so it was dropped.)
+    Here every one of the 27 taps is a windowed one-hot matmul.  Taps
     sharing (dy, dz) differ by +-1 physical row (x is the fastest key
     dim), so the 27 taps ride the same 9 shared windows (group = tap % 9,
     :func:`tdwss.ops.coords.kernel_offsets` ordering with x slowest in the
@@ -198,8 +155,8 @@ class GridLevel:
     parent: Optional[jnp.ndarray]            # (V,) idx into next level (or None at coarsest)
     child_offset: Optional[jnp.ndarray]      # (V,) linearized offset within parent cell
     down_rb: Optional[jnp.ndarray]           # (V_next, f^3) idx into THIS level
-    # host-built windowed-conv metadata (Windowed27 preferred; WindowedSubm
-    # is the older x-triple form kept for comparison benchmarks)
+    # host-built windowed-conv metadata (Windowed27), None at levels that
+    # fall back to the plain gather path
     win: Optional[object] = None
     # windowed cross-level gathers (WindowedGather): down = this level's
     # down_rb (coarse out, fine src) for the strided conv / unpool-sum

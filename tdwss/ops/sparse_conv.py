@@ -160,43 +160,16 @@ _subm_conv.defvjp(_subm_conv_fwd, _subm_conv_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Windowed-MXU submanifold convolution (metadata: tdwss.ops.plan.WindowedSubm)
+# Windowed-MXU submanifold convolution (metadata: tdwss.ops.plan.Windowed27)
 # ---------------------------------------------------------------------------
 # TPU gathers are row-count-bound (~62M rows/s measured on v5e regardless of
 # row width), which made plain 27-tap gathers ~90% of the train step.  This
-# path eliminates them:  +-x taps become shifts (key-sorted voxels are
-# physically adjacent along x), the 9 (dy,dz) anchor taps become per-tile
-# contiguous window loads + one-hot matmuls on the MXU (anchor indices are
-# monotone within a tile), and a compact host-built residual list supplies
-# the exact entries those two miss (spilled windows, missing anchors with
-# live diagonals).  The residual run-sums use the cumsum-difference trick —
-# no scatters.
-
-# Tap permutation: reorder a 27-tap weight (x-slowest tap order, index =
-# (dx+1)*9 + j, j = (dy+1)*3 + (dz+1)) into x-triple layout: for each of
-# the 9 (dy,dz) anchors the [dx=-1, dx=0, dx=+1] blocks are consecutive,
-# matching the column layout of build_xtriples.
-_TRIPLE_PERM = np.array(
-    [(dx + 1) * 9 + j for j in range(9) for dx in (-1, 0, 1)], np.int32)
-_TRIPLE_PERM_INV = np.argsort(_TRIPLE_PERM)
-
-
-def build_xtriples(feats: jnp.ndarray, xprev_ok: jnp.ndarray,
-                   xnext_ok: jnp.ndarray) -> jnp.ndarray:
-    """(V, C) -> (V, 3C): [x-1 neighbor, self, x+1 neighbor] per row."""
-    c = feats.shape[-1]
-    zrow = jnp.zeros((1, c), feats.dtype)
-    left = jnp.concatenate([zrow, feats[:-1]], axis=0)
-    left = left * xprev_ok[:, None].astype(feats.dtype)
-    right = jnp.concatenate([feats[1:], zrow], axis=0)
-    right = right * xnext_ok[:, None].astype(feats.dtype)
-    return jnp.concatenate([left, feats, right], axis=1)
-
-
-def _permute_taps(w2d: jnp.ndarray, cin: int, perm: np.ndarray) -> jnp.ndarray:
-    """Reorder the tap-blocks of a (K*Cin, Cout) matrix."""
-    k = perm.shape[0]
-    return w2d.reshape(k, cin, -1)[perm].reshape(k * cin, -1)
+# path eliminates them: each of the 27 taps becomes a per-tile contiguous
+# window load + one-hot matmul on the MXU (tap indices are monotone within a
+# tile, so a tile's taps live in a narrow window; taps sharing (dy, dz)
+# ride the same window), and a compact host-built spill list supplies the
+# exact entries the windows miss.  The spill run-sums use the
+# cumsum-difference trick — no scatters.
 
 
 def _pick_group(tiles: int, limit: int = 8) -> int:
@@ -209,10 +182,9 @@ def _pick_group(tiles: int, limit: int = 8) -> int:
 def _win_gather_groups(src3, rb_local, starts, window, group):
     """Yields the windowed gather machinery shared by fwd / dW.
 
-    ``src3`` is the gather source: the (V, 3C) x-triple array for the
-    9-anchor form (windows slice it contiguously — building triples
-    per-window would re-interleave ~11x the rows), or plain (V, C) feats
-    for the 27-tap form.  The anchor count comes from rb_local's last dim.
+    ``src3`` is the (V, C) gather source (feats fwd, cotangents in the
+    transposed-conv backward); the tap count comes from rb_local's last
+    dim (27 for the subm conv, f^3 / k for WindowedGather forms).
     """
     tiles = starts.shape[0]
     t = rb_local.shape[0] // tiles          # out rows per tile
@@ -320,71 +292,6 @@ def _entry_contrib(feats, taps, srcs, w2d):
     out = jax.lax.map(chunk_fn, (taps.reshape(chunks, -1),
                                  srcs.reshape(chunks, -1)))
     return out.reshape(e, -1)
-
-
-def _res_apply(feats, res_pad, res_ovf, ovf_v, ovf_count, w2d):
-    """Tiered residual corrections -> (V, Cout) f32.
-
-    Tier 1: the (V, R) aligned slots reduce with a plain axis sum — no
-    per-voxel boundary machinery (boundary gathers cost ~120 ms at V=786k).
-    Tier 2: the small overflow list run-sums via a blocked prefix and
-    scatter-adds into its few heavy rows.
-    """
-    v, r, _ = res_pad.shape
-    contrib = _entry_contrib(feats, res_pad[..., 0].reshape(-1),
-                             res_pad[..., 1].reshape(-1), w2d)
-    out = jnp.sum(contrib.reshape(v, r, -1), axis=1)
-
-    c2 = _entry_contrib(feats, res_ovf[:, 1], res_ovf[:, 2], w2d)
-    prefix = _prefix_rows(c2)
-    ends = jnp.cumsum(ovf_count)
-    sums = (jnp.take(prefix, ends, axis=0)
-            - jnp.take(prefix, ends - ovf_count, axis=0))    # (H, Cout)
-    return out.at[_oob(ovf_v, v)].add(sums, mode="drop")
-
-
-def _res_dw(feats, res_pad, res_ovf, dout):
-    """Residual dW contribution -> (27C, Cout) f32 (raw tap order).
-
-    Chunked over entries; per chunk one (27C, Ec) x (Ec, Cout) GEMM of the
-    tap-masked operand against the gathered cotangent rows (no O(E*C^2)
-    outer products).
-    """
-    v = feats.shape[0]
-    cin = feats.shape[-1]
-    cout = dout.shape[-1]
-    taps = jnp.concatenate([res_pad[..., 0].reshape(-1), res_ovf[:, 1]])
-    srcs = jnp.concatenate([res_pad[..., 1].reshape(-1), res_ovf[:, 2]])
-    tgts = jnp.concatenate([
-        jnp.repeat(jnp.arange(v, dtype=jnp.int32), res_pad.shape[1]),
-        res_ovf[:, 0],
-    ])
-    # padded slots carry src == V -> route their target reads out of range
-    tgts = jnp.where(srcs < v, tgts, dout.shape[0])
-    e = taps.shape[0]
-    chunks = _num_chunks(e, 27 * cin * feats.dtype.itemsize)
-    cv = e // chunks if chunks else e
-    if chunks <= 1 or e % chunks != 0:
-        z = _entry_z(feats, taps, srcs)
-        dv = jnp.take(dout, tgts, axis=0, mode="fill",
-                      fill_value=0).astype(feats.dtype)
-        return jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
-
-    t3 = taps.reshape(chunks, cv)
-    s3 = srcs.reshape(chunks, cv)
-    g3 = tgts.reshape(chunks, cv)
-
-    def body(i, acc):
-        z = _entry_z(feats,
-                     jax.lax.dynamic_index_in_dim(t3, i, keepdims=False),
-                     jax.lax.dynamic_index_in_dim(s3, i, keepdims=False))
-        dv = jnp.take(dout,
-                      jax.lax.dynamic_index_in_dim(g3, i, keepdims=False),
-                      axis=0, mode="fill", fill_value=0).astype(feats.dtype)
-        return acc + jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
-
-    return jax.lax.fori_loop(
-        0, chunks, body, jnp.zeros((27 * cin, cout), jnp.float32))
 
 
 def _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout,
@@ -613,51 +520,6 @@ def _use_pallas_kernel(v: int, tiles: int, window: int,
     return True
 
 
-def _expand_starts(starts):
-    """(tiles, nwin) shared-window starts -> (tiles, 9) per-anchor starts."""
-    from tdwss.ops.coords import window_group_map
-
-    nwin = starts.shape[1]
-    if nwin == 9:
-        return starts
-    return starts[:, window_group_map(nwin)]
-
-
-def _win_matmul_any(feats3, rb_local, starts, w9, window):
-    """Windowed gather-GEMM: fused Pallas kernel on TPU, einsum elsewhere.
-
-    feats3 (V, 3C); w9 (27C?, Cout) tap-permuted 2D weights;
-    starts (tiles, nwin) shared-window starts.
-    """
-    v = feats3.shape[0]
-    tiles = starts.shape[0]
-    if _use_pallas_kernel(v, tiles, window, 9, feats3.shape[1],
-                          w9.shape[-1]):
-        from tdwss.ops.pallas_subm import pad_w9, windowed_matmul
-
-        c3 = feats3.shape[1]
-        w9p = pad_w9(w9.reshape(9, c3, -1))
-        return windowed_matmul(
-            feats3, starts.reshape(-1), rb_local.T, w9p,
-            window=window, tile=v // tiles)
-    return _win_matmul(feats3, rb_local, _expand_starts(starts), w9, window)
-
-
-def _win_dw_any(feats3, rb_local, starts, dout, window):
-    """Windowed dW: fused Pallas kernel on TPU, einsum elsewhere."""
-    v = feats3.shape[0]
-    tiles = starts.shape[0]
-    if _use_pallas_kernel(v, tiles, window, 9, feats3.shape[1],
-                          dout.shape[-1]):
-        from tdwss.ops.pallas_subm import windowed_dw
-
-        c3 = feats3.shape[1]
-        dw = windowed_dw(feats3, starts.reshape(-1), rb_local.T, dout,
-                         window=window, tile=v // tiles)
-        return dw[:, :c3, :].reshape(9 * c3, -1)
-    return _win_dw(feats3, rb_local, _expand_starts(starts), dout, window)
-
-
 _GMAP27 = np.arange(27, dtype=np.int32) % 9   # tap -> (dy,dz) window group
 
 
@@ -882,63 +744,6 @@ def _subm_conv_w27_bwd(window, sub, subwin, res, dout):
 _subm_conv_w27.defvjp(_subm_conv_w27_fwd, _subm_conv_w27_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _subm_conv_windowed(window, feats, starts, rb_local, xprev, xnext,
-                        res_pad, res_ovf, ovf_v, ovf_count, weight):
-    k, cin, cout = weight.shape
-    w2d = weight.reshape(k * cin, cout)
-    w9 = _permute_taps(w2d, cin, _TRIPLE_PERM)
-    feats3 = build_xtriples(feats, xprev, xnext)
-    out = _win_matmul_any(feats3, rb_local, starts, w9, window)
-    out = out + _res_apply(feats, res_pad, res_ovf, ovf_v, ovf_count, w2d)
-    return out.astype(feats.dtype)
-
-
-def _subm_conv_windowed_fwd(window, feats, starts, rb_local, xprev, xnext,
-                            res_pad, res_ovf, ovf_v, ovf_count, weight):
-    out = _subm_conv_windowed(window, feats, starts, rb_local, xprev, xnext,
-                              res_pad, res_ovf, ovf_v, ovf_count, weight)
-    return out, (feats, starts, rb_local, xprev, xnext, res_pad, res_ovf,
-                 ovf_v, ovf_count, weight)
-
-
-def _subm_conv_windowed_bwd(window, res, dout):
-    (feats, starts, rb_local, xprev, xnext, res_pad, res_ovf, ovf_v,
-     ovf_count, weight) = res
-    k, cin, cout = weight.shape
-    feats, dout = jax.lax.optimization_barrier((feats, dout))
-    dout_c = dout.astype(feats.dtype)
-
-    # dW: windowed part (permuted tap order) + residual part (raw order).
-    feats3 = build_xtriples(feats, xprev, xnext)
-    dw9 = _win_dw_any(feats3, rb_local, starts, dout_c, window)
-    dw = _permute_taps(dw9, cin, _TRIPLE_PERM_INV)
-    dw = dw + _res_dw(feats, res_pad, res_ovf, dout_c)
-    dw = dw.reshape(k, cin, cout).astype(weight.dtype)
-
-    # dfeats: by rulebook symmetry the transposed conv runs over the SAME
-    # rulebook with weights Wt[m] = W[26-m]^T (exactly like the plain-path
-    # backward) — so it reuses this conv's windows, locals, AND residual
-    # list unchanged; only the weight matrix flips.
-    wt2d = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
-    wt9 = _permute_taps(wt2d, cout, _TRIPLE_PERM)
-    dout3 = build_xtriples(dout_c, xprev, xnext)
-    dfeats = _win_matmul_any(dout3, rb_local, starts, wt9, window)
-    # transposed-conv residuals: same entries against the flipped-
-    # transposed weight table (see the plain-path backward derivation).
-    dfeats = dfeats + _res_apply(dout_c, res_pad, res_ovf, ovf_v, ovf_count,
-                                 wt2d)
-    dfeats = dfeats.astype(feats.dtype)
-
-    zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
-    return (dfeats, zeros(starts), zeros(rb_local), zeros(xprev),
-            zeros(xnext), zeros(res_pad), zeros(res_ovf), zeros(ovf_v),
-            zeros(ovf_count), dw)
-
-
-_subm_conv_windowed.defvjp(_subm_conv_windowed_fwd, _subm_conv_windowed_bwd)
-
-
 def _rb32(rb):
     """rb_local ships host->device as int16 (tdwss.data.plans slimming);
     kernels and einsum fallbacks index with int32 — one fused upcast."""
@@ -953,25 +758,17 @@ def subm_conv_apply(feats: jnp.ndarray, rulebook: jnp.ndarray,
     feats (V, Cin); rulebook (V, K) — must come from a centred odd cubic
     kernel over a single coordinate set (the transpose-symmetry the
     backward relies on); weight (K, Cin, Cout) -> (V, Cout).  ``win``
-    (tdwss.ops.plan.Windowed27 or the older WindowedSubm, host-built)
-    selects the windowed-MXU path; without it the plain gather-GEMM path
-    runs.
+    (tdwss.ops.plan.Windowed27, host-built) selects the windowed-MXU
+    path; without it the plain gather-GEMM path runs.
     """
     if win is not None and rulebook.shape[-1] == 27:
-        from tdwss.ops.plan import Windowed27
-
-        if isinstance(win, Windowed27):
-            sub_off = (win.sub_off if win.sub_off is not None
-                       else jnp.zeros((0, win.starts.shape[1]), jnp.int32))
-            rtile = _pack_rtile(win)
-            return _subm_conv_w27(
-                win.window, win.sub, win.subwin, feats, win.starts,
-                sub_off, _rb32(win.rb_local), rtile, win.res_ovf,
-                win.ovf_v, win.ovf_count, weight)
-        return _subm_conv_windowed(
-            win.window, feats, win.starts, _rb32(win.rb_local), win.xprev_ok,
-            win.xnext_ok, win.res_pad, win.res_ovf, win.ovf_v,
-            win.ovf_count, weight)
+        sub_off = (win.sub_off if win.sub_off is not None
+                   else jnp.zeros((0, win.starts.shape[1]), jnp.int32))
+        rtile = _pack_rtile(win)
+        return _subm_conv_w27(
+            win.window, win.sub, win.subwin, feats, win.starts,
+            sub_off, _rb32(win.rb_local), rtile, win.res_ovf,
+            win.ovf_v, win.ovf_count, weight)
     return _subm_conv(feats, rulebook, weight)
 
 

@@ -50,8 +50,7 @@ def _expand_window(win, new_w: int):
     local index stays inside the bigger window after shifting.  Sentinels
     (== old window) remap to the new window.
     """
-    from tdwss.ops.coords import window_group_map
-    from tdwss.ops.plan import Windowed27, WindowedGather, WindowedSubm
+    from tdwss.ops.plan import Windowed27, WindowedGather
 
     old_w = win.window
     if new_w == old_w:
@@ -80,13 +79,10 @@ def _expand_window(win, new_w: int):
         else:
             gmap = np.arange(k, dtype=np.int32) % starts.shape[1]
             drows = np.repeat(delta[:, gmap], t, axis=0)
-    elif isinstance(win, Windowed27):
+    else:                                               # Windowed27
         gmap = np.arange(27, dtype=np.int32) % 9
         if starts.shape[1] == 3:
             gmap = gmap % 3
-        drows = np.repeat(delta[:, gmap], t, axis=0)
-    else:                                               # WindowedSubm
-        gmap = window_group_map(starts.shape[1])
         drows = np.repeat(delta[:, gmap], t, axis=0)
     rb_new = np.where(rb == old_w, new_w, rb + drows).astype(np.int32)
     return win.replace(starts=new_starts, rb_local=rb_new, window=new_w)
@@ -122,10 +118,10 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
     :func:`_expand_window`) and pads its residual lists to the max caps
     (pad rows carry src == V -> inert, counts 0).
     """
-    from tdwss.ops.plan import Windowed27, WindowedGather, WindowedSubm
+    from tdwss.ops.plan import Windowed27, WindowedGather
 
     is_win = lambda x: isinstance(  # noqa: E731
-        x, (WindowedSubm, Windowed27, WindowedGather))
+        x, (Windowed27, WindowedGather))
     flat0, _ = jax.tree_util.tree_flatten(batches[0], is_leaf=is_win)
     caps = {}
     flatten_sub = set()

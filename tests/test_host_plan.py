@@ -125,82 +125,6 @@ def test_voxelize_sorted_order(rng):
     assert (p2v[order[kept:]] >= cap).all()
 
 
-class TestWindowedConv:
-    def _setup(self, rng, n=1024, size=24, cin=5, cout=4, nwin=9):
-        import jax
-
-        from tdwss.ops.host_plan import build_windowed_subm
-        from tdwss.ops.sparse_conv import subm_conv_apply
-
-        coords, feats, valid = _random_coords(rng, n=n, size=size,
-                                              invalid_frac=0.05)
-        grid, vfeats, _ = voxelize_np(coords, feats[:, :3], valid, n)
-        rb = build_subm_rulebook_np(grid, 3)
-        win = build_windowed_subm(rb, grid, tile=128, window=256,
-                                  res_cap=27 * n, nwin=nwin)
-        assert win is not None
-        vf = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
-        w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
-        win = jax.tree_util.tree_map(jnp.asarray, win)
-        return rb, win, vf, w, subm_conv_apply
-
-    def test_forward_matches_plain(self, rng):
-        rb, win, vf, w, conv = self._setup(rng)
-        ref = np.asarray(conv(vf, jnp.asarray(rb), w))
-        out = np.asarray(conv(vf, jnp.asarray(rb), w, win))
-        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
-
-    def test_gradients_match_plain(self, rng):
-        import jax
-
-        rb, win, vf, w, conv = self._setup(rng)
-        cot = jnp.asarray(rng.normal(size=(vf.shape[0], 4)).astype(np.float32))
-
-        def plain(f, w_):
-            return jnp.sum(conv(f, jnp.asarray(rb), w_) * cot)
-
-        def windowed(f, w_):
-            return jnp.sum(conv(f, jnp.asarray(rb), w_, win) * cot)
-
-        gf_ref, gw_ref = jax.grad(plain, argnums=(0, 1))(vf, w)
-        gf, gw = jax.grad(windowed, argnums=(0, 1))(vf, w)
-        np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref),
-                                   rtol=2e-4, atol=2e-4)
-        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
-                                   rtol=2e-4, atol=2e-4)
-
-    def test_shared_windows_match_plain(self, rng):
-        """Grouped windows (nwin=3 / nwin=1) stay exact vs the plain path."""
-        for nwin in (3, 1):
-            rb, win, vf, w, conv = self._setup(rng, nwin=nwin)
-            assert win.starts.shape[1] == nwin
-            ref = np.asarray(conv(vf, jnp.asarray(rb), w))
-            out = np.asarray(conv(vf, jnp.asarray(rb), w, win))
-            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
-
-    def test_dense_data_exercises_residuals(self, rng):
-        """Dense small grid -> spills + missing anchors both occur."""
-        import jax
-
-        from tdwss.ops.host_plan import build_windowed_subm
-        from tdwss.ops.sparse_conv import subm_conv_apply
-
-        n = 512
-        coords, feats, valid = _random_coords(rng, n=n, size=6,
-                                              invalid_frac=0.3)
-        grid, _, _ = voxelize_np(coords, feats[:, :3], valid, n)
-        rb = build_subm_rulebook_np(grid, 3)
-        win = build_windowed_subm(rb, grid, tile=128, window=128, res_cap=27 * n)
-        assert win is not None
-        assert int((win.res_pad[..., 1] < n).sum()) > 0  # residuals present
-        vf = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
-        w = jnp.asarray(rng.normal(size=(27, 3, 2)).astype(np.float32))
-        winj = jax.tree_util.tree_map(jnp.asarray, win)
-        ref = np.asarray(subm_conv_apply(vf, jnp.asarray(rb), w))
-        out = np.asarray(subm_conv_apply(vf, jnp.asarray(rb), w, winj))
-        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
-
-
 class TestBrickPlan:
     def test_roundtrip_and_adjacency(self, rng):
         from tdwss.ops.experimental.brick_plan import build_brick_plan

@@ -307,47 +307,6 @@ def test_pallas_dma_block_gather_interpret(rng):
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref))
 
 
-def test_pallas_windowed_matmul_interpret(rng):
-    """Fused windowed-conv Pallas kernels == einsum path (interpret mode).
-
-    Mirrors the TPU dispatch in tdwss.ops.sparse_conv._win_matmul_any /
-    _win_dw_any: same operands, Pallas in interpret mode vs the XLA
-    einsum formulation.
-    """
-    from tdwss.ops.pallas_subm import pad_w9, windowed_dw, windowed_matmul
-    from tdwss.ops.sparse_conv import _win_dw, _win_matmul
-
-    from tdwss.ops.sparse_conv import _expand_starts
-
-    v, tile, window, c3, cout = 64, 16, 24, 12, 8
-    tiles = v // tile
-    feats3 = jnp.asarray(rng.normal(size=(v, c3)).astype(np.float32))
-    # window-local positions incl. the sentinel `window` (missing anchor)
-    rb_local = jnp.asarray(
-        rng.integers(0, window + 1, size=(v, 9)).astype(np.int32))
-    w9 = jnp.asarray(rng.normal(size=(9 * c3, cout)).astype(np.float32))
-    dout = jnp.asarray(rng.normal(size=(v, cout)).astype(np.float32))
-
-    for nwin in (9, 3, 1):
-        starts = jnp.asarray(
-            (rng.integers(0, (v - window) // 8 + 1, size=(tiles * nwin,)) * 8)
-            .astype(np.int32))
-        starts9 = _expand_starts(starts.reshape(tiles, nwin))
-        ref = _win_matmul(feats3, rb_local, starts9, w9, window)
-        out = windowed_matmul(feats3, starts, rb_local.T,
-                              pad_w9(w9.reshape(9, c3, cout)),
-                              window=window, tile=tile, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-5)
-
-        dref = _win_dw(feats3, rb_local, starts9, dout, window)
-        dw = windowed_dw(feats3, starts, rb_local.T, dout,
-                         window=window, tile=tile, interpret=True)
-        np.testing.assert_allclose(
-            np.asarray(dw[:, :c3, :].reshape(9 * c3, cout)), np.asarray(dref),
-            rtol=1e-4, atol=1e-4)
-
-
 def test_pallas_w27_interpret(rng):
     """27-tap fused kernel == einsum path (interpret mode), nwin 9 and 3."""
     from tdwss.ops.pallas_subm import pad_w9, windowed_dw, windowed_matmul
