@@ -419,6 +419,22 @@ def _sticky_ecap(key, needed: int, floor: int) -> int:
     return cap
 
 
+def _sticky_raw(key, total: int) -> None:
+    """Remember a native spill buffer size with 1.25x headroom.
+
+    The native planners return the TOTAL spill count and must be
+    re-invoked when the caller's buffer guess was too small — a whole
+    second pass over the level (measured 651 -> 2178 ms at bench L0 when
+    the guess lags the real count).  The raw total is recorded under its
+    own key: the "ovf" keys below track only the post-grouping leftover
+    (near zero), which silently starved the guess every batch.
+    """
+    cap = int(total * 1.25) + 512
+    with _ECAP_LOCK:
+        if cap > _ECAP_REGISTRY.get(key, 0):
+            _ECAP_REGISTRY[key] = cap
+
+
 def build_windowed_subm27_fused(
     grid: SparseGrid,
     tile: int = 512,
@@ -448,14 +464,15 @@ def build_windowed_subm27_fused(
         sub = subwin = 0
     if sub and (tile % sub or subwin % 8):
         raise ValueError("sub must divide tile; subwin must be 8-aligned")
-    guess = _ECAP_REGISTRY.get((v, tile, window, 27, nwin, sub, "ovf"),
-                               max(64, v // 64))
+    rawkey = (v, tile, window, 27, nwin, sub, "rawspill")
+    guess = _ECAP_REGISTRY.get(rawkey, max(64, v // 64))
     nat = _native.subm_windowed_plan(
         np.asarray(grid.coords), np.asarray(grid.valid), tile, window,
         nwin, sub, subwin, e_cap=guess)
     if nat is None:
         return None
     starts, sub_off, rb_local, ovf_entries = nat
+    _sticky_raw(rawkey, ovf_entries.shape[0])
     return _finish_w27(None, v, tile, window, nwin, sub, subwin,
                        starts, sub_off, rb_local, ovf_entries, None)
 
@@ -517,12 +534,13 @@ def build_windowed_subm27(
             raise ValueError("sub must divide tile; subwin must be 8-aligned")
         from tdwss import native as _native
 
-        guess = _ECAP_REGISTRY.get((v, tile, window, 27, nwin, sub, "ovf"),
-                                   max(64, v // 64))
+        rawkey = (v, tile, window, 27, nwin, sub, "rawspill")
+        guess = _ECAP_REGISTRY.get(rawkey, max(64, v // 64))
         nat = _native.windowed_rb(rb27, tile, window, nwin, sub, subwin,
                                   e_cap=guess)
         if nat is not None:
             starts, sub_off, rb_local, ovf_entries = nat
+            _sticky_raw(rawkey, ovf_entries.shape[0])
             return _finish_w27(rb27, v, tile, window, nwin, sub, subwin,
                                starts, sub_off, rb_local, ovf_entries,
                                res_cap)
@@ -805,9 +823,11 @@ def build_windowed_gather(
         # heavy passes in one native sweep now that the window is fixed
         # (any starts computed above are recomputed there — cheap)
         guess = _ECAP_REGISTRY.get(
-            key + (window, sub, "ovf"), max(64, v_out // 64))
+            key + (window, sub, "rawspill"), max(64, v_out // 64))
         nat = _native.windowed_rb(rb, t, window, group_mod, sub, subwin,
                                   e_cap=guess, v_src=v_src)
+        if nat is not None:
+            _sticky_raw(key + (window, sub, "rawspill"), nat[3].shape[0])
         if nat is not None and deferred:
             # spill-ratio feedback: if this batch spills far beyond the
             # converged regime, re-run the exact sizing and redo the
@@ -821,9 +841,12 @@ def build_windowed_gather(
                 if sub and subwin >= window:
                     sub = subwin = 0
                 guess = _ECAP_REGISTRY.get(
-                    key + (window, sub, "ovf"), max(64, v_out // 64))
+                    key + (window, sub, "rawspill"), max(64, v_out // 64))
                 nat = _native.windowed_rb(rb, t, window, group_mod, sub,
                                           subwin, e_cap=guess, v_src=v_src)
+                if nat is not None:
+                    _sticky_raw(key + (window, sub, "rawspill"),
+                                nat[3].shape[0])
     if nat is None and starts is None:
         starts, window = _span_window()
         if v_src < window:
