@@ -782,9 +782,12 @@ int64_t subm_windowed_plan(const int32_t* coords, const uint8_t* valid,
                   (static_cast<int64_t>(oy) << kCoordBits) + ox;
         gmap[o] = o % nwin;
         uint8_t m = 0;
-        if (ox < 0) m |= 1;  if (ox > 0) m |= 2;
-        if (oy < 0) m |= 4;  if (oy > 0) m |= 8;
-        if (oz < 0) m |= 16; if (oz > 0) m |= 32;
+        if (ox < 0) m |= 1;
+        if (ox > 0) m |= 2;
+        if (oy < 0) m |= 4;
+        if (oy > 0) m |= 8;
+        if (oz < 0) m |= 16;
+        if (oz > 0) m |= 32;
         tapmask[o] = m;
     }
     const int32_t start_hi = static_cast<int32_t>(v > window ? v - window : 0);
@@ -807,9 +810,12 @@ int64_t subm_windowed_plan(const int32_t* coords, const uint8_t* valid,
             for (int64_t r = 0; r < rows_v; ++r) {
                 const int32_t* c = coords + 4 * (row0 + r);
                 uint8_t e = 0;
-                if (c[0] == 0) e |= 1;  if (c[0] == cmax - 1) e |= 2;
-                if (c[1] == 0) e |= 4;  if (c[1] == cmax - 1) e |= 8;
-                if (c[2] == 0) e |= 16; if (c[2] == cmax - 1) e |= 32;
+                if (c[0] == 0) e |= 1;
+                if (c[0] == cmax - 1) e |= 2;
+                if (c[1] == 0) e |= 4;
+                if (c[1] == cmax - 1) e |= 8;
+                if (c[2] == 0) e |= 16;
+                if (c[2] == cmax - 1) e |= 32;
                 edge[r] = e;
             }
             // 1. resolve the 27 neighbor columns: ONE merge per (dy,dz)
@@ -896,6 +902,8 @@ int64_t subm_windowed_plan(const int32_t* coords, const uint8_t* valid,
                 } else {
                     for (int32_t g = 0; g < nwin; ++g) base[g] = st[g];
                 }
+                int32_t base_o[kK];
+                for (int32_t o = 0; o < kK; ++o) base_o[o] = base[gmap[o]];
                 const int64_t rows = sub ? sub : tile;
                 const int64_t r0 = row0 + si * (sub ? sub : 0);
                 for (int64_t r = 0; r < rows; ++r) {
@@ -904,15 +912,14 @@ int64_t subm_windowed_plan(const int32_t* coords, const uint8_t* valid,
                         const int32_t e =
                             rbcol[static_cast<int64_t>(o) * tile +
                                   (r0 + r - row0)];
-                        if (e < 0) {
-                            out_r[o] = static_cast<int16_t>(sentinel);
-                            continue;
-                        }
-                        const int32_t local = e - base[gmap[o]];
-                        if (local >= 0 && local < sentinel) {
-                            out_r[o] = static_cast<int16_t>(local);
-                        } else {
-                            out_r[o] = static_cast<int16_t>(sentinel);
+                        const int32_t local = e - base_o[o];
+                        // branchless common path (if-converted store);
+                        // the spill branch is rare and predictable
+                        const bool ok = (e >= 0) & (local >= 0) &
+                                        (local < sentinel);
+                        out_r[o] = ok ? static_cast<int16_t>(local)
+                                      : static_cast<int16_t>(sentinel);
+                        if (e >= 0 && !ok) {
                             spills.push_back(static_cast<int32_t>(r0 + r));
                             spills.push_back(o);
                             spills.push_back(e);
