@@ -592,9 +592,10 @@ int64_t windowed_rb_impl(const int32_t* rb27, int64_t v, int64_t v_src,
         v_src > window ? v_src - window : 0);
     const int32_t sentinel = sub ? subwin : window;
 
-    std::vector<int64_t> tile_spills(static_cast<size_t>(tiles), 0);
+    std::vector<std::vector<int32_t>> tile_spills(static_cast<size_t>(tiles));
 
-    // pass 1: starts, sub offsets, locals, per-tile spill counts
+    // one pass: starts, sub offsets, locals, per-tile spill lists
+    // (v-sorted by construction — no second sweep over the rulebook)
     parallel_for(tiles, [&](int64_t lo, int64_t hi) {
         for (int64_t t = lo; t < hi; ++t) {
             int32_t* st = out_starts + t * nwin;
@@ -603,8 +604,9 @@ int64_t windowed_rb_impl(const int32_t* rb27, int64_t v, int64_t v_src,
             const int32_t* rb_t = rb27 + t * tile * kmax;
             for (int64_t r = 0; r < tile; ++r)
                 for (int32_t k = 0; k < kmax; ++k) {
-                    int32_t e = rb_t[r * kmax + k];
-                    if (e >= 0 && e < gmin[gmap[k]]) gmin[gmap[k]] = e;
+                    const int32_t e = rb_t[r * kmax + k];
+                    const int32_t x = e < 0 ? INT32_MAX : e;   // branchless
+                    if (x < gmin[gmap[k]]) gmin[gmap[k]] = x;
                 }
             for (int32_t g = 0; g < nwin; ++g) {
                 // empty group: numpy clamps (INT32_MAX & ~7) to the top
@@ -613,7 +615,7 @@ int64_t windowed_rb_impl(const int32_t* rb27, int64_t v, int64_t v_src,
                 st[g] = std::min(std::max(s, 0), start_hi);
             }
 
-            int64_t spills = 0;
+            auto& spills = tile_spills[t];
             const int64_t spt = sub ? tile / sub : 1;   // subs per tile
             for (int64_t si = 0; si < spt; ++si) {
                 int32_t base[32];
@@ -623,9 +625,9 @@ int64_t windowed_rb_impl(const int32_t* rb27, int64_t v, int64_t v_src,
                     const int32_t* rb_s = rb_t + si * sub * kmax;
                     for (int64_t r = 0; r < sub; ++r)
                         for (int32_t k = 0; k < kmax; ++k) {
-                            int32_t e = rb_s[r * kmax + k];
-                            if (e >= 0 && e < smin[gmap[k]])
-                                smin[gmap[k]] = e;
+                            const int32_t e = rb_s[r * kmax + k];
+                            const int32_t x = e < 0 ? INT32_MAX : e;
+                            if (x < smin[gmap[k]]) smin[gmap[k]] = x;
                         }
                     int32_t* so = out_suboff + (t * spt + si) * nwin;
                     for (int32_t g = 0; g < nwin; ++g) {
@@ -641,56 +643,42 @@ int64_t windowed_rb_impl(const int32_t* rb27, int64_t v, int64_t v_src,
                 } else {
                     for (int32_t g = 0; g < nwin; ++g) base[g] = st[g];
                 }
+                int32_t base_k[32];
+                for (int32_t k = 0; k < kmax; ++k) base_k[k] = base[gmap[k]];
                 const int64_t rows = sub ? sub : tile;
                 const int64_t row0 = t * tile + si * (sub ? sub : 0);
                 for (int64_t r = 0; r < rows; ++r) {
                     const int32_t* rb_r = rb27 + (row0 + r) * kmax;
                     LocalT* out_r = out_rblocal + (row0 + r) * kmax;
                     for (int32_t k = 0; k < kmax; ++k) {
-                        int32_t e = rb_r[k];
-                        if (e < 0) { out_r[k] = static_cast<LocalT>(sentinel); continue; }
-                        int32_t local = e - base[gmap[k]];
-                        if (local >= 0 && local < sentinel) {
-                            out_r[k] = static_cast<LocalT>(local);
-                        } else {
-                            out_r[k] = static_cast<LocalT>(sentinel);
-                            ++spills;
+                        const int32_t e = rb_r[k];
+                        const int32_t local = e - base_k[k];
+                        const bool ok = (e >= 0) & (local >= 0) &
+                                        (local < sentinel);
+                        out_r[k] = ok ? static_cast<LocalT>(local)
+                                      : static_cast<LocalT>(sentinel);
+                        if (e >= 0 && !ok) {
+                            spills.push_back(static_cast<int32_t>(row0 + r));
+                            spills.push_back(k);
+                            spills.push_back(e);
                         }
                     }
                 }
             }
-            tile_spills[t] = spills;
         }
     });
 
-    // exclusive prefix so parallel writers know their output offsets
-    std::vector<int64_t> offs(static_cast<size_t>(tiles) + 1, 0);
+    int64_t total = 0;
     for (int64_t t = 0; t < tiles; ++t)
-        offs[t + 1] = offs[t] + tile_spills[t];
-    const int64_t total = offs[tiles];
-    if (total > 0 && e_cap > 0) {
-        parallel_for(tiles, [&](int64_t lo, int64_t hi) {
-            for (int64_t t = lo; t < hi; ++t) {
-                int64_t at = offs[t];
-                if (at >= e_cap) continue;
-                for (int64_t r = t * tile; r < (t + 1) * tile; ++r) {
-                    const int32_t* rb_r = rb27 + r * kmax;
-                    const LocalT* loc_r = out_rblocal + r * kmax;
-                    for (int32_t k = 0; k < kmax; ++k) {
-                        if (rb_r[k] >= 0 &&
-                            loc_r[k] == static_cast<LocalT>(sentinel)) {
-                            if (at < e_cap) {
-                                int32_t* s = out_spills + at * 3;
-                                s[0] = static_cast<int32_t>(r);
-                                s[1] = k;
-                                s[2] = rb_r[k];
-                            }
-                            ++at;
-                        }
-                    }
-                }
-            }
-        });
+        total += static_cast<int64_t>(tile_spills[t].size()) / 3;
+    int64_t at = 0;
+    for (int64_t t = 0; t < tiles && at < e_cap; ++t) {
+        const auto& sp = tile_spills[t];
+        const int64_t n = std::min<int64_t>(
+            static_cast<int64_t>(sp.size()) / 3, e_cap - at);
+        std::memcpy(out_spills + at * 3, sp.data(),
+                    static_cast<size_t>(n) * 3 * sizeof(int32_t));
+        at += n;
     }
     return total;
 }
