@@ -22,7 +22,15 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get("TDWSS_TEST_REEXEC"
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+        flags += " --xla_force_host_platform_device_count=8"
+    if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+        # 8 virtual devices serialize on few-core hosts: a device's
+        # pre-collective program segment can exceed XLA CPU's default
+        # 20 s warn / 40 s terminate rendezvous deadlines, aborting the
+        # process mid-test (seen at 1 core with production-shape DP).
+        flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+    env["XLA_FLAGS"] = flags
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tdwss_jax_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     os.execvpe(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
