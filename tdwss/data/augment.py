@@ -48,7 +48,12 @@ def train_transform(
             [0, 0, 1],
         ],
     )
-    a = np.matmul(points, rot)
+    # f32 throughout the (N, 3) work: the f64 promotion from the 3x3
+    # matrix doubled memory traffic of the matmul + four reductions
+    # (~0.3 s/5-scene batch on one core); grid coords < 4096 keep f32
+    # rounding well under voxel quantization.
+    a = np.matmul(points.astype(np.float32, copy=False),
+                  rot.astype(np.float32))
     if elastic_deformation:
         a = elastic(a, 6 * scale // 50, 40 * scale / 50)
         a = elastic(a, 20 * scale // 50, 160 * scale / 50)
@@ -60,7 +65,7 @@ def train_transform(
         + np.clip(full_scale - length - 0.001, 0, None) * rng.random(3)
         + np.clip(full_scale - length + 0.001, None, 0) * rng.random(3)
     )
-    a += offset
+    a += offset.astype(np.float32)
     keep = (a.min(1) >= 0) & (a.max(1) < full_scale)
     transform = {"rot_inv": np.linalg.inv(rot), "offset": offset}
     return a, keep, transform
@@ -85,7 +90,10 @@ def val_transform(
             [0, 0, 1],
         ],
     )
-    a = np.matmul(points, m) + full_scale / 2 + rng.uniform(-2, 2, 3)
+    a = (np.matmul(points.astype(np.float32, copy=False),
+                   m.astype(np.float32))
+         + np.float32(full_scale / 2)
+         + rng.uniform(-2, 2, 3).astype(np.float32))
     mn = a.min(0)
     mx = a.max(0)
     offset = (
@@ -93,7 +101,7 @@ def val_transform(
         + np.clip(full_scale - mx + mn - 0.001, 0, None) * rng.random(3)
         + np.clip(full_scale - mx + mn + 0.001, None, 0) * rng.random(3)
     )
-    a += offset
+    a += offset.astype(np.float32)
     keep = (a.min(1) >= 0) & (a.max(1) < full_scale)
     return a, keep
 
