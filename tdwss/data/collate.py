@@ -50,11 +50,10 @@ def _pad_points(arrays: dict, n_actual: int, capacity: int,
         n_actual = capacity
     out = {}
     for key, value in arrays.items():
-        pad_shape = (capacity - n_actual,) + value.shape[1:]
         pad_value = -100 if key == "point_label" else 0
-        out[key] = np.concatenate(
-            [value, np.full(pad_shape, pad_value, value.dtype)], axis=0
-        )
+        full = np.full((capacity,) + value.shape[1:], pad_value, value.dtype)
+        full[:n_actual] = value
+        out[key] = full
     valid = np.zeros(capacity, bool)
     valid[:n_actual] = True
     return out, valid
@@ -86,7 +85,9 @@ def train_collate(scenes: Sequence[Scene], cfg: Config,
             if scene.pseudo_labels is None:
                 raise ValueError(f"scene {scene.name} lacks pseudo labels")
             labels = scene.pseudo_labels[keep]
-        coords_l.append(np.floor(a).astype(np.int32))
+        # a >= 0 after the crop, so floor == truncation: astype avoids a
+        # second full-size float temporary
+        coords_l.append(a.astype(np.int32))
         feats_l.append(color_jitter(b, rng))
         label_l.append(labels.astype(np.int32))
         batch_l.append(np.full(a.shape[0], idx, np.int32))
@@ -194,7 +195,9 @@ def val_collate(scenes: Sequence[Scene], cfg: Config,
     for idx, (scene, ds_idx) in enumerate(zip(scenes, scene_indices)):
         a, keep = val_transform(scene.points, pcd.scale, full_scale, rng)
         a = a[keep]
-        coords_l.append(np.floor(a).astype(np.int32))
+        # a >= 0 after the crop, so floor == truncation: astype avoids a
+        # second full-size float temporary
+        coords_l.append(a.astype(np.int32))
         feats_l.append(scene.colors[keep].astype(np.float32))
         label_l.append(scene.labels[keep].astype(np.int32))
         batch_l.append(np.full(a.shape[0], idx, np.int32))
