@@ -29,6 +29,7 @@ def _prefetch(gen, depth: int = 2, to_device: bool = False):
     instead of serializing with it in the training loop."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    failure: list = []
 
     def worker():
         try:
@@ -38,6 +39,8 @@ def _prefetch(gen, depth: int = 2, to_device: bool = False):
 
                     item = jax.device_put(item)
                 q.put(item)
+        except BaseException as e:  # re-raised in the consumer below
+            failure.append(e)
         finally:
             q.put(sentinel)
 
@@ -46,6 +49,10 @@ def _prefetch(gen, depth: int = 2, to_device: bool = False):
     while True:
         item = q.get()
         if item is sentinel:
+            if failure:
+                # surface collate/plan/transfer errors instead of silently
+                # truncating the epoch
+                raise failure[0]
             return
         yield item
 
