@@ -151,16 +151,21 @@ def main() -> None:
 
     e2e_mpts = None
     try:
+        from tdwss.data.collate import CollateStats
+
         for epoch in (1, 2):
             t0 = time.perf_counter()
-            pts = 0
+            stats = CollateStats()
             nb = 0
-            for b in train_batches(e2e_scenes, cfg, epoch=epoch,
+            for b in train_batches(e2e_scenes, cfg, epoch=epoch, stats=stats,
                                    to_device=True):
-                pts += int(np.asarray(b.valid).sum())
+                # point count comes from collate stats — touching b.valid
+                # here would device_get 786k bools and sync every step
                 state, aux = train_step(state, b)
                 nb += 1
             jax.block_until_ready(state.params)
+            pts = min(stats.total_points - stats.dropped_points,
+                      nb * MAX_POINTS)
             e2e_mpts = pts / (time.perf_counter() - t0) / 1e6
             print(f"e2e epoch {epoch}: {nb} steps, {e2e_mpts:.3f} Mpts/s",
                   file=sys.stderr)

@@ -92,14 +92,15 @@ class Trainer:
 
     def run_epoch(self, epoch: int) -> float:
         stats = CollateStats()
-        train_loss = 0.0
-        num_steps = 0
-        for batch in train_batches(self.train_scenes, self.cfg, epoch, stats):
-            batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        losses = []
+        for batch in train_batches(self.train_scenes, self.cfg, epoch, stats,
+                                   to_device=True):
             self.state, aux = self.train_step(self.state, batch)
-            train_loss += float(aux["loss"])
-            num_steps += 1
-        return train_loss / max(num_steps, 1)
+            # keep the loss ON DEVICE until epoch end: float() here would
+            # block on every step, serializing the host loop with the
+            # device and defeating the loader's transfer/plan overlap
+            losses.append(aux["loss"])
+        return float(jnp.mean(jnp.stack(losses))) if losses else 0.0
 
     def fit(self, epochs: Optional[int] = None) -> List[float]:
         cfg = self.cfg
