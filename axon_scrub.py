@@ -23,7 +23,7 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get("TDWSS_TEST_REEXEC"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         flags += " --xla_force_host_platform_device_count=8"
-    if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    if "xla_cpu_collective_call" not in flags:
         # 8 virtual devices serialize on few-core hosts: a device's
         # pre-collective program segment can exceed XLA CPU's default
         # 20 s warn / 40 s terminate rendezvous deadlines, aborting the

@@ -157,11 +157,17 @@ def main() -> None:
             t0 = time.perf_counter()
             stats = CollateStats()
             nb = 0
+            recent = []
             for b in train_batches(e2e_scenes, cfg, epoch=epoch, stats=stats,
                                    to_device=True):
                 # point count comes from collate stats — touching b.valid
-                # here would device_get 786k bools and sync every step
+                # here would device_get 786k bools and sync every step;
+                # the 4-deep sync caps in-flight device buffers on hosts
+                # where collate outruns the device
                 state, aux = train_step(state, b)
+                recent.append(aux["loss"])
+                if len(recent) > 4:
+                    jax.block_until_ready(recent.pop(0))
                 nb += 1
             jax.block_until_ready(state.params)
             pts = min(stats.total_points - stats.dropped_points,

@@ -33,8 +33,8 @@ def main():
     from tdwss.ops.host_plan import (build_plans_np,
                                      build_windowed_subm27_fused,
                                      build_windowed_gather,
-                                     downsample_level_np, parent_rulebook,
-                                     voxelize_np)
+                                     downsample_level_np, level_geometry,
+                                     parent_rulebook, voxelize_np)
 
     cfg = Config(
         training_name="bench", model_name="MultiLabel", label="scene_level",
@@ -77,13 +77,10 @@ def main():
     g = grid
     for lvl in range(num_levels):
         v = g.coords.shape[0]
-        t = 512
-        while t > 32 and v % t:
-            t //= 2
-        sub = 128 if t % 128 == 0 else 0
+        t, sub, subwin = level_geometry(v)
         win = timed(f"L{lvl} fused w27 plan (V={v}, t={t})",
                     build_windowed_subm27_fused, g, tile=t, window=640,
-                    nwin=9, sub=sub, subwin=256 if sub else 0)
+                    nwin=9, sub=sub, subwin=subwin)
         if win is None:
             print(f"    (L{lvl} fused planner returned None)")
         if lvl + 1 < num_levels:

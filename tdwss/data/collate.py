@@ -32,21 +32,40 @@ from tdwss.data.tokenizer import tokenize
 
 @dataclass
 class CollateStats:
+    """Point accounting across a loader epoch.
+
+    Collates run on concurrent worker threads (tdwss.data.loader), and
+    bench.py derives its e2e throughput numerator from these counters, so
+    the increments must be atomic — a bare ``+=`` is a read-modify-write
+    that can lose a whole batch's count under interleaving.
+    """
+
     total_points: int = 0
     dropped_points: int = 0
+
+    def __post_init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+
+    def add(self, total: int, dropped: int = 0) -> None:
+        with self._lock:
+            self.total_points += total
+            self.dropped_points += dropped
 
 
 def _pad_points(arrays: dict, n_actual: int, capacity: int,
                 rng: np.random.Generator, stats: Optional[CollateStats]):
     """Pad (or uniformly subsample) the concatenated point arrays."""
-    if stats is not None:
-        stats.total_points += n_actual
+    dropped = 0
     if n_actual > capacity:
         keep = rng.permutation(n_actual)[:capacity]
         keep.sort()
         arrays = {k: v[keep] for k, v in arrays.items()}
-        if stats is not None:
-            stats.dropped_points += n_actual - capacity
+        dropped = n_actual - capacity
+    if stats is not None:
+        stats.add(n_actual, dropped)
+    if n_actual > capacity:
         n_actual = capacity
     out = {}
     for key, value in arrays.items():

@@ -38,6 +38,9 @@ from tdwss.utils.checkpoint import Checkpointer, load_pretrain
 from tdwss.utils.flops import mega_mul_add, param_count
 from tdwss.utils.logging_util import ScalarLogger
 
+# max un-synced dispatched steps (device-buffer backpressure)
+_PIPELINE_DEPTH = 4
+
 
 def is_power2(n: int) -> bool:
     return n > 0 and (n & (n - 1)) == 0
@@ -98,8 +101,14 @@ class Trainer:
             self.state, aux = self.train_step(self.state, batch)
             # keep the loss ON DEVICE until epoch end: float() here would
             # block on every step, serializing the host loop with the
-            # device and defeating the loader's transfer/plan overlap
+            # device and defeating the loader's transfer/plan overlap.
+            # Bounded pipelining: on hosts where collate outruns the
+            # device, an unbounded dispatch queue would pin every
+            # in-flight batch's ~100+ MB of buffers in HBM — waiting on
+            # the step from PIPELINE_DEPTH iterations ago caps that.
             losses.append(aux["loss"])
+            if len(losses) > _PIPELINE_DEPTH:
+                jax.block_until_ready(losses[-_PIPELINE_DEPTH])
         return float(jnp.mean(jnp.stack(losses))) if losses else 0.0
 
     def fit(self, epochs: Optional[int] = None) -> List[float]:

@@ -204,6 +204,23 @@ def downsample_level_np(grid: SparseGrid, num_voxels: int, filter_size: int,
     return coarse_grid, parent, child_offset, down_rb
 
 
+def level_geometry(v: int, tile: int = 512):
+    """Per-level windowed-conv geometry: (tile, sub, subwin).
+
+    The single source of the tile-halving and sub-window enablement
+    policy — build_plans_np and the host-plan profiler
+    (benchmarks/profile_host_plan.py) must agree or the profiler times a
+    different geometry than production builds.  Sub-windows: measured
+    32.5 -> 22.8 ms fwd (88 -> 61 fwd+bwd) at V=636k C=32 vs the flat
+    big-window kernel.
+    """
+    t = tile
+    while t > 32 and v % t != 0:
+        t //= 2
+    sub = 128 if t % 128 == 0 else 0
+    return t, sub, (256 if sub else 0)
+
+
 def build_plans_np(
     grid0: SparseGrid,
     num_levels: int,
@@ -242,20 +259,15 @@ def build_plans_np(
         win = None
         if windowed and subm_kernel == 3:
             v = grid.coords.shape[0]
-            t = tile
-            while t > 32 and v % t != 0:
-                t //= 2
+            t, sub, subwin = level_geometry(v, tile)
             if form == "w27":
-                # sub-windows: measured 32.5 -> 22.8 ms fwd (88 -> 61
-                # fwd+bwd) at V=636k C=32 vs the flat big-window kernel
-                sub = 128 if t % 128 == 0 else 0
                 if nwin not in (9, 3):
                     raise ValueError(
                         f"form='w27' supports nwin in (9, 3), got {nwin}")
                 if fused and window > 0:
                     win = build_windowed_subm27_fused(
                         grid, tile=t, window=window, nwin=nwin, sub=sub,
-                        subwin=256 if sub else 0)
+                        subwin=subwin)
                 if win is None:
                     subm_rb = build_subm_rulebook_np(grid, subm_kernel)
                     win = build_windowed_subm27(subm_rb, grid, tile=t,
@@ -263,7 +275,7 @@ def build_plans_np(
                                                 auto_window=window <= 0,
                                                 nwin=nwin,
                                                 sub=sub,
-                                                subwin=256 if sub else 0)
+                                                subwin=subwin)
             else:
                 raise ValueError(f"unknown windowed form {form!r}")
         if subm_rb is None:

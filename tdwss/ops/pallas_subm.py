@@ -37,7 +37,8 @@ across the sequential grid in a VMEM scratch, emitted at the last step.
 Reference parity: this computes scn.SubmanifoldConvolution's rulebook
 gather-GEMM (reference models/SparseConvNet.py usage) exactly; the
 residual-correction entries (window spills, missing-anchor diagonals) are
-applied OUTSIDE this kernel by tdwss.ops.sparse_conv._res_apply.
+applied OUTSIDE this kernel by tdwss.ops.sparse_conv's spill tiers
+(_res_tile_apply / _res_heavy_apply / _res_ovf_apply).
 """
 
 from __future__ import annotations

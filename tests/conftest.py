@@ -14,7 +14,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags += " --xla_force_host_platform_device_count=8"
-if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+if "xla_cpu_collective_call" not in flags:
     # see axon_scrub.py: virtual-mesh collectives need generous rendezvous
     # deadlines on few-core hosts
     flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
