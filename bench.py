@@ -107,15 +107,17 @@ def main() -> None:
     warm_plan_shapes(e2e_scenes, cfg, epochs=(1, 2))
     print(f"shape prewarm: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     batch = train_collate(scenes, cfg, rng)
-    from tdwss.data.plans import attach_host_plans
+    from tdwss.data.plans import attach_host_plans, slim_batch_for_train
 
     # Rulebooks are built on host (tdwss.ops.host_plan): the jitted step is
     # pure gather-GEMM-scatter with no device sorts.  Throughput below is
     # device-step-only; the host plan build overlaps via the input pipeline
     # in real training (tdwss.data.loader prefetch).
     batch = attach_host_plans(batch, cfg)
-    batch = jax.tree_util.tree_map(jnp.asarray, batch)
     valid_points = int(np.asarray(batch.valid).sum())
+    # same slimming the e2e loader applies — one executable for both loops
+    batch = slim_batch_for_train(batch, cfg)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
     from tdwss.models import build_model
 

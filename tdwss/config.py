@@ -109,6 +109,9 @@ class EngineConfig:
                                      # sticky window/cap shapes converge
                                      # before the first jit (see
                                      # tdwss.data.loader.warm_plan_shapes)
+    slim_train_batch: bool = True    # drop train-dead point leaves
+                                     # (coords/feats/point_ids) from the
+                                     # device payload when host plans attach
     slim_device_plans: bool = True   # strip device-dead plan leaves (global
                                      # rulebooks, coarse grids) + int16
                                      # rb_local before host->device transfer

@@ -111,6 +111,10 @@ def train_batches(scenes: Sequence[Scene], cfg: Config, epoch: int,
         batch = train_collate(sel, cfg, brng, stats)
         if cfg.engine.host_plans:
             batch = attach_host_plans(batch, cfg)
+            if cfg.engine.slim_train_batch:
+                from tdwss.data.plans import slim_batch_for_train
+
+                batch = slim_batch_for_train(batch, cfg)
         return batch
 
     gen = _parallel_map_ordered(make, starts, cfg.engine.collate_workers)

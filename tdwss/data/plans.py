@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from typing import Optional
+
 from tdwss.config import Config
 from tdwss.data.batch import PointBatch
 from tdwss.ops.host_plan import host_voxelize_and_plan
@@ -73,6 +75,46 @@ def slim_plans_for_device(plans):
             win=_slim_win(lvl.win),
             wg_down=_slim_win(lvl.wg_down), wg_up=_slim_win(lvl.wg_up)))
     return plans.replace(levels=tuple(new_levels))
+
+
+def slim_batch_for_train(batch: PointBatch,
+                         cfg: Optional[Config] = None) -> PointBatch:
+    """Drop point leaves no train graph reads once plans are attached.
+
+    With host plans, every encoder path takes ``vox_feats``/``point2voxel``
+    and reads ``coords``/``feats`` only in the plans-free branch
+    (tdwss.models.sparse_encoders.__call__), and ``point_ids`` exists only
+    for val-time vote accumulation — yet all three still ride the
+    host->device transfer (~25 MB of a ~184 MB bench batch).  Zero-row
+    placeholders keep the pytree structure and column counts; XLA already
+    dead-code-eliminated the values, this eliminates the transfer.
+
+    ``coords`` survives for models registered with
+    ``reads_point_coords=True`` (FullySupervised's scene pooling segments
+    point logits by ``batch.batch_idx == coords[:, 3]``).
+    ``point_label``/``valid``/``point2voxel``/``point_perm`` always stay:
+    the pseudo-label point loss and FullySupervised read them at train.
+    """
+    if batch.plans is None:
+        return batch
+    feats = np.zeros((0, batch.feats.shape[1]),
+                     np.asarray(batch.feats).dtype)
+    pids = np.zeros((0,), np.asarray(batch.point_ids).dtype)
+    out = batch.replace(feats=feats, point_ids=pids)
+    needs_coords = False
+    if cfg is not None:
+        from tdwss.models.meta_arch import MODEL_REGISTRY
+
+        try:
+            _, meta = MODEL_REGISTRY.get(cfg.model_name)
+            needs_coords = bool(meta.get("reads_point_coords"))
+        except KeyError:
+            needs_coords = True        # unknown model: keep everything
+    if not needs_coords:
+        coords = np.zeros((0, batch.coords.shape[1]),
+                          np.asarray(batch.coords).dtype)
+        out = out.replace(coords=coords)
+    return out
 
 
 def attach_host_plans(batch: PointBatch, cfg: Config,

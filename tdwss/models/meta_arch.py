@@ -136,7 +136,7 @@ class MultiLabel(nn.Module):
         return global_logits
 
 
-@MODEL_REGISTRY.register()
+@MODEL_REGISTRY.register(reads_point_coords=True)
 class FullySupervised(nn.Module):
     """Pseudo-label retraining round (reference :72-101).
 

@@ -114,3 +114,16 @@ def test_warm_plan_shapes_freezes_sticky_registry():
     for k, v in snap.items():
         assert hp._ECAP_REGISTRY.get(k) == v, k
     hp.reset_sticky_plans()
+
+
+def test_train_batches_slims_dead_point_leaves():
+    cfg = _cfg()
+    scenes = make_dataset(2, num_points=1500, seed=11, with_text=False)
+    b = next(iter(train_batches(scenes, cfg, epoch=1, prefetch=False)))
+    assert b.plans is not None
+    assert b.coords.shape[0] == 0 and b.feats.shape[0] == 0
+    assert b.point_ids.shape[0] == 0
+    # model-dependent leaves survive
+    assert b.point_label.shape[0] == cfg.engine.max_points
+    assert b.valid.shape[0] == cfg.engine.max_points
+    assert b.point2voxel is not None and b.point2voxel.shape[0] > 0
