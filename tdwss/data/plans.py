@@ -107,6 +107,18 @@ def slim_batch_for_train(batch: PointBatch,
                      np.asarray(batch.feats).dtype)
     pids = np.zeros((0,), np.asarray(batch.point_ids).dtype)
     out = batch.replace(feats=feats, point_ids=pids)
+    # narrow dtypes on the leaves that do ship: labels are class ids in
+    # [-100, 19] (int8 exact; masked_cross_entropy upcasts in-graph), and
+    # the step's first op casts vox_feats to the compute dtype anyway —
+    # casting host-side moves the transfer to the narrow side
+    if cfg is not None:
+        label8 = np.asarray(batch.point_label).astype(np.int8)
+        out = out.replace(point_label=label8)
+        if cfg.engine.compute_dtype == "bfloat16" and out.vox_feats is not None:
+            import jax.numpy as jnp
+
+            out = out.replace(
+                vox_feats=np.asarray(out.vox_feats).astype(jnp.bfloat16))
     needs_coords = False
     if cfg is not None:
         from tdwss.models.meta_arch import MODEL_REGISTRY
