@@ -72,9 +72,12 @@ def slim_plans_for_device(plans):
         elif grid.key_hi.shape[0]:
             # L0: coords[:, 3] (scene ids) and counts feed the pooling,
             # but the sorted keys only serve on-device rulebook lookups,
-            # which host plans replace entirely
+            # which host plans replace entirely.  Coords fit int16
+            # (full_scale < 32768 and batch ids are tiny); the encoder
+            # upcasts the one column it reads.
             grid = grid.replace(key_hi=np.zeros((0,), np.int32),
-                                key_lo=np.zeros((0,), np.int32))
+                                key_lo=np.zeros((0,), np.int32),
+                                coords=np.asarray(grid.coords, np.int16))
         new_levels.append(lvl.replace(
             grid=grid, subm_rb=subm_rb, parent=parent,
             child_offset=child_offset, down_rb=down_rb,

@@ -272,8 +272,11 @@ class _SparseEncoderBase(nn.Module):
             # (every point reads its voxel's features, OutputLayer parity).
             # Pooling on voxels keeps the devoxelize gather — whose VJP is a
             # TPU-hostile scatter — out of the training graph entirely.
+            # grid.coords may ship int16 (slim_batch_for_train); the
+            # segment one-hot compares want int32
             return segment_mean_weighted(
-                h.astype(jnp.float32), grid.coords[:, 3], grid.counts,
+                h.astype(jnp.float32),
+                grid.coords[:, 3].astype(jnp.int32), grid.counts,
                 num_scenes, grid.valid)
         # OutputLayer: voxel -> point readback (fp32 for heads/losses).
         # With a host-provided run permutation the readback stays
