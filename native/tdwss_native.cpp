@@ -15,6 +15,7 @@
 // Build: make -C native  (g++ -O3 -fPIC -shared)
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -429,10 +430,32 @@ struct KeyIdx {
     int32_t idx;
 };
 
-// Parallel bucket sort by key (ascending, stable within bucket via
-// std::stable_sort on (key, idx)).
+constexpr int kRadixBits = 12;
+constexpr int kRadixSize = 1 << kRadixBits;
+
+// Stable LSD radix sort by non-negative key (12-bit digits); ties keep
+// insertion order, so items appended in index order stay idx-stable.
+void radix_sort_key_idx(std::vector<KeyIdx>& items, int64_t max_key) {
+    std::vector<KeyIdx> tmp(items.size());
+    std::vector<int64_t> count(static_cast<size_t>(kRadixSize) + 1);
+    int shift = 0;
+    while ((max_key >> shift) > 0) {
+        std::fill(count.begin(), count.end(), 0);
+        for (const auto& it : items)
+            ++count[((it.key >> shift) & (kRadixSize - 1)) + 1];
+        for (int b = 0; b < kRadixSize; ++b) count[b + 1] += count[b];
+        for (const auto& it : items)
+            tmp[count[(it.key >> shift) & (kRadixSize - 1)]++] = it;
+        items.swap(tmp);
+        shift += kRadixBits;
+    }
+}
+
+// Sort by key ascending, stable (items are appended in index order, so
+// stability == ties sorted by idx).  Small inputs: comparison sort;
+// large: stable LSD radix (12-bit digits) — ~3x the bucketed
+// std::stable_sort it replaced at bench L0 (786k keys).
 void sort_key_idx(std::vector<KeyIdx>& items) {
-    const int kBuckets = 256;
     const int64_t n = static_cast<int64_t>(items.size());
     if (n < (1 << 15)) {
         std::stable_sort(items.begin(), items.end(),
@@ -442,28 +465,9 @@ void sort_key_idx(std::vector<KeyIdx>& items) {
                          });
         return;
     }
-    // bucket by top bits of the (non-negative) key
     int64_t max_key = 0;
     for (const auto& it : items) max_key = std::max(max_key, it.key);
-    int shift = 0;
-    while ((max_key >> shift) >= kBuckets) ++shift;
-    std::vector<int64_t> count(kBuckets + 1, 0);
-    for (const auto& it : items) ++count[(it.key >> shift) + 1];
-    for (int b = 0; b < kBuckets; ++b) count[b + 1] += count[b];
-    std::vector<KeyIdx> out(items.size());
-    {
-        std::vector<int64_t> pos(count.begin(), count.end() - 1);
-        for (const auto& it : items) out[pos[it.key >> shift]++] = it;
-    }
-    items.swap(out);
-    parallel_for(kBuckets, [&](int64_t lo, int64_t hi) {
-        for (int64_t b = lo; b < hi; ++b)
-            std::stable_sort(items.begin() + count[b], items.begin() + count[b + 1],
-                             [](const KeyIdx& a, const KeyIdx& b2) {
-                                 return a.key < b2.key ||
-                                        (a.key == b2.key && a.idx < b2.idx);
-                             });
-    });
+    radix_sort_key_idx(items, max_key);
 }
 
 }  // namespace
@@ -783,11 +787,15 @@ int64_t subm_windowed_plan(const int32_t* coords, const uint8_t* valid,
     const int64_t spt = sub ? tile / sub : 1;
 
     std::vector<std::vector<int32_t>> tile_spills(static_cast<size_t>(tiles));
+    std::atomic<int64_t> ns_walk{0}, ns_emit{0};   // prof-only accumulators
 
     parallel_for(tiles, [&](int64_t lo, int64_t hi) {
         std::vector<int32_t> rbcol(static_cast<size_t>(kK) * tile);
+        std::vector<int16_t> loc16(static_cast<size_t>(kK) * tile);
         std::vector<uint8_t> edge(static_cast<size_t>(tile));
         for (int64_t t = lo; t < hi; ++t) {
+            std::chrono::steady_clock::time_point t_a, t_b;
+            if (prof) t_a = std::chrono::steady_clock::now();
             const int64_t row0 = t * tile;
             const int64_t rows_v = std::max<int64_t>(
                 0, std::min<int64_t>(tile, nv - row0));   // valid rows here
@@ -845,6 +853,11 @@ int64_t subm_windowed_plan(const int32_t* coords, const uint8_t* valid,
                     colm[r] = -1; col0[r] = -1; colp[r] = -1;
                 }
             }
+            if (prof) {
+                t_b = std::chrono::steady_clock::now();
+                ns_walk += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                    t_b - t_a).count();
+            }
             // 2. per-group window starts.  Within a column the hits are
             // strictly increasing (the merge cursor j is monotone in r),
             // so a column's min is its FIRST hit — an O(1) probe instead
@@ -894,35 +907,73 @@ int64_t subm_windowed_plan(const int32_t* coords, const uint8_t* valid,
                 for (int32_t o = 0; o < kK; ++o) base_o[o] = base[gmap[o]];
                 const int64_t rows = sub ? sub : tile;
                 const int64_t r0 = row0 + si * (sub ? sub : 0);
-                for (int64_t r = 0; r < rows; ++r) {
-                    int16_t* out_r = out_rblocal + (r0 + r) * kK;
-                    for (int32_t o = 0; o < kK; ++o) {
-                        const int32_t e =
-                            rbcol[static_cast<int64_t>(o) * tile +
-                                  (r0 + r - row0)];
-                        const int32_t local = e - base_o[o];
-                        // branchless common path (if-converted store);
-                        // the spill branch is rare and predictable
+                const int64_t c0 = r0 - row0;        // si block start in tile
+                // emit, column-major: per tap the rbcol column is read and
+                // the int16 locals written CONTIGUOUSLY (a branch-free
+                // loop the compiler vectorizes), into a tap-major scratch;
+                // one cache-resident transpose then lays out the (row, 27)
+                // device order.  ~2.5x the old row-major scalar emit.
+                for (int32_t o = 0; o < kK; ++o) {
+                    const int32_t* col =
+                        rbcol.data() + static_cast<int64_t>(o) * tile + c0;
+                    int16_t* loc = loc16.data() +
+                        static_cast<int64_t>(o) * tile + c0;
+                    const int32_t base_v = base_o[o];
+                    int32_t any = 0;
+                    for (int64_t r = 0; r < rows; ++r) {
+                        const int32_t e = col[r];
+                        const int32_t local = e - base_v;
                         const bool ok = (e >= 0) & (local >= 0) &
                                         (local < sentinel);
-                        out_r[o] = ok ? static_cast<int16_t>(local)
-                                      : static_cast<int16_t>(sentinel);
-                        if (e >= 0 && !ok) {
-                            spills.push_back(static_cast<int32_t>(r0 + r));
-                            spills.push_back(o);
-                            spills.push_back(e);
+                        loc[r] = ok ? static_cast<int16_t>(local)
+                                    : static_cast<int16_t>(sentinel);
+                        any |= static_cast<int32_t>((e >= 0) & !ok);
+                    }
+                    if (any) {           // rare: rescan this block for spills
+                        for (int64_t r = 0; r < rows; ++r) {
+                            const int32_t e = col[r];
+                            const int32_t local = e - base_v;
+                            if (e >= 0 && !((local >= 0) & (local < sentinel))) {
+                                spills.push_back(static_cast<int32_t>(r0 + r));
+                                spills.push_back(o);
+                                spills.push_back(e);
+                            }
                         }
                     }
                 }
             }
+            // transpose the tap-major scratch into the (row, 27) output
+            for (int64_t r = 0; r < tile; ++r) {
+                int16_t* out_r = out_rblocal + (row0 + r) * kK;
+                const int16_t* src = loc16.data() + r;
+                for (int32_t o = 0; o < kK; ++o)
+                    out_r[o] = src[static_cast<int64_t>(o) * tile];
+            }
+            // restore the contract: spills sorted by (row, tap) within
+            // the tile (collection above is tap-major); spills are rare
+            // so the per-tile sort is noise
+            if (!spills.empty()) {
+                const int64_t ntr = static_cast<int64_t>(spills.size()) / 3;
+                std::vector<std::array<int32_t, 3>> tr(ntr);
+                std::memcpy(tr.data(), spills.data(),
+                            spills.size() * sizeof(int32_t));
+                std::sort(tr.begin(), tr.end());
+                std::memcpy(spills.data(), tr.data(),
+                            spills.size() * sizeof(int32_t));
+            }
+            if (prof)
+                ns_emit += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                    std::chrono::steady_clock::now() - t_b).count();
         }
     });
 
     if (prof) {
         const double ms = std::chrono::duration<double, std::milli>(
             std::chrono::steady_clock::now() - tic).count();
-        fprintf(stderr, "[subm_windowed_plan] v=%lld main %.0f ms\n",
-                     (long long)v, ms);
+        fprintf(stderr,
+                "[subm_windowed_plan] v=%lld main %.0f ms (walk %.0f, "
+                "emit %.0f)\n", (long long)v, ms, ns_walk.load() / 1e6,
+                ns_emit.load() / 1e6);
     }
     int64_t total = 0;
     for (int64_t t = 0; t < tiles; ++t)
@@ -937,6 +988,92 @@ int64_t subm_windowed_plan(const int32_t* coords, const uint8_t* valid,
         at += n;
     }
     return total;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused strided-downsample plan (host twin of tdwss/ops/host_plan.py
+// downsample_level_np + parent_rulebook composed).  Coarse keys of a
+// key-sorted fine grid are NOT sorted (halving z interleaves the y
+// order), so a reorder is unavoidable — but one stable radix sort plus a
+// single run walk replaces the general voxelize (bucket + comparison
+// sort) AND emits parent / child_offset / down_rb / rb_up in the same
+// pass, where the numpy twin pays three further full-size scatter passes.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// coords (vf, 4) int32 [x,y,z,b] fine grid (invalid rows zeroed, as the
+// voxelizer leaves them), valid (vf,) u8, vc = coarse capacity, f == s
+// (filter == stride, the only form the reference uses).  Outputs:
+//   vox_coords (vc,4), key_hi/key_lo (vc,), out_valid (vc,) u8,
+//   counts (vc,)                       — the coarse SparseGrid arrays
+//   parent (vf,) int32                 — coarse rank, or vc when the fine
+//                                        row is invalid / overflowed
+//   child_offset (vf,) int32           — (x%s)*s*s + (y%s)*s + z%s
+//   down_rb (vc, f^3) int32            — child fine row per tap, -1 holes
+//   rb_up (vf, f^3) int32              — parent at column child_offset
+// Returns the TRUE number of distinct coarse voxels (> vc = overflow).
+int32_t downsample_plan(const int32_t* coords, const uint8_t* valid,
+                        int64_t vf, int32_t vc, int32_t f, int32_t s,
+                        int32_t* vox_coords, int32_t* key_hi, int32_t* key_lo,
+                        uint8_t* out_valid, int32_t* counts,
+                        int32_t* parent, int32_t* child_offset,
+                        int32_t* down_rb, int32_t* rb_up) {
+    const int32_t k = f * f * f;
+    std::fill(down_rb, down_rb + static_cast<int64_t>(vc) * k, -1);
+    std::fill(rb_up, rb_up + vf * k, -1);
+    const int32_t invalid_key = 0x7fffffff;
+    for (int32_t j = 0; j < vc; ++j) {
+        key_hi[j] = invalid_key;
+        key_lo[j] = invalid_key;
+        out_valid[j] = 0;
+        counts[j] = 0;
+        for (int d = 0; d < 4; ++d) vox_coords[4 * j + d] = 0;
+    }
+
+    std::vector<KeyIdx> items;
+    items.reserve(static_cast<size_t>(vf));
+    int64_t max_key = 0;
+    for (int64_t i = 0; i < vf; ++i) {
+        const int32_t* c = coords + 4 * i;
+        child_offset[i] = (c[0] % s) * s * s + (c[1] % s) * s + (c[2] % s);
+        parent[i] = vc;
+        if (valid[i]) {
+            const int32_t cc[4] = {c[0] / s, c[1] / s, c[2] / s, c[3]};
+            const int64_t key = pack_voxel_key(cc);
+            items.push_back({key, static_cast<int32_t>(i)});
+            max_key = std::max(max_key, key);
+        }
+    }
+    radix_sort_key_idx(items, max_key);
+
+    int32_t rank = -1;
+    int64_t prev = -1;
+    for (const auto& it : items) {
+        if (it.key != prev) {
+            ++rank;
+            prev = it.key;
+            if (rank < vc) {
+                const int32_t* c = coords + 4 * it.idx;
+                int32_t* o = vox_coords + 4 * rank;
+                o[0] = c[0] / s; o[1] = c[1] / s; o[2] = c[2] / s; o[3] = c[3];
+                key_hi[rank] = static_cast<int32_t>(it.key >> (2 * kCoordBits));
+                key_lo[rank] = static_cast<int32_t>(
+                    it.key & ((1LL << (2 * kCoordBits)) - 1));
+                out_valid[rank] = 1;
+            }
+        }
+        if (rank < vc) {
+            parent[it.idx] = rank;
+            ++counts[rank];
+            const int32_t off = child_offset[it.idx];
+            down_rb[static_cast<int64_t>(rank) * k + off] = it.idx;
+            rb_up[static_cast<int64_t>(it.idx) * k + off] = rank;
+        }
+    }
+    return rank + 1;
 }
 
 }  // extern "C"

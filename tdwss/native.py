@@ -40,7 +40,7 @@ def _load() -> Optional[ctypes.CDLL]:
                     check=True, capture_output=True, timeout=120,
                 )
             lib = ctypes.CDLL(_LIB_PATH)
-            if not hasattr(lib, "subm_windowed_plan"):  # stale build
+            if not hasattr(lib, "downsample_plan"):  # stale build
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR, "clean", "all"],
                     check=True, capture_output=True, timeout=120,
@@ -53,6 +53,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.windowed_rb.restype = ctypes.c_int64
             lib.windowed_rb16.restype = ctypes.c_int64
             lib.subm_windowed_plan.restype = ctypes.c_int64
+            lib.downsample_plan.restype = ctypes.c_int32
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -308,6 +309,53 @@ def voxelize(coords: np.ndarray, valid: np.ndarray, num_voxels: int,
     )
     return (vox_coords, key_hi, key_lo, vox_valid.astype(bool), counts,
             np.int32(num_valid), p2v, vox_feats, sorted_order)
+
+
+def downsample_plan(coords: np.ndarray, valid: np.ndarray, num_voxels: int,
+                    filter_size: int, stride: int):
+    """Fused strided-downsample plan from a key-sorted fine grid.
+
+    Returns (vox_coords, key_hi, key_lo, vox_valid, counts, num_valid,
+    parent, child_offset, down_rb, rb_up), or None when the native
+    library is unavailable or filter != stride.  Semantics identical to
+    tdwss.ops.host_plan.downsample_level_np followed by parent_rulebook —
+    one radix-sorted pass instead of a general voxelize plus three
+    full-size numpy scatter passes.
+    """
+    lib = _load()
+    if lib is None or filter_size != stride:
+        return None
+    coords = _i32(coords)
+    valid_u8 = np.ascontiguousarray(valid, np.uint8)
+    vf = coords.shape[0]
+    vc = int(num_voxels)
+    k = filter_size ** 3
+    vox_coords = np.empty((vc, 4), np.int32)
+    key_hi = np.empty((vc,), np.int32)
+    key_lo = np.empty((vc,), np.int32)
+    vox_valid = np.empty((vc,), np.uint8)
+    counts = np.empty((vc,), np.int32)
+    parent = np.empty((vf,), np.int32)
+    child_offset = np.empty((vf,), np.int32)
+    down_rb = np.empty((vc, k), np.int32)
+    rb_up = np.empty((vf, k), np.int32)
+    num_valid = lib.downsample_plan(
+        coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        valid_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(vf), ctypes.c_int32(vc),
+        ctypes.c_int32(filter_size), ctypes.c_int32(stride),
+        vox_coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        key_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        key_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vox_valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        child_offset.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        down_rb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rb_up.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return (vox_coords, key_hi, key_lo, vox_valid.astype(bool), counts,
+            np.int32(num_valid), parent, child_offset, down_rb, rb_up)
 
 
 def available() -> bool:

@@ -204,6 +204,33 @@ def downsample_level_np(grid: SparseGrid, num_voxels: int, filter_size: int,
     return coarse_grid, parent, child_offset, down_rb
 
 
+def downsample_plan_np(grid: SparseGrid, num_voxels: int, filter_size: int,
+                       stride: int):
+    """(coarse_grid, parent, child_offset, down_rb, rb_up) in one call.
+
+    Fused native path (native/tdwss_native.cpp downsample_plan — one
+    radix-sorted pass emits the coarse grid and BOTH cross-level
+    rulebooks); falls back to downsample_level_np + parent_rulebook.
+    """
+    from tdwss import native as _native
+
+    res = _native.downsample_plan(
+        np.asarray(grid.coords), np.asarray(grid.valid), int(num_voxels),
+        filter_size, stride)
+    if res is not None:
+        (vox_coords, key_hi, key_lo, vox_valid, counts, num_valid,
+         parent, child_offset, down_rb, rb_up) = res
+        coarse_grid = SparseGrid(coords=vox_coords, key_hi=key_hi,
+                                 key_lo=key_lo, valid=vox_valid,
+                                 counts=counts, num_valid=num_valid)
+        return coarse_grid, parent, child_offset, down_rb, rb_up
+    coarse_grid, parent, child_offset, down_rb = downsample_level_np(
+        grid, num_voxels, filter_size, stride)
+    rb_up = parent_rulebook(parent, child_offset, int(num_voxels),
+                            filter_size ** 3)
+    return coarse_grid, parent, child_offset, down_rb, rb_up
+
+
 def level_geometry(v: int, tile: int = 512):
     """Per-level windowed-conv geometry: (tile, sub, subwin).
 
@@ -287,8 +314,8 @@ def build_plans_np(
                 subm_rb = build_subm_rulebook_np(grid, subm_kernel)
         wg_down = wg_up = None
         if lvl + 1 < num_levels:
-            coarse_grid, parent, child_offset, down_rb = downsample_level_np(
-                grid, int(capacities[lvl + 1]), f, s)
+            coarse_grid, parent, child_offset, down_rb, rb_up = (
+                downsample_plan_np(grid, int(capacities[lvl + 1]), f, s))
             if windowed:
                 vf = grid.coords.shape[0]
                 vc = down_rb.shape[0]
@@ -300,7 +327,6 @@ def build_plans_np(
                     down_rb, v_src=vf, tile=256, group_mod=s,
                     sticky_key=(vc, vf, f, s, "dn"),
                     sub=128, subwin=256)
-                rb_up = parent_rulebook(parent, child_offset, vc, f ** 3)
                 wg_up = build_windowed_gather(
                     rb_up, v_src=vc, tile=tile,
                     sticky_key=(vf, vc, f, "up"),

@@ -382,3 +382,57 @@ class TestWindowedGather:
             jnp.asarray(child_off)))
         out = np.asarray(wg_conv_apply(fine, w, wgdj, wguj))
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestDownsamplePlanFused:
+    """Native fused downsample_plan == downsample_level_np + parent_rulebook."""
+
+    def _compare(self, rng, n, size, nc, f, s, invalid_frac=0.1):
+        from tdwss.ops.host_plan import (downsample_level_np,
+                                         downsample_plan_np,
+                                         parent_rulebook)
+
+        coords, feats, valid = _random_coords(rng, n=n, size=size,
+                                              invalid_frac=invalid_frac)
+        grid, _, _ = voxelize_np(coords, feats, valid, n)
+        cg_ref, parent_ref, off_ref, drb_ref = downsample_level_np(
+            grid, nc, f, s)
+        rbu_ref = parent_rulebook(parent_ref, off_ref, nc, f ** 3)
+        cg, parent, off, drb, rbu = downsample_plan_np(grid, nc, f, s)
+        np.testing.assert_array_equal(np.asarray(cg.coords),
+                                      np.asarray(cg_ref.coords))
+        np.testing.assert_array_equal(np.asarray(cg.key_hi),
+                                      np.asarray(cg_ref.key_hi))
+        np.testing.assert_array_equal(np.asarray(cg.key_lo),
+                                      np.asarray(cg_ref.key_lo))
+        np.testing.assert_array_equal(np.asarray(cg.valid),
+                                      np.asarray(cg_ref.valid))
+        np.testing.assert_array_equal(np.asarray(cg.counts),
+                                      np.asarray(cg_ref.counts))
+        assert int(cg.num_valid) == int(cg_ref.num_valid)
+        np.testing.assert_array_equal(parent, parent_ref)
+        np.testing.assert_array_equal(off, off_ref)
+        np.testing.assert_array_equal(drb, drb_ref)
+        np.testing.assert_array_equal(rbu, rbu_ref)
+
+    def test_matches_numpy_s2(self, rng):
+        self._compare(rng, n=4096, size=40, nc=1024, f=2, s=2)
+
+    def test_matches_numpy_s4(self, rng):
+        self._compare(rng, n=4096, size=64, nc=512, f=4, s=4)
+
+    def test_overflow_capacity(self, rng):
+        # coarse capacity much smaller than the distinct coarse voxels:
+        # overflowed fine rows must come out parent == nc in both paths
+        self._compare(rng, n=4096, size=64, nc=64, f=2, s=2)
+
+    def test_all_invalid(self, rng):
+        from tdwss.ops.host_plan import downsample_plan_np
+
+        coords = np.zeros((128, 4), np.int32)
+        valid = np.zeros((128,), bool)
+        grid, _, _ = voxelize_np(coords, None, valid, 128)
+        cg, parent, off, drb, rbu = downsample_plan_np(grid, 32, 2, 2)
+        assert not np.asarray(cg.valid).any()
+        assert (parent == 32).all()
+        assert (drb == -1).all() and (rbu == -1).all()
