@@ -129,16 +129,21 @@ def main() -> None:
     # compile + warmup
     import sys
 
+    # Sync on ``aux``: with donate_argnums the output params alias the
+    # donated input buffers, and under the axon relay block_until_ready on
+    # an aliased buffer returns immediately (measured: 0.011s "steps" vs
+    # the true 1.25s step; probe 2026-08-18).  ``aux`` is a
+    # fresh output buffer, ready only when the execution completes.
     t0 = time.perf_counter()
     for i in range(WARMUP):
         state, aux = train_step(state, batch)
-        jax.block_until_ready(state.params)
+        jax.block_until_ready(aux)
         print(f"warmup {i}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     start = time.perf_counter()
     for _ in range(STEPS):
         state, aux = train_step(state, batch)
-    jax.block_until_ready(state.params)
+    jax.block_until_ready(aux)
     elapsed = time.perf_counter() - start
     mpts = valid_points * STEPS / elapsed / 1e6
 
@@ -171,7 +176,8 @@ def main() -> None:
                 if len(recent) > 4:
                     jax.block_until_ready(recent.pop(0))
                 nb += 1
-            jax.block_until_ready(state.params)
+            # sync on losses, not the donated-aliased params (see above)
+            jax.block_until_ready(recent)
             pts = min(stats.total_points - stats.dropped_points,
                       nb * MAX_POINTS)
             e2e_mpts = pts / (time.perf_counter() - t0) / 1e6
