@@ -129,21 +129,22 @@ def main() -> None:
     # compile + warmup
     import sys
 
-    # Sync on ``aux``: with donate_argnums the output params alias the
-    # donated input buffers, and under the axon relay block_until_ready on
-    # an aliased buffer returns immediately (measured: 0.011s "steps" vs
-    # the true 1.25s step; probe 2026-08-18).  ``aux`` is a
-    # fresh output buffer, ready only when the execution completes.
+    # Sync by fetching a scalar: with donate_argnums XLA may alias ANY
+    # output (params and aux alike) into the donated input buffers, and
+    # under the axon relay block_until_ready on an aliased buffer returns
+    # immediately (measured: 0.05s "steps" vs the true ~1.2s step; probes
+    # 2026-08-17/18).  jax.device_get of the loss must round-trip real
+    # bytes, so it cannot complete before the execution does.
     t0 = time.perf_counter()
     for i in range(WARMUP):
         state, aux = train_step(state, batch)
-        jax.block_until_ready(aux)
+        jax.device_get(aux["loss"])
         print(f"warmup {i}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     start = time.perf_counter()
     for _ in range(STEPS):
         state, aux = train_step(state, batch)
-    jax.block_until_ready(aux)
+    jax.device_get(aux["loss"])
     elapsed = time.perf_counter() - start
     mpts = valid_points * STEPS / elapsed / 1e6
 
@@ -174,10 +175,10 @@ def main() -> None:
                 state, aux = train_step(state, b)
                 recent.append(aux["loss"])
                 if len(recent) > 4:
-                    jax.block_until_ready(recent.pop(0))
+                    jax.device_get(recent.pop(0))
                 nb += 1
-            # sync on losses, not the donated-aliased params (see above)
-            jax.block_until_ready(recent)
+            # fetch, don't block_until_ready: aliased buffers lie (above)
+            jax.device_get(recent)
             pts = min(stats.total_points - stats.dropped_points,
                       nb * MAX_POINTS)
             e2e_mpts = pts / (time.perf_counter() - t0) / 1e6
