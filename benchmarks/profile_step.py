@@ -143,8 +143,19 @@ def main() -> None:
     scenes = make_dataset(bench.NUM_SCENES,
                           num_points=bench.POINTS_PER_SCENE, seed=7,
                           with_text=False)
+    # Mirror bench.py exactly (shape prewarm + slimming) so the jitted
+    # step hits the SAME persistent-cache executable — a different jaxpr
+    # means a cold ~15 min compile through the axon relay.
+    from tdwss.data.loader import warm_plan_shapes
+    from tdwss.data.plans import slim_batch_for_train
+
+    e2e_scenes = make_dataset(3 * bench.NUM_SCENES,
+                              num_points=bench.POINTS_PER_SCENE, seed=11,
+                              with_text=False)
+    warm_plan_shapes(e2e_scenes, cfg, epochs=(1, 2))
     batch = train_collate(scenes, cfg, rng)
     batch = attach_host_plans(batch, cfg)
+    batch = slim_batch_for_train(batch, cfg)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
     model = build_model(cfg)
@@ -155,17 +166,17 @@ def main() -> None:
     t0 = time.perf_counter()
     for i in range(2):
         state, aux = step(state, batch)
-        jax.block_until_ready(state.params)
+        jax.device_get(aux["loss"])
         print(f"warmup {i}: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     state, aux = step(state, batch)
-    jax.block_until_ready(state.params)
+    jax.device_get(aux["loss"])
     print(f"steady step: {time.perf_counter()-t0:.3f}s", file=sys.stderr)
 
     jax.profiler.start_trace(args.logdir)
     state, aux = step(state, batch)
-    jax.block_until_ready(state.params)
+    jax.device_get(aux["loss"])
     jax.profiler.stop_trace()
     print("trace written", file=sys.stderr)
     parse_trace(args.logdir)
