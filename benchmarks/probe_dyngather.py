@@ -194,13 +194,10 @@ def main() -> None:
             fn = build(kind, args.sub, args.swk, args.cout, args.nanchor,
                        args.nsub, args.interpret)
             zin = jnp.swapaxes(zs, 1, 2) if kind == "onehot_tz" else zs
+            from benchmarks._timing import timed
+
             out = fn(zin, rb)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(10):
-                out = fn(zin, rb)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / 10
+            dt = timed(fn, zin, rb, steps=10, warmup=1)
             runs[kind] = (dt, out)
             print(f"{kind:8s} {dt * 1e3:8.2f} ms")
         except Exception as e:

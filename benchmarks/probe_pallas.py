@@ -20,16 +20,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from benchmarks._timing import timed as _timed  # honest sync
+
+
 def timed(fn, *args, steps=20, warmup=3):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps
+    return _timed(fn, *args, steps=steps, warmup=warmup)
 
 
 V = 635904

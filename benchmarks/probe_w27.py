@@ -11,18 +11,7 @@ import time
 import numpy as np
 
 
-def timed(fn, *args, steps=10, warmup=2):
-    import jax
-
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps
+from benchmarks._timing import timed  # noqa: E402 — honest sync
 
 
 def main():
