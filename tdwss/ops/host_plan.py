@@ -498,19 +498,49 @@ def build_windowed_subm27_fused(
     v = grid.coords.shape[0]
     if v % tile != 0 or v % 8 != 0 or v < window + 2:
         return None
-    if sub and subwin >= window:
-        sub = subwin = 0
     if sub and (tile % sub or subwin % 8):
         raise ValueError("sub must divide tile; subwin must be 8-aligned")
-    rawkey = (v, tile, window, 27, nwin, sub, "rawspill")
-    guess = _ECAP_REGISTRY.get(rawkey, max(64, v // 64))
-    nat = _native.subm_windowed_plan(
-        np.asarray(grid.coords), np.asarray(grid.valid), tile, window,
-        nwin, sub, subwin, e_cap=guess)
-    if nat is None:
+
+    # Spill-driven TILE ladder.  A fixed (tile=512, window=640) geometry
+    # (tuned for L0 density) leaves huge CLUSTERED spill lists at sparser
+    # levels (measured bench L1: 55k heavy entries) whose device-side
+    # processing cost ~28% of the train step.  Growing the WINDOW is not
+    # an option — the backward sub-kernel fails Mosaic compilation past
+    # 27 anchors x ~768 rows (scoped-VMEM blow-up, see
+    # tdwss.ops.sparse_conv._sub_vmem_fits) — but HALVING THE TILE
+    # shrinks every per-tile span at identical kernel geometry: the
+    # ladder ratchets per level (sticky, jit-shape stable) until raw
+    # spills fall under ~0.05% of the tap entries.  Cost: 2x the DMA
+    # descriptors + bytes at the halved tile, well under the spill saving
+    # at the levels that need it.
+    wkey = (v, 27, nwin, "submtile")
+    prev = _sticky_window_peek(wkey)
+    if prev is not None:
+        tile = min(tile, prev)
+    spill_budget = max(2048, (v * 27) // 512)
+    ladder = [tile] + [t for t in (256,) if t < tile]
+    out = None
+    for t in ladder:
+        if v % t or t < sub or (sub and t % sub):
+            continue
+        rawkey = (v, t, window, 27, nwin, sub, "rawspill")
+        guess = _ECAP_REGISTRY.get(rawkey, max(64, v // 64))
+        nat = _native.subm_windowed_plan(
+            np.asarray(grid.coords), np.asarray(grid.valid), t, window,
+            nwin, sub, subwin, e_cap=guess)
+        if nat is None:
+            break
+        _sticky_raw(rawkey, nat[3].shape[0])
+        out = (t, nat)
+        if nat[3].shape[0] <= spill_budget:
+            break
+    if out is None:
         return None
+    tile, nat = out
+    with _ECAP_LOCK:
+        prev = _ECAP_REGISTRY.get(wkey)
+        _ECAP_REGISTRY[wkey] = tile if prev is None else min(tile, prev)
     starts, sub_off, rb_local, ovf_entries = nat
-    _sticky_raw(rawkey, ovf_entries.shape[0])
     return _finish_w27(None, v, tile, window, nwin, sub, subwin,
                        starts, sub_off, rb_local, ovf_entries, None)
 
@@ -655,6 +685,7 @@ _RES_TILE = 512          # output rows per residual tile group
 _RES_TILE_R1 = 16        # retired dense-tier slot count (layout compat)
 _RES_HEAVY_MIN = 64      # entries per tile above which the chunk tier wins
 _RES_HCHUNK = 512        # heavy-list entries per chunk row
+_RES_HSPAN = 8           # tiles sharing one chunk's scatter window
 
 
 def _group_spill_tiles(ovf_entries: np.ndarray, v_out: int, v_src: int,
@@ -671,12 +702,18 @@ def _group_spill_tiles(ovf_entries: np.ndarray, v_out: int, v_src: int,
       tracks the real count (a retired dense (T2, 16, 3) tier cost 6 ms
       at L0 for those 261 entries because every empty slot still paid the
       contribution gather);
-    - heavy tiles (scene-boundary clusters, thousands of entries) fill
-      CHUNK-ALIGNED rows: res_hent is (H2 * _RES_HCHUNK, 3) with each
-      chunk's entries at offset chunk_index * _RES_HCHUNK, so the device
-      pass is a plain reshape — no row gathers — followed by a batched
-      one-hot einsum and an H2-row block scatter.  res_htile (H2, 2)
-      carries [tile_id, flat offset]; padding rows use tile_id == T2.
+    - heavy tiles (locality clusters, hundreds to thousands of entries)
+      fill CHUNK-ALIGNED rows: res_hent is (H2 * _RES_HCHUNK, 3) with
+      each chunk's entries at offset chunk_index * _RES_HCHUNK, so the
+      device pass is a plain reshape — no row gathers — followed by a
+      batched one-hot einsum and a block scatter.  A chunk PACKS entries
+      from up to _RES_HSPAN consecutive heavy tiles (most heavy tiles
+      hold only a few hundred entries; one 512-row chunk per tile wasted
+      60-80% of the cap — measured bench L0 wg_down: 36k real entries in
+      a 190k cap).  res_htile (H2, 2) carries [base tile_id, flat
+      offset]; the device one-hots each entry's offset within the
+      _RES_HSPAN * 512-row scatter window at the base tile.  Padding
+      chunks use base tile_id == T2.
 
     Returns (None, None, None, entries) when the domain doesn't tile.
     """
@@ -700,23 +737,39 @@ def _group_spill_tiles(ovf_entries: np.ndarray, v_out: int, v_src: int,
     is_heavy = heavy_tile[tile_of]
 
     hvy = ovf_entries[is_heavy]                   # tile-sorted already
-    h_ids = np.nonzero(heavy_tile)[0].astype(np.int32)
+    h_ids = np.nonzero(heavy_tile)[0].astype(np.int64)
     h_cnt = counts[heavy_tile].astype(np.int64)
-    chunks_per = [(int(c) + _RES_HCHUNK - 1) // _RES_HCHUNK for c in h_cnt]
-    h2 = _sticky_small(key + ("htile",), max(sum(chunks_per), 4), 4)
+
+    # Greedy chunk packing: a chunk accepts the next heavy tile's entries
+    # while they fit in the remaining rows AND the tile sits within the
+    # chunk's _RES_HSPAN-tile scatter window.
+    chunks = []          # list of (base_tile, [slices into hvy])
+    cur_base = cur_room = None
+    off = 0
+    for tid, cnt in zip(h_ids, h_cnt):
+        take = 0
+        while take < cnt:
+            if (cur_base is None or cur_room == 0
+                    or tid - cur_base >= _RES_HSPAN):
+                chunks.append([int(tid), []])
+                cur_base, cur_room = int(tid), _RES_HCHUNK
+            amt = int(min(cnt - take, cur_room))
+            chunks[-1][1].append((off + take, off + take + amt))
+            cur_room -= amt
+            take += amt
+        off += int(cnt)
+
+    h2 = _sticky_small(key + ("htile",), max(len(chunks), 4), 4)
     hent = np.full((h2 * _RES_HCHUNK, 3), v_src, np.int32)
     hent[:, 0] = v_out
     htile = np.zeros((h2, 2), np.int32)
     htile[:, 0] = t2
-    row = 0
-    off = 0
-    for tid, cnt, nch in zip(h_ids, h_cnt, chunks_per):
-        hent[row * _RES_HCHUNK: row * _RES_HCHUNK + int(cnt)] = \
-            hvy[off: off + int(cnt)]
-        for c in range(nch):
-            htile[row + c] = (int(tid), (row + c) * _RES_HCHUNK)
-        row += nch
-        off += int(cnt)
+    for i, (base, slices) in enumerate(chunks):
+        row = i * _RES_HCHUNK
+        htile[i] = (base, row)
+        for lo, hi in slices:
+            hent[row: row + (hi - lo)] = hvy[lo:hi]
+            row += hi - lo
     return None, hent, htile, ovf_entries[~is_heavy]
 
 

@@ -71,7 +71,10 @@ class Windowed27:
                                  blow R1 to thousands) route to
     res_hent:  (EH, 3) int32     the compact flat heavy list sorted by
                                  tile (pad v == V, src == V), walked by
-    res_htile: (H2, 2) int32     [tile_id, entry_offset] per heavy tile —
+    res_htile: (H2, 2) int32     [base tile_id, entry_offset] per heavy chunk
+                                 (a chunk packs up to _RES_HSPAN consecutive
+                                 heavy tiles' entries; scatter window starts
+                                 at the base tile) —
                                  a lax.scan reads a fixed S2-entry window
                                  of the flat list per heavy tile, one-hot
                                  scatters it into a (t_res, C) block, and

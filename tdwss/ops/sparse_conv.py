@@ -390,6 +390,7 @@ def _res_tile_dw(feats, res_tile, dout, k=27):
 
 _RES_HCHUNK = 512     # must match tdwss.ops.host_plan._RES_HCHUNK
 _RES_TILE = 512       # must match tdwss.ops.host_plan._RES_TILE
+_RES_HSPAN = 8        # must match tdwss.ops.host_plan._RES_HSPAN
 
 
 def _res_heavy_apply(feats, res_hent, res_htile, w2d, cout, v_out, t2):
@@ -398,25 +399,42 @@ def _res_heavy_apply(feats, res_hent, res_htile, w2d, cout, v_out, t2):
     ``res_hent`` is CHUNK-ALIGNED by the host (H2 * _RES_HCHUNK rows,
     chunk i's entries at offset i * _RES_HCHUNK, sentinel-padded), so the
     per-chunk view is a plain reshape — the row gathers a compact layout
-    needed cost ~2 ms at L0's caps.  Each chunk one-hot scatters into its
-    (t_res, Cout) block with a batched einsum; the blocks land via an
-    H2-row block scatter (tens of rows), not a per-owner one.
+    needed cost ~2 ms at L0's caps.  A chunk packs entries from up to
+    _RES_HSPAN consecutive heavy tiles (host_plan._group_spill_tiles);
+    each chunk one-hot scatters into its (_RES_HSPAN, t_res, Cout)
+    window with a batched einsum, and the windows land via an
+    (H2, _RES_HSPAN) block scatter — still tens of block rows, never a
+    per-owner scatter.
     """
     t_res = v_out // t2
     taps = res_hent[:, 1]
     srcs = res_hent[:, 2]
     c2 = _entry_contrib(feats, taps, srcs, w2d).astype(feats.dtype)
     h2 = res_htile.shape[0]
+    span = _RES_HSPAN * t_res
     rows = c2.reshape(h2, _RES_HCHUNK, cout)
     own = res_hent[:, 0].reshape(h2, _RES_HCHUNK)
-    tiles = res_htile[:, 0:1]
-    local = jnp.where(own // t_res == tiles, own % t_res, t_res)
+    base = res_htile[:, 0:1] * t_res                     # (h2, 1) row base
+    local = own - base
+    ok = (local >= 0) & (local < span)
+    # Decomposed one-hot scatter: a flat (E, span) one-hot costs
+    # span * 2 bytes per entry slot (bandwidth-dominant at span >= 2048);
+    # split local = hi * t_res + lo and contract the (E, t_res) LO
+    # one-hot against HI-expanded rows (E, HSPAN * Cout) instead — the
+    # per-slot bytes drop to t_res*2 + HSPAN*Cout*2 regardless of span.
+    lo = jnp.where(ok, local % t_res, t_res)
+    hi = jnp.where(ok, local // t_res, _RES_HSPAN)
     iota = jnp.arange(t_res, dtype=jnp.int32)
-    oh = (local[:, :, None] == iota[None, None, :]).astype(rows.dtype)
-    blocks = jnp.einsum("hrt,hrc->htc", oh, rows,
-                        preferred_element_type=jnp.float32)
+    oh_lo = (lo[:, :, None] == iota[None, None, :]).astype(rows.dtype)
+    oh_hi = jax.nn.one_hot(hi, _RES_HSPAN, dtype=rows.dtype)
+    rows_hi = (oh_hi[..., None] * rows[:, :, None, :]).reshape(
+        h2, _RES_HCHUNK, _RES_HSPAN * cout)
+    tmp = jnp.einsum("her,hej->hrj", oh_lo, rows_hi,
+                     preferred_element_type=jnp.float32)
+    blocks = tmp.reshape(h2, t_res, _RES_HSPAN, cout).transpose(0, 2, 1, 3)
     out = jnp.zeros((t2, t_res, cout), jnp.float32)
-    out = out.at[res_htile[:, 0]].add(blocks, mode="drop")
+    tidx = res_htile[:, 0:1] + jnp.arange(_RES_HSPAN, dtype=jnp.int32)
+    out = out.at[tidx].add(blocks, mode="drop")
     return out.reshape(v_out, cout)
 
 

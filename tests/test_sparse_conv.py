@@ -662,14 +662,28 @@ def test_group_spill_tiles_layout():
     assert res_tile is None
     # light entries come back as leftover, original order
     np.testing.assert_array_equal(leftover, light)
-    # chunk-aligned heavy list: tile 1 at chunk 0, tile 2 at chunks 1-2
+    # chunk-aligned heavy list; tiles 1+2 PACK into shared chunks (both
+    # within one _RES_HSPAN scatter window): chunk 0 = all of tile 1 +
+    # the head of tile 2, chunk 1 = the rest of tile 2
     assert hent.shape[0] % _RES_HCHUNK == 0
     assert hent.shape[0] == htile.shape[0] * _RES_HCHUNK
     np.testing.assert_array_equal(hent[:nh1], heavy1)
-    assert (hent[nh1:_RES_HCHUNK, 0] == v_out).all()       # chunk pad
+    head2 = _RES_HCHUNK - nh1
+    np.testing.assert_array_equal(hent[nh1:_RES_HCHUNK], heavy2[:head2])
+    rest = nh2 - head2
     np.testing.assert_array_equal(
-        hent[_RES_HCHUNK:_RES_HCHUNK + nh2], heavy2)
+        hent[_RES_HCHUNK:_RES_HCHUNK + rest], heavy2[head2:])
+    assert (hent[_RES_HCHUNK + rest: 2 * _RES_HCHUNK, 0] == v_out).all()
     real = htile[htile[:, 0] < t2]
-    np.testing.assert_array_equal(
-        real, [[1, 0], [2, _RES_HCHUNK], [2, 2 * _RES_HCHUNK]])
+    np.testing.assert_array_equal(real, [[1, 0], [2, _RES_HCHUNK]])
+    # every entry's owner sits inside its chunk's scatter window
+    from tdwss.ops.host_plan import _RES_HSPAN
+    for ci in range(htile.shape[0]):
+        base = htile[ci, 0]
+        rows = hent[ci * _RES_HCHUNK:(ci + 1) * _RES_HCHUNK, 0]
+        live = rows < v_out
+        if base < t2 and live.any():
+            local = rows[live] - base * _RES_TILE
+            assert (local >= 0).all()
+            assert (local < _RES_HSPAN * _RES_TILE).all()
     reset_sticky_plans()
