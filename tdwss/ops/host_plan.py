@@ -501,48 +501,18 @@ def build_windowed_subm27_fused(
     if sub and (tile % sub or subwin % 8):
         raise ValueError("sub must divide tile; subwin must be 8-aligned")
 
-    # Spill-driven TILE ladder.  A fixed (tile=512, window=640) geometry
-    # (tuned for L0 density) leaves huge CLUSTERED spill lists at sparser
-    # levels (measured bench L1: 55k heavy entries) whose device-side
-    # processing cost ~28% of the train step.  Growing the WINDOW is not
-    # an option — the backward sub-kernel fails Mosaic compilation past
-    # 27 anchors x ~768 rows (scoped-VMEM blow-up, see
-    # tdwss.ops.sparse_conv._sub_vmem_fits) — but HALVING THE TILE
-    # shrinks every per-tile span at identical kernel geometry: the
-    # ladder ratchets per level (sticky, jit-shape stable) until raw
-    # spills fall under ~0.05% of the tap entries.  Cost: 2x the DMA
-    # descriptors + bytes at the halved tile, well under the spill saving
-    # at the levels that need it.
-    wkey = (v, 27, nwin, "submtile")
-    prev = _sticky_window_peek(wkey)
-    if prev is not None:
-        tile = min(tile, prev)
-    spill_budget = max(2048, (v * 27) // 512)
-    ladder = [tile] + [t for t in (256,) if t < tile]
-    out = None
-    for t in ladder:
-        if v % t or t < sub or (sub and t % sub):
-            continue
-        rawkey = (v, t, window, 27, nwin, sub, "rawspill")
-        guess = _ECAP_REGISTRY.get(rawkey, max(64, v // 64))
-        nat = _native.subm_windowed_plan(
-            np.asarray(grid.coords), np.asarray(grid.valid), t, window,
-            nwin, sub, subwin, e_cap=guess)
-        if nat is None:
-            break
-        _sticky_raw(rawkey, nat[3].shape[0])
-        out = (t, nat)
-        if nat[3].shape[0] <= spill_budget:
-            break
-    if out is None:
+    rawkey = (v, tile, window, 27, nwin, sub, "rawspill")
+    guess = _ECAP_REGISTRY.get(rawkey, max(64, v // 64))
+    nat = _native.subm_windowed_plan(
+        np.asarray(grid.coords), np.asarray(grid.valid), tile, window,
+        nwin, sub, subwin, e_cap=guess)
+    if nat is None:
         return None
-    tile, nat = out
-    with _ECAP_LOCK:
-        prev = _ECAP_REGISTRY.get(wkey)
-        _ECAP_REGISTRY[wkey] = tile if prev is None else min(tile, prev)
+    _sticky_raw(rawkey, nat[3].shape[0])
     starts, sub_off, rb_local, ovf_entries = nat
     return _finish_w27(None, v, tile, window, nwin, sub, subwin,
-                       starts, sub_off, rb_local, ovf_entries, None)
+                       starts, sub_off, rb_local, ovf_entries, None,
+                       num_valid=int(grid.num_valid))
 
 
 def build_windowed_subm27(
@@ -611,7 +581,7 @@ def build_windowed_subm27(
             _sticky_raw(rawkey, ovf_entries.shape[0])
             return _finish_w27(rb27, v, tile, window, nwin, sub, subwin,
                                starts, sub_off, rb_local, ovf_entries,
-                               res_cap)
+                               res_cap, num_valid=int(grid.num_valid))
 
     # int32 throughout + broadcast over a (tiles, tile, 27) view — int64
     # temporaries, np.repeat materializations and astype round-trips cost
@@ -678,7 +648,8 @@ def build_windowed_subm27(
     # np.nonzero already yields row-major (v-sorted) order
     ovf_entries = np.stack([sp_v, sp_t, sp_s], axis=1).astype(np.int32)
     return _finish_w27(rb27, v, tile, window, nwin, sub, subwin, starts,
-                       sub_off, rb_local, ovf_entries, res_cap)
+                       sub_off, rb_local, ovf_entries, res_cap,
+                       num_valid=int(grid.num_valid))
 
 
 _RES_TILE = 512          # output rows per residual tile group
@@ -773,8 +744,26 @@ def _group_spill_tiles(ovf_entries: np.ndarray, v_out: int, v_src: int,
     return None, hent, htile, ovf_entries[~is_heavy]
 
 
+def _active_prefix(v: int, num_valid, tile: int, key) -> int:
+    """Sticky active-output prefix: ceil(num_valid / quantum) rows.
+
+    Rows past num_valid are all-padding (all-sentinel rb rows); the
+    device shrinks the kernel grid to this prefix.  Quantized to 4 tiles
+    and ratcheted UP per geometry so jit shapes stay stable across
+    batches.  0 disables (unknown num_valid).
+    """
+    if num_valid is None:
+        return 0
+    q = 4 * tile
+    va = min(v, ((int(num_valid) + q - 1) // q) * q)
+    with _ECAP_LOCK:
+        va = max(va, _ECAP_REGISTRY.get(key, 0))
+        _ECAP_REGISTRY[key] = va
+    return va if va < v else 0
+
+
 def _finish_w27(rb27, v, tile, window, nwin, sub, subwin, starts, sub_off,
-                rb_local, ovf_entries, res_cap):
+                rb_local, ovf_entries, res_cap, num_valid=None):
     """Group spills by output tile (+ legacy overflow) and assemble
     Windowed27."""
     from tdwss.ops.plan import Windowed27
@@ -815,6 +804,7 @@ def _finish_w27(rb27, v, tile, window, nwin, sub, subwin, starts, sub_off,
         ovf_count=ovf_count, res_tile=res_tile, res_hent=res_hent,
         res_htile=res_htile, window=window,
         sub_off=sub_off, sub=int(sub), subwin=int(subwin),
+        v_active=_active_prefix(v, num_valid, tile, (v, tile, "vactive")),
     )
 
 

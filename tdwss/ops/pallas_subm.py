@@ -670,7 +670,7 @@ def windowed_dw_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
 def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                     soff_base: int, cin: int,
                     scal_ref, src_ref, rb_ref, wt_ref, dout_ref,
-                    dx_ref, dw_ref, win, zbuf, sbuf, acc, sems):
+                    dx_ref, dw_ref, win, zbuf, acc, sems):
     """Fused backward tile: ONE window DMA set + shared one-hot machinery
     for BOTH backward products.
 
@@ -680,12 +680,7 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
     ``win_a @ wt_ref[a]`` touches only the cotangent channels:
 
       dfeats_sub += oh_a @ (win_{g(a)} @ Wt[a])[soff slice]
-      dW[a]      += win_{g(a)}^T @ sbuf_a,
-                    sbuf_a[soff slice] += oh_a^T @ dout_sub
-
-    The dW window GEMM runs once per (anchor, TILE) against a full-width
-    scatter buffer rather than once per (anchor, sub-tile) against the
-    slice (nsub * swk > w: the per-sub form paid ~40% more dW MACs).
+      dW[a]      += win_slice^T @ (oh_a^T @ dout_sub)
 
     dW rows beyond the feats channels are garbage (they fold the dout
     lanes) — the caller slices [:, :cin_pad_slot].
@@ -737,8 +732,6 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                            ).astype(sl.dtype)
         return zbuf[a, pl.ds(off8, swk8)].reshape(swk, cin)
 
-    cout = dout_ref.shape[-1]
-    sbuf[...] = jnp.zeros_like(sbuf)
     iota = jax.lax.broadcasted_iota(jnp.int32, (sub, swk), 1)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
     for s_i in range(nsub):
@@ -760,9 +753,12 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                     preferred_element_type=jnp.float32)
                 s = jnp.dot(oh_t, dsub,
                             preferred_element_type=jnp.float32)
-                curs = sbuf[a, pl.ds(off8, swk8)].reshape(swk, cout)
-                sbuf[a, pl.ds(off8, swk8)] = (
-                    curs + s).reshape(swk8, 8, cout)
+                fslice = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(
+                    swk, l)
+                acc[a] += jax.lax.dot_general(
+                    fslice, s.astype(fslice.dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             dx_ref[s_i * sub:(s_i + 1) * sub] = dx_acc_t.T
             continue
         dx_acc = jnp.zeros((sub, cin), jnp.float32)
@@ -779,16 +775,12 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                                           preferred_element_type=jnp.float32)
             oh_t = _onehot(rbs[None, :], iota_t, dsub.dtype, 0)
             s = jnp.dot(oh_t, dsub, preferred_element_type=jnp.float32)
-            curs = sbuf[a, pl.ds(off8, swk8)].reshape(swk, cout)
-            sbuf[a, pl.ds(off8, swk8)] = (curs + s).reshape(swk8, 8, cout)
+            fslice = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(swk, l)
+            acc[a] += jax.lax.dot_general(
+                fslice, s.astype(fslice.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         dx_ref[s_i * sub:(s_i + 1) * sub] = dx_acc
-
-    for a in range(len(gmap)):
-        win_a = win[cur, gmap[a]].reshape(w, l)
-        s_a = sbuf[a].reshape(w, cout).astype(win_a.dtype)
-        acc[a] += jax.lax.dot_general(
-            win_a, s_a, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
 
     @pl.when(step + 1 == pl.num_programs(0))
     def _():
@@ -855,11 +847,7 @@ def windowed_bwd_sub(src_cat: jnp.ndarray, starts: jnp.ndarray,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, max(gmap) + 1, window // 8, 8, l), src_cat.dtype),
-            # on-demand Z (nsub*swk < window) never touches zbuf
-            pltpu.VMEM((nanchor, window // 8, 8, cin), src_cat.dtype)
-            if (tile // sub) * subwin >= window
-            else pltpu.VMEM((1, 1, 8, cin), src_cat.dtype),
-            pltpu.VMEM((nanchor, window // 8, 8, cout), jnp.float32),
+            pltpu.VMEM((nanchor, window // 8, 8, cin), src_cat.dtype),
             pltpu.VMEM((nanchor, l, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
         ],

@@ -109,6 +109,13 @@ class Windowed27:
     sub_off: Optional[jnp.ndarray] = None
     sub: int = flax.struct.field(pytree_node=False, default=0)
     subwin: int = flax.struct.field(pytree_node=False, default=0)
+    # Active output prefix (0 = whole array): out rows beyond v_active are
+    # ALL padding (invalid voxels -> all-sentinel rb rows); the device
+    # wrappers shrink the kernel grid to v_active rows and zero-pad, so
+    # capacity padding (~20% at bench L0) stops costing kernel time.
+    # Multiple of the tile size; sticky-ratcheted on host for jit-shape
+    # stability.
+    v_active: int = flax.struct.field(pytree_node=False, default=0)
 
 
 @flax.struct.dataclass

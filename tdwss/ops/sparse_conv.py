@@ -597,8 +597,30 @@ def _sub_vmem_fits(window: int, c: int, cout: int, dw: bool,
     return win + max(zbuf, sbuf) + w9 + io + stack < _VMEM_BUDGET
 
 
+def _w27_active_slice(va, v, tile_sz, starts, sub_off, rb_local, sub,
+                      *rows):
+    """Slice plan arrays (+ any V-length ``rows``) to the active output
+    prefix ``va`` (host-computed multiple of the tile; rows past it are
+    all-padding).  Returns (starts, sub_off, rb_local, *rows)."""
+    if not va or va >= v or va % tile_sz:
+        return (starts, sub_off, rb_local) + rows
+    ta = va // tile_sz
+    starts = starts[:ta]
+    if sub and sub_off is not None and sub_off.shape[0]:
+        sub_off = sub_off[:ta * (tile_sz // sub)]
+    rb_local = rb_local[:va]
+    return (starts, sub_off, rb_local) + tuple(r[:va] for r in rows)
+
+
+def _pad_active(out, v):
+    """Zero-pad an active-prefix kernel result back to the V domain."""
+    if out.shape[0] == v:
+        return out
+    return jnp.pad(out, ((0, v - out.shape[0]), (0, 0)))
+
+
 def _w27_matmul_any(feats, rb_local, starts, w2d, window, sub=0, subwin=0,
-                    sub_off=None):
+                    sub_off=None, v_active=0):
     """27-tap windowed gather-GEMM -> (V, Cout) f32.
 
     feats (V, C); rb_local (V, 27); starts (tiles, nwin) per-group shared
@@ -606,8 +628,13 @@ def _w27_matmul_any(feats, rb_local, starts, w2d, window, sub=0, subwin=0,
     are sub-window-relative and ``sub_off`` carries slice offsets; if the
     sub kernel's extra scratch would overflow VMEM the flat kernel (or
     einsum) evaluates the reconstructed big-window locals instead.
+    ``v_active``: the kernel grid runs only over the active output
+    prefix; trailing all-padding rows come back as zeros.
     """
     v = feats.shape[0]
+    tile_sz = v // starts.shape[0]
+    starts, sub_off, rb_local = _w27_active_slice(
+        v_active, v, tile_sz, starts, sub_off, rb_local, sub)
     tiles = starts.shape[0]
     c = feats.shape[1]
     cout = w2d.shape[-1]
@@ -617,25 +644,29 @@ def _w27_matmul_any(feats, rb_local, starts, w2d, window, sub=0, subwin=0,
 
         w27p = pad_w9(w2d.reshape(27, c, -1))
         if sub and _sub_vmem_fits(window, c, cout, dw=False):
-            return windowed_matmul_sub(
+            return _pad_active(windowed_matmul_sub(
                 feats, starts.reshape(-1), sub_off.reshape(-1),
-                rb_local.T, w27p, window=window, tile=v // tiles,
-                sub=sub, subwin=subwin)
+                rb_local.T, w27p, window=window, tile=tile_sz,
+                sub=sub, subwin=subwin), v)
         if sub:
             rb_local = _sub_big_locals(rb_local, sub_off, window, sub,
                                        subwin)
-        return windowed_matmul(
+        return _pad_active(windowed_matmul(
             feats, starts.reshape(-1), rb_local.T, w27p,
-            window=window, tile=v // tiles)
+            window=window, tile=tile_sz), v)
     if sub:
         rb_local = _sub_big_locals(rb_local, sub_off, window, sub, subwin)
-    return _win_matmul(feats, rb_local, _w27_expand(starts), w2d, window)
+    return _pad_active(
+        _win_matmul(feats, rb_local, _w27_expand(starts), w2d, window), v)
 
 
 def _w27_dw_any(feats, rb_local, starts, dout, window, sub=0, subwin=0,
-                sub_off=None):
+                sub_off=None, v_active=0):
     """27-tap windowed dW -> (27C, Cout) f32 (raw tap order)."""
     v = feats.shape[0]
+    tile_sz = v // starts.shape[0]
+    starts, sub_off, rb_local, dout = _w27_active_slice(
+        v_active, v, tile_sz, starts, sub_off, rb_local, sub, dout)
     tiles = starts.shape[0]
     c = feats.shape[1]
     cout = dout.shape[-1]
@@ -645,44 +676,44 @@ def _w27_dw_any(feats, rb_local, starts, dout, window, sub=0, subwin=0,
         if sub and _sub_vmem_fits(window, c, cout, dw=True):
             dw = windowed_dw_sub(
                 feats, starts.reshape(-1), sub_off.reshape(-1),
-                rb_local.T, dout, window=window, tile=v // tiles,
+                rb_local.T, dout, window=window, tile=tile_sz,
                 sub=sub, subwin=subwin)
         else:
             rb = (_sub_big_locals(rb_local, sub_off, window, sub, subwin)
                   if sub else rb_local)
             dw = windowed_dw(feats, starts.reshape(-1), rb.T, dout,
-                             window=window, tile=v // tiles)
+                             window=window, tile=tile_sz)
         return dw[:, :c, :].reshape(27 * c, -1)
     if sub:
         rb_local = _sub_big_locals(rb_local, sub_off, window, sub, subwin)
     return _win_dw(feats, rb_local, _w27_expand(starts), dout, window)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _subm_conv_w27(window, sub, subwin, feats, starts, sub_off, rb_local,
-                   rtile, res_ovf, ovf_v, ovf_count, weight):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _subm_conv_w27(window, sub, subwin, v_active, feats, starts, sub_off,
+                   rb_local, rtile, res_ovf, ovf_v, ovf_count, weight):
     """27-tap windowed submanifold conv (tdwss.ops.plan.Windowed27)."""
     k, cin, cout = weight.shape
     w2d = weight.reshape(k * cin, cout)
     out = _w27_matmul_any(feats, rb_local, starts, w2d, window, sub, subwin,
-                          sub_off)
+                          sub_off, v_active)
     out = out + _res_all_apply(feats, rtile, res_ovf, ovf_v, ovf_count,
                                w2d, cout)
     return out.astype(feats.dtype)
 
 
-def _subm_conv_w27_fwd(window, sub, subwin, feats, starts, sub_off,
-                       rb_local, rtile, res_ovf, ovf_v, ovf_count,
+def _subm_conv_w27_fwd(window, sub, subwin, v_active, feats, starts,
+                       sub_off, rb_local, rtile, res_ovf, ovf_v, ovf_count,
                        weight):
-    out = _subm_conv_w27(window, sub, subwin, feats, starts, sub_off,
-                         rb_local, rtile, res_ovf, ovf_v, ovf_count,
-                         weight)
+    out = _subm_conv_w27(window, sub, subwin, v_active, feats, starts,
+                         sub_off, rb_local, rtile, res_ovf, ovf_v,
+                         ovf_count, weight)
     return out, (feats, starts, sub_off, rb_local, rtile, res_ovf,
                  ovf_v, ovf_count, weight)
 
 
 def _w27_bwd_fused(feats, dout_c, weight, rb_local, starts, sub_off,
-                   window, sub, subwin):
+                   window, sub, subwin, v_active=0):
     """Fused backward kernel route, or None when it does not apply.
 
     One window-DMA set + shared one-hot machinery produce dfeats AND dW
@@ -709,19 +740,22 @@ def _w27_bwd_fused(feats, dout_c, weight, rb_local, starts, sub_off,
     from tdwss.ops.pallas_subm import windowed_bwd_sub
 
     l = _lane_pad(ccat)
+    tile_sz = v // tiles
+    starts, sub_off, rb_local, dout_k = _w27_active_slice(
+        v_active, v, tile_sz, starts, sub_off, rb_local, sub, dout_c)
     src_cat = jnp.concatenate([feats, dout_c], axis=1)
     wt = weight[::-1].transpose(0, 2, 1)                  # (K, cout, cin)
     wt_full = jnp.zeros((k, l, cin), weight.dtype)
     wt_full = wt_full.at[:, cin:cin + cout, :].set(wt)
     dfeats, dw_l = windowed_bwd_sub(
         src_cat, starts.reshape(-1), sub_off.reshape(-1), rb_local.T,
-        wt_full, dout_c, window=window, tile=v // tiles, sub=sub,
+        wt_full, dout_k, window=window, tile=tile_sz, sub=sub,
         subwin=subwin, cin=cin)
     dw = dw_l[:, :cin, :].reshape(k * cin, cout)
-    return dfeats, dw
+    return _pad_active(dfeats, v), dw
 
 
-def _subm_conv_w27_bwd(window, sub, subwin, res, dout):
+def _subm_conv_w27_bwd(window, sub, subwin, v_active, res, dout):
     (feats, starts, sub_off, rb_local, rtile, res_ovf, ovf_v, ovf_count,
      weight) = res
     k, cin, cout = weight.shape
@@ -729,12 +763,12 @@ def _subm_conv_w27_bwd(window, sub, subwin, res, dout):
     dout_c = dout.astype(feats.dtype)
 
     fused = _w27_bwd_fused(feats, dout_c, weight, rb_local, starts,
-                           sub_off, window, sub, subwin)
+                           sub_off, window, sub, subwin, v_active)
     if fused is not None:
         dfeats, dw = fused
     else:
         dw = _w27_dw_any(feats, rb_local, starts, dout_c, window, sub,
-                         subwin, sub_off)
+                         subwin, sub_off, v_active)
         # dfeats: the decomposition exactly covers rb27, and the
         # transposed conv runs over the SAME rulebook with
         # Wt[m] = W[26-m]^T — so the same windows / locals / spill list
@@ -742,7 +776,7 @@ def _subm_conv_w27_bwd(window, sub, subwin, res, dout):
         # Windowed27 docstring).
         wt2d_ = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
         dfeats = _w27_matmul_any(dout_c, rb_local, starts, wt2d_, window,
-                                 sub, subwin, sub_off)
+                                 sub, subwin, sub_off, v_active)
 
     dw = dw + _res_all_dw(feats, rtile, res_ovf, dout_c)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
@@ -784,9 +818,9 @@ def subm_conv_apply(feats: jnp.ndarray, rulebook: jnp.ndarray,
                    else jnp.zeros((0, win.starts.shape[1]), jnp.int32))
         rtile = _pack_rtile(win)
         return _subm_conv_w27(
-            win.window, win.sub, win.subwin, feats, win.starts,
-            sub_off, _rb32(win.rb_local), rtile, win.res_ovf,
-            win.ovf_v, win.ovf_count, weight)
+            win.window, win.sub, win.subwin, getattr(win, "v_active", 0),
+            feats, win.starts, sub_off, _rb32(win.rb_local), rtile,
+            win.res_ovf, win.ovf_v, win.ovf_count, weight)
     return _subm_conv(feats, rulebook, weight)
 
 

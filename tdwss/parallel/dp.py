@@ -129,6 +129,7 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
         if is_win(leaf):
             wins = [jax.tree_util.tree_flatten(b, is_leaf=is_win)[0][i]
                     for b in batches]
+            vas = [getattr(w, "v_active", 0) for w in wins]
             caps[i] = (max(w.res_ovf.shape[0] for w in wins),
                        max(w.ovf_v.shape[0] for w in wins),
                        max(w.window for w in wins),
@@ -140,7 +141,8 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
                            default=0),
                        max((w.res_htile.shape[0]
                             for w in wins if w.res_htile is not None),
-                           default=0))
+                           default=0),
+                       0 if 0 in vas else max(vas))
             if len({(getattr(w, "sub", 0), getattr(w, "subwin", 0))
                     for w in wins}) > 1:
                 flatten_sub.add(i)
@@ -150,8 +152,14 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
     out = []
     for b in batches:
         flat, treedef = jax.tree_util.tree_flatten(b, is_leaf=is_win)
-        for i, (e_cap, h_cap, w_max, r_max, he_max, ht_max) in caps.items():
+        for i, (e_cap, h_cap, w_max, r_max, he_max, ht_max,
+                va) in caps.items():
             win = flat[i]
+            if getattr(win, "v_active", 0) != va and hasattr(win,
+                                                             "v_active"):
+                # static field must agree across the stacked devices; the
+                # harmonized prefix covers every device's active rows
+                win = win.replace(v_active=va)
             if i in flatten_sub:
                 win = _flatten_sub(win)
             win = _expand_window(win, w_max)

@@ -687,3 +687,54 @@ def test_group_spill_tiles_layout():
             assert (local >= 0).all()
             assert (local < _RES_HSPAN * _RES_TILE).all()
     reset_sticky_plans()
+
+
+def test_w27_v_active_prefix_matches_full(rng):
+    """v_active grid shrink == full-grid evaluation (fwd + grads, CPU).
+
+    A grid whose capacity is ~4x its valid rows gets a v_active prefix
+    (host _active_prefix quantum = 4 tiles); the sliced kernel grid must
+    reproduce the full path bit-for-bit including zero padding rows.
+    """
+    from tests.test_host_plan import _random_coords
+    from tdwss.ops.host_plan import (build_subm_rulebook_np,
+                                     build_windowed_subm27,
+                                     reset_sticky_plans, voxelize_np)
+
+    reset_sticky_plans()
+    rng2 = np.random.default_rng(11)
+    n = 2048                                   # capacity
+    coords, feats, valid = _random_coords(rng2, n=512, size=16,
+                                          invalid_frac=0.05)
+    coords = np.concatenate(
+        [coords, np.zeros((n - 512, 4), coords.dtype)])
+    feats = np.concatenate(
+        [feats, np.zeros((n - 512, feats.shape[1]), feats.dtype)])
+    valid = np.concatenate([valid, np.zeros(n - 512, bool)])
+    grid, _, _ = voxelize_np(coords, feats[:, :3], valid, n)
+    assert int(grid.num_valid) < n // 2
+    rb = build_subm_rulebook_np(grid, 3)
+    win = build_windowed_subm27(rb, grid, tile=128, window=256,
+                                sub=32, subwin=64)
+    assert win.v_active and win.v_active < n, win.v_active
+    vf = jnp.asarray(rng2.normal(size=(n, 5)).astype(np.float32))
+    # zero out padding-row features like the real pipeline does
+    vf = vf * jnp.asarray(grid.valid)[:, None]
+    w = jnp.asarray(rng2.normal(size=(27, 5, 4)).astype(np.float32))
+    winj = jax.tree_util.tree_map(jnp.asarray, win)
+    full = winj.replace(v_active=0)
+    ref = np.asarray(subm_conv_apply(vf, jnp.asarray(rb), w, full))
+    out = np.asarray(subm_conv_apply(vf, jnp.asarray(rb), w, winj))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    assert not np.any(out[win.v_active:])
+    ga = jax.grad(lambda f, w_: jnp.sum(
+        subm_conv_apply(f, jnp.asarray(rb), w_, winj) ** 2),
+        argnums=(0, 1))(vf, w)
+    gf = jax.grad(lambda f, w_: jnp.sum(
+        subm_conv_apply(f, jnp.asarray(rb), w_, full) ** 2),
+        argnums=(0, 1))(vf, w)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gf[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gf[1]),
+                               rtol=2e-4, atol=2e-4)
+    reset_sticky_plans()
