@@ -636,9 +636,10 @@ def _w27_matmul_any(feats, rb_local, starts, w2d, window, sub=0, subwin=0,
     starts, sub_off, rb_local = _w27_active_slice(
         v_active, v, tile_sz, starts, sub_off, rb_local, sub)
     tiles = starts.shape[0]
+    va = tiles * tile_sz          # active output rows (== v when unsliced)
     c = feats.shape[1]
     cout = w2d.shape[-1]
-    if _use_pallas_kernel(v, tiles, window, 27, c, cout):
+    if _use_pallas_kernel(va, tiles, window, 27, c, cout):
         from tdwss.ops.pallas_subm import (pad_w9, windowed_matmul,
                                            windowed_matmul_sub)
 
@@ -668,9 +669,10 @@ def _w27_dw_any(feats, rb_local, starts, dout, window, sub=0, subwin=0,
     starts, sub_off, rb_local, dout = _w27_active_slice(
         v_active, v, tile_sz, starts, sub_off, rb_local, sub, dout)
     tiles = starts.shape[0]
+    va = tiles * tile_sz
     c = feats.shape[1]
     cout = dout.shape[-1]
-    if _use_pallas_kernel(v, tiles, window, 27, c, cout):
+    if _use_pallas_kernel(va, tiles, window, 27, c, cout):
         from tdwss.ops.pallas_subm import windowed_dw, windowed_dw_sub
 
         if sub and _sub_vmem_fits(window, c, cout, dw=True):
