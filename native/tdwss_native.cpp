@@ -28,6 +28,12 @@
 
 namespace {
 
+// Window starts / sub-offsets align to 32 source rows so the Pallas
+// kernels can view (V, C<=64) sources as packed (V/p, 128)-lane rows
+// (p in {2,4}) and DMA 8-aligned packed-row slices (tdwss/ops/pallas_subm).
+constexpr int32_t kWinAlignM1 = 31;
+
+
 struct Key {
     int32_t x, y, z;
     bool operator==(const Key& o) const { return x == o.x && y == o.y && z == o.z; }
@@ -613,9 +619,9 @@ int64_t windowed_rb_impl(const int32_t* rb27, int64_t v, int64_t v_src,
                     if (x < gmin[gmap[k]]) gmin[gmap[k]] = x;
                 }
             for (int32_t g = 0; g < nwin; ++g) {
-                // empty group: numpy clamps (INT32_MAX & ~7) to the top
+                // empty group: numpy clamps (INT32_MAX & ~kWinAlignM1) to the top
                 int32_t s = (gmin[g] == INT32_MAX) ? start_hi
-                                                   : (gmin[g] & ~7);
+                                                   : (gmin[g] & ~kWinAlignM1);
                 st[g] = std::min(std::max(s, 0), start_hi);
             }
 
@@ -635,11 +641,11 @@ int64_t windowed_rb_impl(const int32_t* rb27, int64_t v, int64_t v_src,
                         }
                     int32_t* so = out_suboff + (t * spt + si) * nwin;
                     for (int32_t g = 0; g < nwin; ++g) {
-                        // empty group: numpy's (INT32_MAX - big) & ~7
+                        // empty group: numpy's (INT32_MAX - big) & ~kWinAlignM1
                         // clips to the top of the window
                         int32_t off = (smin[g] == INT32_MAX)
                             ? (window - subwin)
-                            : ((smin[g] - st[g]) & ~7);
+                            : ((smin[g] - st[g]) & ~kWinAlignM1);
                         off = std::min(std::max(off, 0), window - subwin);
                         so[g] = off;
                         base[g] = st[g] + off;
@@ -873,7 +879,7 @@ int64_t subm_windowed_plan(const int32_t* coords, const uint8_t* valid,
             }
             int32_t* st = out_starts + t * nwin;
             for (int32_t g = 0; g < nwin; ++g) {
-                int32_t s = (gmin[g] == INT32_MAX) ? start_hi : (gmin[g] & ~7);
+                int32_t s = (gmin[g] == INT32_MAX) ? start_hi : (gmin[g] & ~kWinAlignM1);
                 st[g] = std::min(std::max(s, 0), start_hi);
             }
             // 3. sub offsets + 4. int16 locals + spill collection
@@ -895,7 +901,7 @@ int64_t subm_windowed_plan(const int32_t* coords, const uint8_t* valid,
                     for (int32_t g = 0; g < nwin; ++g) {
                         int32_t off = (smin[g] == INT32_MAX)
                             ? (window - subwin)
-                            : ((smin[g] - st[g]) & ~7);
+                            : ((smin[g] - st[g]) & ~kWinAlignM1);
                         off = std::min(std::max(off, 0), window - subwin);
                         so[g] = off;
                         base[g] = st[g] + off;

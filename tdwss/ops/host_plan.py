@@ -367,6 +367,12 @@ def host_voxelize_and_plan(
 
 
 # ---------------------------------------------------------------------------
+# Window starts / sub-offsets align to WIN_ALIGN source rows so the
+# Pallas kernels can view (V, C<=64) sources as packed (V/p, 128)-lane
+# rows (p in {2,4}) and DMA 8-aligned packed-row slices
+# (tdwss/ops/pallas_subm).  Must match native kWinAlignM1 + 1.
+WIN_ALIGN = 32
+
 # Windowed-subm-conv metadata (see tdwss.ops.plan.Windowed27)
 # ---------------------------------------------------------------------------
 
@@ -594,7 +600,7 @@ def build_windowed_subm27(
     for k in range(27):
         g = gmap27[k]
         np.minimum(starts[:, g], tapmin[:, k], out=starts[:, g])
-    starts &= ~np.int32(7)                                   # 8-aligned
+    starts &= ~np.int32(WIN_ALIGN - 1)                                   # WIN_ALIGN-aligned
     if auto_window:
         loc3 = np.where(live3, rb3 - starts[:, None, gmap27], -1)
         span = (loc3.reshape(tiles, tile * 27).max(axis=1) + 1) if tiles \
@@ -627,7 +633,7 @@ def build_windowed_subm27(
         spt = tile // sub                                    # subs per tile
         big = np.repeat(starts, spt, axis=0)                 # (nsub, nwin)
         sub_off = gm - big
-        sub_off &= ~np.int32(7)
+        sub_off &= ~np.int32(WIN_ALIGN - 1)
         np.clip(sub_off, 0, window - subwin, out=sub_off)
         base = big + sub_off                                 # (nsub, nwin)
         local3 = rbs - base[:, None, gmap27]                 # (nsub,sub,27)
@@ -866,7 +872,7 @@ def build_windowed_gather(
         for kk in range(k):
             g = gmap[kk]
             np.minimum(st[:, g], tapmin[:, kk], out=st[:, g])
-        st &= ~np.int32(7)
+        st &= ~np.int32(WIN_ALIGN - 1)
         if not auto:
             return st, window
         loc3 = np.where(live3, rb3 - st[:, None, gmap], -1)
@@ -947,7 +953,7 @@ def build_windowed_gather(
         spt = t // sub
         big = np.repeat(starts, spt, axis=0)                 # (nsub, nwin)
         sub_off = gm - big
-        sub_off &= ~np.int32(7)
+        sub_off &= ~np.int32(WIN_ALIGN - 1)
         np.clip(sub_off, 0, window - subwin, out=sub_off)
         base = big + sub_off
         local3 = rbs - base[:, None, gmap]

@@ -101,6 +101,80 @@ def _oh_t(n_chan: int) -> bool:
     return n_chan <= 64
 
 
+# Packed-row layout: view a (V, C) source with C <= 64 as (V/p, 128)
+# rows holding p voxels each (p = 128 / lane_pad32(C)).  Window DMAs, the
+# Z-transform and the one-hot matmuls then run at FULL 128-lane width
+# instead of the 25% (C=32) / 50% (C=64) utilization of the naive
+# lane-padded layout — the (8,128)-tiled HBM layout of a (V, 32) array
+# physically stores 128 lanes per row anyway, so the unpacked window DMA
+# moves 4x more bytes for the same voxels.  Requires window starts and
+# sub-offsets aligned to 8*p source rows (host_plan.WIN_ALIGN == 32
+# covers p <= 4) and window/subwin multiples of 8*p.  Implemented on the
+# transposed-accumulate (_oh_t) path only, which already owns cout <= 64.
+_PACK = __import__("os").environ.get("TDWSS_PACK", "1").strip() not in (
+    "0", "false", "off")
+
+
+def _pack_p(c3: int, cout: int, v_src: int, *aligned_dims: int) -> int:
+    """Voxels per 128-lane packed row (1 = unpacked legacy layout).
+
+    ``aligned_dims``: every width/offset-granularity the caller DMAs at
+    (window, subwin, ...) — each must be a multiple of 8*p, as must the
+    source capacity.  Window starts / sub-offsets are 8*p-aligned by
+    construction (host_plan.WIN_ALIGN == 32 >= 8*4).
+    """
+    if not _PACK or not _oh_t(cout) or _GATHER_INNER:
+        return 1
+    if c3 <= 32:
+        p = 4
+    elif c3 <= 64:
+        p = 2
+    else:
+        return 1
+    if v_src % (8 * p) or any(d % (8 * p) for d in aligned_dims if d):
+        return 1
+    return p
+
+
+def _pack_src(feats3: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(V, C) -> (V/p, 128): p voxels per row, channels padded to 128/p."""
+    v, c3 = feats3.shape
+    cpad = 128 // p
+    if c3 != cpad:
+        feats3 = jnp.pad(feats3, ((0, 0), (0, cpad - c3)))
+    return feats3.reshape(v // p, 128)
+
+
+def _pack_w(w9: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(na, 128, Cout) lane-padded weights -> (na, 128, p*Cout) block-diag.
+
+    w9p[a, b*cpad + i, d*cout + o] = (b == d) * w9[a, i, o] so the packed
+    Z-transform win_p (W/p, 128) @ w9p[a] emits p voxels' transforms side
+    by side in the lane dim: Z[r, b*cout:(b+1)*cout] = feats[p*r+b] @ W_a.
+    """
+    na, _, cout = w9.shape
+    cpad = 128 // p
+    wblk = w9[:, :cpad, :]                             # (na, cpad, cout)
+    idx = jnp.arange(p)
+    w9p = jnp.zeros((na, p, cpad, p, cout), w9.dtype)
+    w9p = w9p.at[:, idx, :, idx, :].set(
+        jnp.broadcast_to(wblk[None], (p, na, cpad, cout)))
+    return w9p.reshape(na, 128, p * cout)
+
+
+def _blk_select(res, blk, p: int, cout: int, sub: int):
+    """(p*cout, sub) packed-transform columns -> (cout, sub) per-row block.
+
+    res rows hold p voxel-blocks' channels; output row i must take block
+    ``blk[i]``.  Sublane-dim reshape (p*cout -> (p, cout)) is a free view;
+    the select is p masked adds on the VPU.
+    """
+    res3 = res.reshape(p, cout, sub)
+    biota = jax.lax.broadcasted_iota(jnp.int32, (p, sub), 0)
+    bm = (blk[None, :] == biota).astype(res.dtype)
+    return (res3 * bm[:, None, :]).sum(axis=0)
+
+
 def _gather_rows(zs, rbs, nrows: int, width: int):
     """(nrows, C): zs[rbs[i]] for live rows, 0 where rbs[i] >= width.
 
@@ -131,7 +205,7 @@ def _anchor_gmap(nanchor: int, nwin: int) -> tuple:
     return tuple(k % nwin for k in range(nanchor))
 
 
-def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str,
+def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str, pack: int,
                     starts_ref, src_ref, rb_ref, w9_ref, out_ref,
                     win, sems):
     """One tile: DMA the shared windows, Z-transform, one-hot matmul.
@@ -171,7 +245,9 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str,
             get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
-    cout = w9_ref.shape[-1]
+    zcols = w9_ref.shape[-1]          # pack * cout (== cout unpacked)
+    cout = zcols // pack
+    shift = pack.bit_length() - 1
     if ablate == "dma":
         out_ref[:] = win[cur, 0, :1].reshape(8, l)[:1, :cout] * jnp.zeros(
             (t, cout), jnp.float32)
@@ -187,10 +263,15 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str,
             z = jnp.dot(win_a, w9_ref[a],
                         preferred_element_type=jnp.float32
                         ).astype(win_a.dtype)
-            oh_t = _onehot(rb_ref[a, :][None, :], iota_t, win_a.dtype, 0)
-            acc_t = acc_t + jax.lax.dot_general(
+            rbs = rb_ref[a, :]
+            rows = rbs >> shift if pack > 1 else rbs
+            oh_t = _onehot(rows[None, :], iota_t, win_a.dtype, 0)
+            res = jax.lax.dot_general(
                 z, oh_t, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if pack > 1:
+                res = _blk_select(res, rbs & (pack - 1), pack, cout, t)
+            acc_t = acc_t + res
         out_ref[:] = acc_t.T
         return
     acc = jnp.zeros((t, cout), jnp.float32)
@@ -237,14 +318,21 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
     tiles = v_out // tile
     nwin = starts.shape[0] // tiles
     gmap = _anchor_gmap(nanchor, nwin)
-    l = _lane_pad(c3)
-    if w9.shape[1] != l:
-        raise ValueError(f"w9 second dim must be lane-padded to {l}")
-    if c3 != l:
-        feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
+    p = _pack_p(c3, cout, v_src, window) if ablate == "" else 1
+    if p > 1:
+        feats3 = _pack_src(feats3, p)
+        w9 = _pack_w(w9, p)
+        l = 128
+    else:
+        l = _lane_pad(c3)
+        if w9.shape[1] != l:
+            raise ValueError(f"w9 second dim must be lane-padded to {l}")
+        if c3 != l:
+            feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
     w9 = w9.astype(feats3.dtype)   # bf16 halves the VMEM weight block
-    src = feats3.reshape(v_src // 8, 8, l)
-    starts = starts // 8  # block index into the (V/8, 8, L) view
+    src = feats3.reshape(v_src // p // 8, 8, l)
+    starts = starts // (8 * p)  # block index into the (V/p/8, 8, L) view
+    w8p = window // (8 * p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -253,18 +341,18 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),                  # src
             pl.BlockSpec((nanchor, tile), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),              # rb_local_t
-            pl.BlockSpec((nanchor, l, cout), lambda t, *_: (0, 0, 0),
+            pl.BlockSpec((nanchor, l, p * cout), lambda t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),              # w9
         ],
         out_specs=pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, nwin, window // 8, 8, l), feats3.dtype),
+            pltpu.VMEM((2, nwin, w8p, 8, l), feats3.dtype),
             pltpu.SemaphoreType.DMA((2, nwin)),
         ],
     )
-    kernel = functools.partial(_win_fwd_kernel, gmap, window // 8, tile,
-                               ablate)
+    kernel = functools.partial(_win_fwd_kernel, gmap, w8p, tile,
+                               ablate, p)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((v_out, cout), jnp.float32),
@@ -274,11 +362,12 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
     )(starts, src, rb_local_t, w9)
 
 
-def _win_dw_kernel(gmap: tuple, w8: int, t: int,
+def _win_dw_kernel(gmap: tuple, w8: int, t: int, pack: int,
                    starts_ref, src_ref, rb_ref, dout_ref, dw_ref,
                    win, acc, sems):
     """dW9_a += win_{g(a)}^T @ (onehot_a^T @ dout_tile), emitted at last
-    step.  ``gmap`` as in :func:`_win_fwd_kernel`."""
+    step.  ``gmap`` as in :func:`_win_fwd_kernel`; ``pack`` as in
+    :func:`_sub_dw_kernel` (per-block one-hots into acc slot (a, b))."""
     step = pl.program_id(0)
     w = w8 * 8
     nwin = max(gmap) + 1
@@ -306,16 +395,23 @@ def _win_dw_kernel(gmap: tuple, w8: int, t: int,
         get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
+    shift = pack.bit_length() - 1
     dout = dout_ref[...]
     iota = jax.lax.broadcasted_iota(jnp.int32, (w, t), 0)
     for a in range(len(gmap)):
         win_a = win[cur, gmap[a]].reshape(w, l)
-        oh_t = _onehot(rb_ref[a, :][None, :], iota, dout.dtype, 0)
-        s = jnp.dot(oh_t, dout,
-                    preferred_element_type=jnp.float32).astype(dout.dtype)
-        acc[a] += jax.lax.dot_general(
-            win_a, s, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        rbs = rb_ref[a, :]
+        rows = rbs >> shift if pack > 1 else rbs
+        for b in range(pack):
+            rows_b = (jnp.where((rbs & (pack - 1)) == b, rows, w)
+                      if pack > 1 else rows)
+            oh_t = _onehot(rows_b[None, :], iota, dout.dtype, 0)
+            s = jnp.dot(oh_t, dout,
+                        preferred_element_type=jnp.float32).astype(
+                            dout.dtype)
+            acc[a, b] += jax.lax.dot_general(
+                win_a, s, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     @pl.when(step + 1 == pl.num_programs(0))
     def _():
@@ -338,12 +434,18 @@ def windowed_dw(feats3: jnp.ndarray, starts: jnp.ndarray,
     tiles = v_out // tile
     nwin = starts.shape[0] // tiles
     gmap = _anchor_gmap(nanchor, nwin)
-    l = _lane_pad(c3)
-    if c3 != l:
-        feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
-    src = feats3.reshape(v_src // 8, 8, l)
-    starts = starts // 8  # block index into the (V/8, 8, L) view
+    p = _pack_p(c3, cout, v_src, window)
+    if p > 1:
+        feats3 = _pack_src(feats3, p)
+        l = 128
+    else:
+        l = _lane_pad(c3)
+        if c3 != l:
+            feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
+    src = feats3.reshape(v_src // p // 8, 8, l)
+    starts = starts // (8 * p)  # block index into the (V/p/8, 8, L) view
     dout = dout.astype(feats3.dtype)
+    w8p = window // (8 * p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -355,22 +457,27 @@ def windowed_dw(feats3: jnp.ndarray, starts: jnp.ndarray,
             pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),              # dout
         ],
-        out_specs=pl.BlockSpec((nanchor, l, cout), lambda t, *_: (0, 0, 0),
+        out_specs=pl.BlockSpec((nanchor, p, l, cout),
+                               lambda t, *_: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, nwin, window // 8, 8, l), feats3.dtype),
-            pltpu.VMEM((nanchor, l, cout), jnp.float32),
+            pltpu.VMEM((2, nwin, w8p, 8, l), feats3.dtype),
+            pltpu.VMEM((nanchor, p, l, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2, nwin)),
         ],
     )
-    kernel = functools.partial(_win_dw_kernel, gmap, window // 8, tile)
-    return pl.pallas_call(
+    kernel = functools.partial(_win_dw_kernel, gmap, w8p, tile, p)
+    dw4 = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nanchor, l, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nanchor, p, l, cout), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, src, rb_local_t, dout)
+    if p == 1:
+        return dw4[:, 0]
+    cpad = 128 // p
+    return sum(dw4[:, b, b * cpad:(b + 1) * cpad, :] for b in range(p))
 
 
 def pad_w9(w9: jnp.ndarray) -> jnp.ndarray:
@@ -383,7 +490,7 @@ def pad_w9(w9: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
-                    soff_base: int,
+                    soff_base: int, pack: int,
                     scal_ref, src_ref, rb_ref, w9_ref, out_ref,
                     win, zbuf, sems):
     """Two-level tile: big-window DMAs + full-width Z, sub-window one-hots.
@@ -392,12 +499,18 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
     sub-tiles of ``sub`` rows read a ``swk8*8``-wide slice of the Z
     buffer (measured: the one-hot build is ~17 ms of the 25 ms kernel at
     W=640 — sub-windows cut that width 2.5-5x at ~equal spill rates).
+
+    ``pack`` > 1: the source rows hold ``pack`` voxels each (see _PACK);
+    ``w8``/``swk8`` count PACKED rows, rb_ref stays voxel-local (row =
+    rb >> log2(pack), block = rb & (pack-1)), and the Z output carries
+    pack voxel-blocks in the lane dim, resolved by _blk_select.
     """
     step = pl.program_id(0)
     w = w8 * 8
     swk = swk8 * 8
     nwin = max(gmap) + 1
     nsub = t // sub
+    shift = pack.bit_length() - 1    # log2(pack); voxel rb -> packed row
 
     def get_dma(buf, tile, j):
         return pltpu.make_async_copy(
@@ -421,7 +534,8 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
-    cout = w9_ref.shape[-1]
+    zcols = w9_ref.shape[-1]          # pack * cout (== cout unpacked)
+    cout = zcols // pack
     # The full-width Z-transform costs nanchor x W rows of MXU work but
     # only nsub x swk rows are ever read through the sub-window slices —
     # for the cross-level gathers (tile 256, sub 128, W 1024-2560) that is
@@ -434,7 +548,7 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         for a in range(len(gmap)):
             win_a = win[cur, gmap[a]].reshape(w, l)
             z = jnp.dot(win_a, w9_ref[a], preferred_element_type=jnp.float32)
-            zbuf[a] = z.astype(win_a.dtype).reshape(w8, 8, cout)
+            zbuf[a] = z.astype(win_a.dtype).reshape(w8, 8, zcols)
 
     def get_zs(a, off8):
         if z_ondemand:
@@ -442,7 +556,7 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
             return jnp.dot(sl, w9_ref[a],
                            preferred_element_type=jnp.float32
                            ).astype(sl.dtype)
-        return zbuf[a, pl.ds(off8, swk8)].reshape(swk, cout)
+        return zbuf[a, pl.ds(off8, swk8)].reshape(swk, zcols)
 
     if _oh_t(cout):
         # Transposed accumulate: acc^T (cout, sub) += zs^T @ oh^T.  The
@@ -459,10 +573,14 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                                 + (step * nsub + s_i) * nwin + gmap[a]]
                 zs = get_zs(a, off8)
                 rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
-                oh_t = _onehot(rbs[None, :], iota_t, zs.dtype, 0)
-                acc_t = acc_t + jax.lax.dot_general(
+                rows = rbs >> shift if pack > 1 else rbs
+                oh_t = _onehot(rows[None, :], iota_t, zs.dtype, 0)
+                res = jax.lax.dot_general(
                     zs, oh_t, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                if pack > 1:
+                    res = _blk_select(res, rbs & (pack - 1), pack, cout, sub)
+                acc_t = acc_t + res
             out_ref[s_i * sub:(s_i + 1) * sub] = acc_t.T
         return
 
@@ -506,18 +624,25 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
     nsub = tile // sub
     nwin = soff.shape[0] // (tiles * nsub)
     gmap = _anchor_gmap(nanchor, nwin)
-    l = _lane_pad(c3)
-    if w9.shape[1] != l:
-        raise ValueError(f"w9 second dim must be lane-padded to {l}")
-    if c3 != l:
-        feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
+    p = _pack_p(c3, cout, v_src, window, subwin)
+    if p > 1:
+        feats3 = _pack_src(feats3, p)
+        w9 = _pack_w(w9, p)
+        l = 128
+    else:
+        l = _lane_pad(c3)
+        if w9.shape[1] != l:
+            raise ValueError(f"w9 second dim must be lane-padded to {l}")
+        if c3 != l:
+            feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
     w9 = w9.astype(feats3.dtype)   # bf16 halves the VMEM weight block
-    src = feats3.reshape(v_src // 8, 8, l)
-    scal = jnp.concatenate([starts // 8, soff // 8])
+    src = feats3.reshape(v_src // p // 8, 8, l)
+    scal = jnp.concatenate([starts // (8 * p), soff // (8 * p)])
     nstarts = starts.shape[0]
+    w8p, swk8p = window // (8 * p), subwin // (8 * p)
 
-    kernel = functools.partial(_sub_fwd_kernel, gmap, window // 8, tile,
-                               sub, subwin // 8, nstarts)
+    kernel = functools.partial(_sub_fwd_kernel, gmap, w8p, tile,
+                               sub, swk8p, nstarts, p)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -526,17 +651,17 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),                  # src
             pl.BlockSpec((nanchor, tile), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),              # rb_local_t
-            pl.BlockSpec((nanchor, l, cout), lambda t, *_: (0, 0, 0),
+            pl.BlockSpec((nanchor, l, p * cout), lambda t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),              # w9
         ],
         out_specs=pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, max(gmap) + 1, window // 8, 8, l), feats3.dtype),
+            pltpu.VMEM((2, max(gmap) + 1, w8p, 8, l), feats3.dtype),
             # on-demand Z (nsub*swk < window) never touches zbuf
-            pltpu.VMEM((nanchor, window // 8, 8, cout), feats3.dtype)
+            pltpu.VMEM((nanchor, w8p, 8, p * cout), feats3.dtype)
             if (tile // sub) * subwin >= window
-            else pltpu.VMEM((1, 1, 8, cout), feats3.dtype),
+            else pltpu.VMEM((1, 1, 8, p * cout), feats3.dtype),
             pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
         ],
     )
@@ -550,16 +675,21 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
 
 
 def _sub_dw_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
-                   soff_base: int,
+                   soff_base: int, pack: int,
                    scal_ref, src_ref, rb_ref, dout_ref, dw_ref,
                    win, sbuf, acc, sems):
     """Two-level dW: per-sub scatter-accumulate oh^T @ dout into a
-    full-width per-anchor buffer, then win^T @ sbuf per anchor."""
+    full-width per-anchor buffer, then win^T @ sbuf per anchor.
+
+    ``pack`` > 1 (see _PACK): packed source rows; the scatter buffer and
+    the accumulator gain a per-block axis so block-b window lanes pair
+    only with block-b dout rows (caller reduces the block views)."""
     step = pl.program_id(0)
     w = w8 * 8
     swk = swk8 * 8
     nwin = max(gmap) + 1
     nsub = t // sub
+    shift = pack.bit_length() - 1    # log2(pack); voxel rb -> packed row
 
     def get_dma(buf, tile, j):
         return pltpu.make_async_copy(
@@ -592,18 +722,24 @@ def _sub_dw_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         for a in range(len(gmap)):
             off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
             rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
-            oh_t = (rbs[None, :] == iota).astype(dsub.dtype)
-            contrib = jnp.dot(oh_t, dsub, preferred_element_type=jnp.float32)
-            curs = sbuf[a, pl.ds(off8, swk8)].reshape(swk, cout)
-            sbuf[a, pl.ds(off8, swk8)] = (
-                curs + contrib).reshape(swk8, 8, cout)
+            rows = rbs >> shift if pack > 1 else rbs
+            for b in range(pack):
+                rows_b = (jnp.where((rbs & (pack - 1)) == b, rows, swk)
+                          if pack > 1 else rows)
+                oh_t = (rows_b[None, :] == iota).astype(dsub.dtype)
+                contrib = jnp.dot(oh_t, dsub,
+                                  preferred_element_type=jnp.float32)
+                curs = sbuf[a, b, pl.ds(off8, swk8)].reshape(swk, cout)
+                sbuf[a, b, pl.ds(off8, swk8)] = (
+                    curs + contrib).reshape(swk8, 8, cout)
 
     for a in range(len(gmap)):
         win_a = win[cur, gmap[a]].reshape(w, l)
-        s_a = sbuf[a].reshape(w, cout).astype(win_a.dtype)
-        acc[a] += jax.lax.dot_general(
-            win_a, s_a, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        for b in range(pack):
+            s_ab = sbuf[a, b].reshape(w, cout).astype(win_a.dtype)
+            acc[a, b] += jax.lax.dot_general(
+                win_a, s_ab, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     @pl.when(step + 1 == pl.num_programs(0))
     def _():
@@ -629,16 +765,22 @@ def windowed_dw_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
     nsub = tile // sub
     nwin = soff.shape[0] // (tiles * nsub)
     gmap = _anchor_gmap(nanchor, nwin)
-    l = _lane_pad(c3)
-    if c3 != l:
-        feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
-    src = feats3.reshape(v_src // 8, 8, l)
-    scal = jnp.concatenate([starts // 8, soff // 8])
+    p = _pack_p(c3, cout, v_src, window, subwin)
+    if p > 1:
+        feats3 = _pack_src(feats3, p)
+        l = 128
+    else:
+        l = _lane_pad(c3)
+        if c3 != l:
+            feats3 = jnp.pad(feats3, ((0, 0), (0, l - c3)))
+    src = feats3.reshape(v_src // p // 8, 8, l)
+    scal = jnp.concatenate([starts // (8 * p), soff // (8 * p)])
     nstarts = starts.shape[0]
     dout = dout.astype(feats3.dtype)
+    w8p, swk8p = window // (8 * p), subwin // (8 * p)
 
-    kernel = functools.partial(_sub_dw_kernel, gmap, window // 8, tile,
-                               sub, subwin // 8, nstarts)
+    kernel = functools.partial(_sub_dw_kernel, gmap, w8p, tile,
+                               sub, swk8p, nstarts, p)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tiles,),
@@ -649,26 +791,32 @@ def windowed_dw_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
             pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),              # dout
         ],
-        out_specs=pl.BlockSpec((nanchor, l, cout), lambda t, *_: (0, 0, 0),
+        out_specs=pl.BlockSpec((nanchor, p, l, cout),
+                               lambda t, *_: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, max(gmap) + 1, window // 8, 8, l), feats3.dtype),
-            pltpu.VMEM((nanchor, window // 8, 8, cout), jnp.float32),
-            pltpu.VMEM((nanchor, l, cout), jnp.float32),
+            pltpu.VMEM((2, max(gmap) + 1, w8p, 8, l), feats3.dtype),
+            pltpu.VMEM((nanchor, p, w8p, 8, cout), jnp.float32),
+            pltpu.VMEM((nanchor, p, l, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
         ],
     )
-    return pl.pallas_call(
+    dw4 = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nanchor, l, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nanchor, p, l, cout), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(scal, src, rb_local_t, dout)
+    if p == 1:
+        return dw4[:, 0]
+    # packed: block b's channels live at window lanes [b*cpad, (b+1)*cpad)
+    cpad = 128 // p
+    return sum(dw4[:, b, b * cpad:(b + 1) * cpad, :] for b in range(p))
 
 
 def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
-                    soff_base: int, cin: int,
+                    soff_base: int, cin: int, pack: int,
                     scal_ref, src_ref, rb_ref, wt_ref, dout_ref,
                     dx_ref, dw_ref, win, zbuf, acc, sems):
     """Fused backward tile: ONE window DMA set + shared one-hot machinery
@@ -684,12 +832,18 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
 
     dW rows beyond the feats channels are garbage (they fold the dout
     lanes) — the caller slices [:, :cin_pad_slot].
+
+    ``pack`` > 1 (see _PACK): src rows carry ``pack`` voxels' [feats|dout]
+    pairs, w8/swk8 count packed rows, wt_ref is the block-diag expansion
+    (L, pack*cin), and the dW scatter splits into per-block one-hots so
+    the acc slot (a, b) pairs block-b window lanes with block-b dout rows.
     """
     step = pl.program_id(0)
     w = w8 * 8
     swk = swk8 * 8
     nwin = max(gmap) + 1
     nsub = t // sub
+    shift = pack.bit_length() - 1    # log2(pack); voxel rb -> packed row
 
     def get_dma(buf, tile, j):
         return pltpu.make_async_copy(
@@ -714,6 +868,7 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
+    zcols = wt_ref.shape[-1]          # pack * cin (== cin unpacked)
     # see _sub_fwd_kernel: transform only the read slices when that is
     # less MXU work than the full window
     z_ondemand = nsub * swk < w
@@ -722,7 +877,7 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         for a in range(len(gmap)):
             win_a = win[cur, gmap[a]].reshape(w, l)
             z = jnp.dot(win_a, wt_ref[a], preferred_element_type=jnp.float32)
-            zbuf[a] = z.astype(win_a.dtype).reshape(w8, 8, cin)
+            zbuf[a] = z.astype(win_a.dtype).reshape(w8, 8, zcols)
 
     def get_zs(a, off8):
         if z_ondemand:
@@ -730,7 +885,7 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
             return jnp.dot(sl, wt_ref[a],
                            preferred_element_type=jnp.float32
                            ).astype(sl.dtype)
-        return zbuf[a, pl.ds(off8, swk8)].reshape(swk, cin)
+        return zbuf[a, pl.ds(off8, swk8)].reshape(swk, zcols)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (sub, swk), 1)
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
@@ -746,19 +901,31 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                 off8 = scal_ref[soff_base
                                 + (step * nsub + s_i) * nwin + gmap[a]]
                 rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
+                rows = rbs >> shift if pack > 1 else rbs
                 zs = get_zs(a, off8)
-                oh_t = _onehot(rbs[None, :], iota_t, dsub.dtype, 0)
-                dx_acc_t = dx_acc_t + jax.lax.dot_general(
+                oh_t = _onehot(rows[None, :], iota_t, dsub.dtype, 0)
+                res = jax.lax.dot_general(
                     zs, oh_t, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                s = jnp.dot(oh_t, dsub,
-                            preferred_element_type=jnp.float32)
+                if pack > 1:
+                    res = _blk_select(res, rbs & (pack - 1), pack, cin, sub)
+                dx_acc_t = dx_acc_t + res
                 fslice = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(
                     swk, l)
-                acc[a] += jax.lax.dot_general(
-                    fslice, s.astype(fslice.dtype),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                for b in range(pack):
+                    if pack > 1:
+                        rows_b = jnp.where(
+                            (rbs & (pack - 1)) == b, rows, swk)
+                        oh_b = _onehot(rows_b[None, :], iota_t,
+                                       dsub.dtype, 0)
+                    else:
+                        oh_b = oh_t
+                    s = jnp.dot(oh_b, dsub,
+                                preferred_element_type=jnp.float32)
+                    acc[a, b] += jax.lax.dot_general(
+                        fslice, s.astype(fslice.dtype),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
             dx_ref[s_i * sub:(s_i + 1) * sub] = dx_acc_t.T
             continue
         dx_acc = jnp.zeros((sub, cin), jnp.float32)
@@ -776,7 +943,7 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
             oh_t = _onehot(rbs[None, :], iota_t, dsub.dtype, 0)
             s = jnp.dot(oh_t, dsub, preferred_element_type=jnp.float32)
             fslice = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(swk, l)
-            acc[a] += jax.lax.dot_general(
+            acc[a, 0] += jax.lax.dot_general(
                 fslice, s.astype(fslice.dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -814,19 +981,27 @@ def windowed_bwd_sub(src_cat: jnp.ndarray, starts: jnp.ndarray,
     nsub = tile // sub
     nwin = soff.shape[0] // (tiles * nsub)
     gmap = _anchor_gmap(nanchor, nwin)
-    l = _lane_pad(ccat)
-    if wt_full.shape[1] != l:
-        raise ValueError(f"wt_full second dim must be lane-padded to {l}")
-    if ccat != l:
-        src_cat = jnp.pad(src_cat, ((0, 0), (0, l - ccat)))
-    src = src_cat.reshape(v_src // 8, 8, l)
-    scal = jnp.concatenate([starts // 8, soff // 8])
+    p = _pack_p(ccat, cin, v_src, window, subwin)
+    if p > 1:
+        src_cat = _pack_src(src_cat, p)
+        wt_full = _pack_w(wt_full, p)
+        l = 128
+    else:
+        l = _lane_pad(ccat)
+        if wt_full.shape[1] != l:
+            raise ValueError(
+                f"wt_full second dim must be lane-padded to {l}")
+        if ccat != l:
+            src_cat = jnp.pad(src_cat, ((0, 0), (0, l - ccat)))
+    src = src_cat.reshape(v_src // p // 8, 8, l)
+    scal = jnp.concatenate([starts // (8 * p), soff // (8 * p)])
     nstarts = starts.shape[0]
     dout = dout.astype(src_cat.dtype)
     wt_full = wt_full.astype(src_cat.dtype)
+    w8p, swk8p = window // (8 * p), subwin // (8 * p)
 
-    kernel = functools.partial(_sub_bwd_kernel, gmap, window // 8, tile,
-                               sub, subwin // 8, nstarts, cin)
+    kernel = functools.partial(_sub_bwd_kernel, gmap, w8p, tile,
+                               sub, swk8p, nstarts, cin, p)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tiles,),
@@ -834,7 +1009,7 @@ def windowed_bwd_sub(src_cat: jnp.ndarray, starts: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),                  # src
             pl.BlockSpec((nanchor, tile), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),              # rb_local_t
-            pl.BlockSpec((nanchor, l, cin), lambda t, *_: (0, 0, 0),
+            pl.BlockSpec((nanchor, l, p * cin), lambda t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),              # wt_full
             pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),              # dout
@@ -842,21 +1017,30 @@ def windowed_bwd_sub(src_cat: jnp.ndarray, starts: jnp.ndarray,
         out_specs=(
             pl.BlockSpec((tile, cin), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nanchor, l, cout), lambda t, *_: (0, 0, 0),
+            pl.BlockSpec((nanchor, p, l, cout), lambda t, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, max(gmap) + 1, window // 8, 8, l), src_cat.dtype),
-            pltpu.VMEM((nanchor, window // 8, 8, cin), src_cat.dtype),
-            pltpu.VMEM((nanchor, l, cout), jnp.float32),
+            pltpu.VMEM((2, max(gmap) + 1, w8p, 8, l), src_cat.dtype),
+            pltpu.VMEM((nanchor, w8p, 8, p * cin), src_cat.dtype),
+            pltpu.VMEM((nanchor, p, l, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
         ],
     )
-    return pl.pallas_call(
+    dx, dw4 = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((v_out, cin), jnp.float32),
-                   jax.ShapeDtypeStruct((nanchor, l, cout), jnp.float32)),
+                   jax.ShapeDtypeStruct((nanchor, p, l, cout), jnp.float32)),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(scal, src, rb_local_t, wt_full, dout)
+    if p == 1:
+        return dx, dw4[:, 0]
+    # packed: block b's feats channels live at window lanes
+    # [b*cpad, b*cpad + cin); acc slot (a, b) paired them with block-b
+    # dout rows — sum the per-block views.  (nanchor, cin, cout): the
+    # caller slices [:, :cin, :], a no-op here.
+    cpad = 128 // p
+    dw = sum(dw4[:, b, b * cpad:b * cpad + cin, :] for b in range(p))
+    return dx, dw
