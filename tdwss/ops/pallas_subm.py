@@ -395,6 +395,7 @@ def _win_dw_kernel(gmap: tuple, w8: int, t: int, pack: int,
         get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
+    cpad = l // pack
     shift = pack.bit_length() - 1
     dout = dout_ref[...]
     iota = jax.lax.broadcasted_iota(jnp.int32, (w, t), 0)
@@ -409,9 +410,11 @@ def _win_dw_kernel(gmap: tuple, w8: int, t: int, pack: int,
             s = jnp.dot(oh_t, dout,
                         preferred_element_type=jnp.float32).astype(
                             dout.dtype)
-            acc[a, b] += jax.lax.dot_general(
+            prod = jax.lax.dot_general(
                 win_a, s, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            # keep only block b's window-lane rows (see _sub_dw_kernel)
+            acc[a, b] += prod[b * cpad:(b + 1) * cpad]
 
     @pl.when(step + 1 == pl.num_programs(0))
     def _():
@@ -457,27 +460,28 @@ def windowed_dw(feats3: jnp.ndarray, starts: jnp.ndarray,
             pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),              # dout
         ],
-        out_specs=pl.BlockSpec((nanchor, p, l, cout),
+        out_specs=pl.BlockSpec((nanchor, p, l // p, cout),
                                lambda t, *_: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, nwin, w8p, 8, l), feats3.dtype),
-            pltpu.VMEM((nanchor, p, l, cout), jnp.float32),
+            pltpu.VMEM((nanchor, p, l // p, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2, nwin)),
         ],
     )
     kernel = functools.partial(_win_dw_kernel, gmap, w8p, tile, p)
     dw4 = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nanchor, p, l, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nanchor, p, l // p, cout),
+                                       jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, src, rb_local_t, dout)
     if p == 1:
         return dw4[:, 0]
-    cpad = 128 // p
-    return sum(dw4[:, b, b * cpad:(b + 1) * cpad, :] for b in range(p))
+    # the kernel already sliced each block's cpad window-lane rows
+    return dw4.sum(axis=1)
 
 
 def pad_w9(w9: jnp.ndarray) -> jnp.ndarray:
@@ -714,6 +718,7 @@ def _sub_dw_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
+    cpad = l // pack
     cout = dout_ref.shape[-1]
     sbuf[...] = jnp.zeros_like(sbuf)
     iota = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
@@ -737,9 +742,14 @@ def _sub_dw_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         win_a = win[cur, gmap[a]].reshape(w, l)
         for b in range(pack):
             s_ab = sbuf[a, b].reshape(w, cout).astype(win_a.dtype)
-            acc[a, b] += jax.lax.dot_general(
+            prod = jax.lax.dot_general(
                 win_a, s_ab, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            # block b's channels sit at window lanes [b*cpad, (b+1)*cpad);
+            # the other rows pair block-b' feats with block-b douts —
+            # garbage that would only be sliced away, so drop it here and
+            # keep acc at (nanchor, pack, cpad, cout).
+            acc[a, b] += prod[b * cpad:(b + 1) * cpad]
 
     @pl.when(step + 1 == pl.num_programs(0))
     def _():
@@ -791,28 +801,28 @@ def windowed_dw_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
             pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),              # dout
         ],
-        out_specs=pl.BlockSpec((nanchor, p, l, cout),
+        out_specs=pl.BlockSpec((nanchor, p, l // p, cout),
                                lambda t, *_: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, max(gmap) + 1, w8p, 8, l), feats3.dtype),
             pltpu.VMEM((nanchor, p, w8p, 8, cout), jnp.float32),
-            pltpu.VMEM((nanchor, p, l, cout), jnp.float32),
+            pltpu.VMEM((nanchor, p, l // p, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
         ],
     )
     dw4 = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nanchor, p, l, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nanchor, p, l // p, cout),
+                                       jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(scal, src, rb_local_t, dout)
     if p == 1:
         return dw4[:, 0]
-    # packed: block b's channels live at window lanes [b*cpad, (b+1)*cpad)
-    cpad = 128 // p
-    return sum(dw4[:, b, b * cpad:(b + 1) * cpad, :] for b in range(p))
+    # the kernel already sliced each block's cpad window-lane rows
+    return dw4.sum(axis=1)
 
 
 def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
@@ -912,6 +922,7 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                 dx_acc_t = dx_acc_t + res
                 fslice = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(
                     swk, l)
+                cpad = l // pack
                 for b in range(pack):
                     if pack > 1:
                         rows_b = jnp.where(
@@ -922,10 +933,13 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                         oh_b = oh_t
                     s = jnp.dot(oh_b, dsub,
                                 preferred_element_type=jnp.float32)
-                    acc[a, b] += jax.lax.dot_general(
+                    prod = jax.lax.dot_general(
                         fslice, s.astype(fslice.dtype),
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
+                    # keep only block b's window-lane rows (see
+                    # _sub_dw_kernel)
+                    acc[a, b] += prod[b * cpad:(b + 1) * cpad]
             dx_ref[s_i * sub:(s_i + 1) * sub] = dx_acc_t.T
             continue
         dx_acc = jnp.zeros((sub, cin), jnp.float32)
@@ -1017,30 +1031,29 @@ def windowed_bwd_sub(src_cat: jnp.ndarray, starts: jnp.ndarray,
         out_specs=(
             pl.BlockSpec((tile, cin), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nanchor, p, l, cout), lambda t, *_: (0, 0, 0, 0),
+            pl.BlockSpec((nanchor, p, l // p, cout),
+                         lambda t, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, max(gmap) + 1, w8p, 8, l), src_cat.dtype),
             pltpu.VMEM((nanchor, w8p, 8, p * cin), src_cat.dtype),
-            pltpu.VMEM((nanchor, p, l, cout), jnp.float32),
+            pltpu.VMEM((nanchor, p, l // p, cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
         ],
     )
     dx, dw4 = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((v_out, cin), jnp.float32),
-                   jax.ShapeDtypeStruct((nanchor, p, l, cout), jnp.float32)),
+                   jax.ShapeDtypeStruct((nanchor, p, l // p, cout),
+                                        jnp.float32)),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(scal, src, rb_local_t, wt_full, dout)
     if p == 1:
         return dx, dw4[:, 0]
-    # packed: block b's feats channels live at window lanes
-    # [b*cpad, b*cpad + cin); acc slot (a, b) paired them with block-b
-    # dout rows — sum the per-block views.  (nanchor, cin, cout): the
-    # caller slices [:, :cin, :], a no-op here.
-    cpad = 128 // p
-    dw = sum(dw4[:, b, b * cpad:b * cpad + cin, :] for b in range(p))
-    return dx, dw
+    # the kernel sliced each block's cpad window-lane rows ([feats | dout]
+    # per voxel); the feats channels sit at rows [0, cin) of each slice —
+    # the caller slices [:, :cin, :].
+    return dx, dw4.sum(axis=1)

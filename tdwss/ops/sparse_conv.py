@@ -732,8 +732,17 @@ def _w27_bwd_fused(feats, dout_c, weight, rb_local, starts, sub_off,
     tiles = starts.shape[0]
     k, cin, cout = weight.shape
     ccat = cin + cout
-    from tdwss.ops.pallas_subm import _lane_pad
+    from tdwss.ops.pallas_subm import _lane_pad, _pack_p
 
+    if (_pack_p(cout, cin, v, window, subwin) > 1
+            or _pack_p(cin, cout, v, window, subwin) > 1):
+        # The packed-row layout (pallas_subm._PACK) beats the fused kernel
+        # through the UNFUSED pair: dfeats rides the p=4 fwd kernel on the
+        # cotangent and dW the packed dw kernel, while the fused form's
+        # per-block one-hot splits forfeit its shared-one-hot economy
+        # (measured v5e L0 f+b: unfused-packed 45.1 ms vs fused-packed
+        # 68.4, fused-unpacked 51.3).
+        return None
     if not (sub and _use_pallas_kernel(v, tiles, window, k, ccat, cout)
             and _lane_pad(ccat) == _lane_pad(max(cin, cout))
             and _sub_vmem_fits(window, ccat, max(cin, cout), dw=True,
