@@ -791,12 +791,15 @@ def _finish_w27(rb27, v, tile, window, nwin, sub, subwin, starts, sub_off,
         # per-owner scatter walk the CAP, not the real count), so the
         # floor tracks the grouped reality, not v.
         grouped = res_hent is not None
+        # grouped tiers leave a near-zero leftover list; floor 0 lets the
+        # device skip the whole ovf pass statically (it re-ratchets — one
+        # recompile — if a later batch actually leaves scattered spills)
         e2_cap = _sticky_ecap((v, tile, window, 27, nwin, sub, "ovf"),
                               ovf_entries.shape[0],
-                              512 if grouped else max(64, v // 64))
+                              0 if grouped else max(64, v // 64))
         h_cap = _sticky_ecap((v, tile, window, 27, nwin, sub, "heavy"),
                              heavy.shape[0],
-                             64 if grouped else max(64, v // 128))
+                             0 if grouped else max(64, v // 128))
 
     res_ovf = np.full((e2_cap, 3), v, np.int32)
     res_ovf[: ovf_entries.shape[0]] = ovf_entries
@@ -993,9 +996,9 @@ def build_windowed_gather(
             window, sub)
         grouped = res_hent is not None
         e2_cap = _sticky_ecap(key + ("ovf",), ovf_entries.shape[0],
-                              512 if grouped else max(64, v_out // 64))
+                              0 if grouped else max(64, v_out // 64))
         h_cap = _sticky_ecap(key + ("heavy",), heavy.shape[0],
-                             64 if grouped else max(64, v_out // 128))
+                             0 if grouped else max(64, v_out // 128))
 
     res_ovf = np.full((e2_cap, 3), v_out, np.int32)
     res_ovf[:, 2] = v_src

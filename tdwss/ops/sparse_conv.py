@@ -458,8 +458,10 @@ def _res_all_apply(feats, rtile, res_ovf, ovf_v, ovf_count, w2d, cout,
     ``rtile`` = (res_tile, res_hent, res_htile) or Nones.
     """
     v = out_len if out_len is not None else feats.shape[0]
-    out = _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout,
-                         out_len=v)
+    out = jnp.zeros((v, cout), jnp.float32)
+    if res_ovf.shape[0]:        # zero-capacity tier: statically absent
+        out = _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout,
+                             out_len=v)
     res_tile, res_hent, res_htile = rtile
     if res_tile is not None and res_tile.shape[0] and res_tile.shape[1]:
         out = out + _res_tile_apply(feats, res_tile, w2d, cout, v)
@@ -471,7 +473,10 @@ def _res_all_apply(feats, rtile, res_ovf, ovf_v, ovf_count, w2d, cout,
 
 
 def _res_all_dw(feats, rtile, res_ovf, dout, k=27):
-    dw = _res_ovf_dw(feats, res_ovf, dout, k)
+    cin = feats.shape[-1]
+    dw = jnp.zeros((k * cin, dout.shape[-1]), jnp.float32)
+    if res_ovf.shape[0]:        # zero-capacity tier: statically absent
+        dw = _res_ovf_dw(feats, res_ovf, dout, k)
     res_tile, res_hent, res_htile = rtile
     if res_tile is not None and res_tile.shape[0] and res_tile.shape[1]:
         dw = dw + _res_tile_dw(feats, res_tile, dout, k)
