@@ -704,9 +704,10 @@ def _subm_conv_w27(window, sub, subwin, v_active, feats, starts, sub_off,
     w2d = weight.reshape(k * cin, cout)
     out = _w27_matmul_any(feats, rb_local, starts, w2d, window, sub, subwin,
                           sub_off, v_active)
-    out = out + _res_all_apply(feats, rtile, res_ovf, ovf_v, ovf_count,
-                               w2d, cout)
-    return out.astype(feats.dtype)
+    out = out.astype(feats.dtype) + _res_all_apply(
+        feats, rtile, res_ovf, ovf_v, ovf_count,
+        w2d, cout).astype(feats.dtype)
+    return out
 
 
 def _subm_conv_w27_fwd(window, sub, subwin, v_active, feats, starts,
@@ -798,9 +799,11 @@ def _subm_conv_w27_bwd(window, sub, subwin, v_active, res, dout):
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
 
     wt2d = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
-    dfeats = dfeats + _res_all_apply(dout_c, rtile, res_ovf, ovf_v,
-                                     ovf_count, wt2d, cin)
-    dfeats = dfeats.astype(feats.dtype)
+    # accumulate branches in the feats dtype: the f32 (V, C) pad+add
+    # fusions were ~1.7 ms each at L0 and the result is cast anyway
+    dfeats = dfeats.astype(feats.dtype) + _res_all_apply(
+        dout_c, rtile, res_ovf, ovf_v,
+        ovf_count, wt2d, cin).astype(feats.dtype)
 
     zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
     zt = jax.tree_util.tree_map(zeros, rtile)
@@ -1153,9 +1156,10 @@ def _wg_conv(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b, feats,
     w2d = weight.reshape(k * cin, cout)
     out = _wg_matmul_any(feats, f_rb, f_starts, w2d, window_f, sub_f,
                          subwin_f, f_soff)
-    out = out + _res_all_apply(feats, f_rtile, f_ovf, f_ovf_v, f_ovf_cnt,
-                               w2d, cout, out_len=f_rb.shape[0])
-    return out.astype(feats.dtype)
+    out = out.astype(feats.dtype) + _res_all_apply(
+        feats, f_rtile, f_ovf, f_ovf_v, f_ovf_cnt,
+        w2d, cout, out_len=f_rb.shape[0]).astype(feats.dtype)
+    return out
 
 
 def _wg_conv_fwd(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b,
@@ -1190,10 +1194,9 @@ def _wg_conv_bwd(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b, res,
     wt2d = weight.transpose(0, 2, 1).reshape(k * cout, cin)
     dfeats = _wg_matmul_any(dout_c, b_rb, b_starts, wt2d, window_b, sub_b,
                             subwin_b, b_soff)
-    dfeats = dfeats + _res_all_apply(dout_c, b_rtile, b_ovf, b_ovf_v,
-                                     b_ovf_cnt, wt2d, cin,
-                                     out_len=b_rb.shape[0])
-    dfeats = dfeats.astype(feats.dtype)
+    dfeats = dfeats.astype(feats.dtype) + _res_all_apply(
+        dout_c, b_rtile, b_ovf, b_ovf_v, b_ovf_cnt, wt2d, cin,
+        out_len=b_rb.shape[0]).astype(feats.dtype)
 
     zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
     zt = jax.tree_util.tree_map(zeros, (f_rtile, b_rtile))
@@ -1262,9 +1265,10 @@ def _wg_unpool(window_f, window_b, c, sub_f, subwin_f, sub_b, subwin_b,
     eye = jnp.tile(jnp.eye(c, dtype=feats.dtype), (k, 1))
     out = _wg_matmul_any(feats, f_rb, f_starts, eye, window_f, sub_f,
                          subwin_f, f_soff)
-    out = out + _res_all_apply(feats, f_rtile, f_ovf, f_ovf_v, f_ovf_cnt,
-                               eye, c, out_len=f_rb.shape[0])
-    return out.astype(feats.dtype)
+    out = out.astype(feats.dtype) + _res_all_apply(
+        feats, f_rtile, f_ovf, f_ovf_v, f_ovf_cnt,
+        eye, c, out_len=f_rb.shape[0]).astype(feats.dtype)
+    return out
 
 
 def _wg_unpool_fwd(window_f, window_b, c, sub_f, subwin_f, sub_b, subwin_b,
@@ -1289,10 +1293,9 @@ def _wg_unpool_bwd(window_f, window_b, c, sub_f, subwin_f, sub_b, subwin_b,
     eye = jnp.tile(jnp.eye(c, dtype=dout_c.dtype), (k, 1))
     dfeats = _wg_matmul_any(dout_c, b_rb, b_starts, eye, window_b, sub_b,
                             subwin_b, b_soff)
-    dfeats = dfeats + _res_all_apply(dout_c, b_rtile, b_ovf, b_ovf_v,
-                                     b_ovf_cnt, eye, c,
-                                     out_len=b_rb.shape[0])
-    dfeats = dfeats.astype(feats.dtype)
+    dfeats = dfeats.astype(feats.dtype) + _res_all_apply(
+        dout_c, b_rtile, b_ovf, b_ovf_v, b_ovf_cnt, eye, c,
+        out_len=b_rb.shape[0]).astype(feats.dtype)
     zeros = lambda a: np.zeros(a.shape, dtype=float0)  # noqa: E731
     zt = jax.tree_util.tree_map(zeros, (f_rtile, b_rtile))
     return (dfeats, zeros(f_starts), zeros(f_soff), zeros(f_rb),
