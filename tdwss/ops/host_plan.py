@@ -665,6 +665,45 @@ _RES_HCHUNK = 512        # heavy-list entries per chunk row
 _RES_HSPAN = 8           # tiles sharing one chunk's scatter window
 
 
+def _tap_chunk(hent: np.ndarray, v_out: int, v_src: int, k: int,
+               sticky_key):
+    """Tap-chunked companion of the heavy spill list.
+
+    (ent (NC*CHUNK, 2) [src, owner], tap (NC,), perm (EH,)): each
+    _RES_HCHUNK-entry chunk holds entries of ONE tap, so the device
+    evaluates contributions as a batched (CHUNK, C) @ (C, Cout) GEMM
+    against a gathered per-chunk weight — the (E, K*C) one-hot-masked
+    operand (27x traffic, chunked lax.map loops at big caps) goes away.
+    ``perm[j]`` maps res_hent row j to its slot here (pad == NC*CHUNK) so
+    the owner-chunked scatter side keeps its layout.
+    """
+    eh = hent.shape[0]
+    live = np.nonzero(hent[:, 0] < v_out)[0]
+    taps = hent[live, 1]
+    order = np.argsort(taps, kind="stable")
+    sidx = live[order]
+    staps = taps[order].astype(np.int64)
+    counts = np.bincount(staps, minlength=k)
+    nchunks_t = -(-counts // _RES_HCHUNK)
+    nc_need = int(nchunks_t.sum())
+    nc = _sticky_small(sticky_key + ("tapchunk",), max(nc_need, 4), 4)
+    chunk_base = np.concatenate([[0], np.cumsum(nchunks_t)[:-1]])
+    tap_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(staps.shape[0], dtype=np.int64) - tap_start[staps]
+    slot = ((chunk_base[staps] + within // _RES_HCHUNK) * _RES_HCHUNK
+            + within % _RES_HCHUNK)
+    ent = np.empty((nc * _RES_HCHUNK, 2), np.int32)
+    ent[:, 0] = v_src
+    ent[:, 1] = v_out
+    ent[slot, 0] = hent[sidx, 2]
+    ent[slot, 1] = hent[sidx, 0]
+    tap = np.zeros((nc,), np.int32)
+    tap[:nc_need] = np.repeat(np.arange(k, dtype=np.int32), nchunks_t)
+    perm = np.full((eh,), nc * _RES_HCHUNK, np.int32)
+    perm[sidx] = slot.astype(np.int32)
+    return ent, tap, perm
+
+
 def _group_spill_tiles(ovf_entries: np.ndarray, v_out: int, v_src: int,
                        sticky_key):
     """v-sorted spills -> (res_tile=None, res_hent, res_htile, leftover).
@@ -775,9 +814,13 @@ def _finish_w27(rb27, v, tile, window, nwin, sub, subwin, starts, sub_off,
     from tdwss.ops.plan import Windowed27
 
     res_tile = res_hent = res_htile = None
+    res_tent = res_ttap = res_tperm = None
     if res_cap is None:
         res_tile, res_hent, res_htile, ovf_entries = _group_spill_tiles(
             ovf_entries, v, v, (v, tile, window, 27, nwin, sub))
+        if res_hent is not None:
+            res_tent, res_ttap, res_tperm = _tap_chunk(
+                res_hent, v, v, 27, (v, tile, window, 27, nwin, sub))
     heavy, heavy_counts = np.unique(ovf_entries[:, 0], return_counts=True)
 
     if res_cap is not None:
@@ -811,7 +854,8 @@ def _finish_w27(rb27, v, tile, window, nwin, sub, subwin, starts, sub_off,
     return Windowed27(
         starts=starts, rb_local=rb_local, res_ovf=res_ovf, ovf_v=ovf_v,
         ovf_count=ovf_count, res_tile=res_tile, res_hent=res_hent,
-        res_htile=res_htile, window=window,
+        res_htile=res_htile, res_tent=res_tent, res_ttap=res_ttap,
+        res_tperm=res_tperm, window=window,
         sub_off=sub_off, sub=int(sub), subwin=int(subwin),
         v_active=_active_prefix(v, num_valid, tile, (v, tile, "vactive")),
     )
@@ -979,11 +1023,15 @@ def build_windowed_gather(
         ovf_entries = np.stack(
             [sp_v[order], sp_t[order], sp_s[order]], axis=1).astype(np.int32)
     res_tile = res_hent = res_htile = None
+    res_tent = res_ttap = res_tperm = None
     if res_cap is None:
+        gkey = (sticky_key or (v_out, v_src, t, k, group_mod, "wg")) + (
+            window, sub)
         res_tile, res_hent, res_htile, ovf_entries = _group_spill_tiles(
-            ovf_entries, v_out, v_src,
-            (sticky_key or (v_out, v_src, t, k, group_mod, "wg"))
-            + (window, sub))
+            ovf_entries, v_out, v_src, gkey)
+        if res_hent is not None:
+            res_tent, res_ttap, res_tperm = _tap_chunk(
+                res_hent, v_out, v_src, k, gkey)
     heavy, heavy_counts = np.unique(ovf_entries[:, 0], return_counts=True)
 
     if res_cap is not None:
@@ -1011,7 +1059,8 @@ def build_windowed_gather(
     return WindowedGather(
         starts=starts, rb_local=rb_local, res_ovf=res_ovf, ovf_v=ovf_v,
         ovf_count=ovf_count, res_tile=res_tile, res_hent=res_hent,
-        res_htile=res_htile, window=window,
+        res_htile=res_htile, res_tent=res_tent, res_ttap=res_ttap,
+        res_tperm=res_tperm, window=window,
         v_src=int(v_src), sub_off=sub_off, sub=int(sub), subwin=int(subwin),
     )
 

@@ -494,7 +494,7 @@ def pad_w9(w9: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
-                    soff_base: int, pack: int,
+                    soff_base: int, pack: int, ablate: str,
                     scal_ref, src_ref, rb_ref, w9_ref, out_ref,
                     win, zbuf, sems):
     """Two-level tile: big-window DMAs + full-width Z, sub-window one-hots.
@@ -515,31 +515,40 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
     nwin = max(gmap) + 1
     nsub = t // sub
     shift = pack.bit_length() - 1    # log2(pack); voxel rb -> packed row
+    nbuf = win.shape[0]              # DMA pipeline depth (>= 2)
 
     def get_dma(buf, tile, j):
         return pltpu.make_async_copy(
             src_ref.at[pl.ds(scal_ref[tile * nwin + j], w8)],
             win.at[buf, j], sems.at[buf, j])
 
-    cur = jax.lax.rem(step, 2)
-    nxt = jax.lax.rem(step + 1, 2)
+    cur = jax.lax.rem(step, nbuf)
 
-    @pl.when(step == 0)
-    def _():
+    if ablate != "compute":
+        @pl.when(step == 0)
+        def _():
+            for k in range(nbuf - 1):
+                @pl.when(k < pl.num_programs(0))
+                def _():
+                    for j in range(nwin):
+                        get_dma(k, k, j).start()
+
+        @pl.when(step + nbuf - 1 < pl.num_programs(0))
+        def _():
+            nxt = jax.lax.rem(step + nbuf - 1, nbuf)
+            for j in range(nwin):
+                get_dma(nxt, step + nbuf - 1, j).start()
+
         for j in range(nwin):
-            get_dma(0, 0, j).start()
-
-    @pl.when(step + 1 < pl.num_programs(0))
-    def _():
-        for j in range(nwin):
-            get_dma(nxt, step + 1, j).start()
-
-    for j in range(nwin):
-        get_dma(cur, step, j).wait()
+            get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
     zcols = w9_ref.shape[-1]          # pack * cout (== cout unpacked)
     cout = zcols // pack
+    if ablate == "dma":
+        out_ref[:] = win[cur, 0, :1].reshape(8, l)[:1, :cout] * jnp.zeros(
+            (t, cout), jnp.float32)
+        return
     # The full-width Z-transform costs nanchor x W rows of MXU work but
     # only nsub x swk rows are ever read through the sub-window slices —
     # for the cross-level gathers (tile 256, sub 128, W 1024-2560) that is
@@ -578,12 +587,21 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                 zs = get_zs(a, off8)
                 rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
                 rows = rbs >> shift if pack > 1 else rbs
+                if ablate == "z":        # DMAs + Z-transforms only
+                    acc_t = acc_t + zs[:cout, :sub].astype(jnp.float32)
+                    continue
                 oh_t = _onehot(rows[None, :], iota_t, zs.dtype, 0)
+                if ablate == "ohbuild":  # + one-hot build, no matmul
+                    acc_t = (acc_t + oh_t[:cout].astype(jnp.float32)
+                             + zs[:cout, :sub].astype(jnp.float32))
+                    continue
                 res = jax.lax.dot_general(
                     zs, oh_t, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                if pack > 1:
+                if pack > 1 and ablate != "noselect":
                     res = _blk_select(res, rbs & (pack - 1), pack, cout, sub)
+                if pack > 1 and ablate == "noselect":
+                    res = res[:cout]
                 acc_t = acc_t + res
             out_ref[s_i * sub:(s_i + 1) * sub] = acc_t.T
         return
@@ -606,11 +624,12 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("window", "tile", "sub", "subwin",
-                                    "interpret"))
+                                    "interpret", "ablate"))
 def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
                         soff: jnp.ndarray, rb_local_t: jnp.ndarray,
                         w9: jnp.ndarray, window: int, tile: int, sub: int,
-                        subwin: int, interpret: bool = False) -> jnp.ndarray:
+                        subwin: int, interpret: bool = False,
+                        ablate: str = "") -> jnp.ndarray:
     """Two-level windowed gather-GEMM -> (V_out, Cout) f32.
 
     soff (tiles * (tile/sub) * nwin,) int32 8-aligned sub-window offsets
@@ -646,7 +665,7 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
     w8p, swk8p = window // (8 * p), subwin // (8 * p)
 
     kernel = functools.partial(_sub_fwd_kernel, gmap, w8p, tile,
-                               sub, swk8p, nstarts, p)
+                               sub, swk8p, nstarts, p, ablate)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -661,12 +680,16 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
         out_specs=pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, max(gmap) + 1, w8p, 8, l), feats3.dtype),
+            # packed windows are 1/p the bytes — spend the headroom on a
+            # deeper DMA pipeline (the 2-buffer lookahead left the packed
+            # kernel ~50% DMA-bound at ~110 GB/s)
+            pltpu.VMEM((4 if p > 1 else 2, max(gmap) + 1, w8p, 8, l),
+                       feats3.dtype),
             # on-demand Z (nsub*swk < window) never touches zbuf
             pltpu.VMEM((nanchor, w8p, 8, p * cout), feats3.dtype)
             if (tile // sub) * subwin >= window
             else pltpu.VMEM((1, 1, 8, p * cout), feats3.dtype),
-            pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
+            pltpu.SemaphoreType.DMA((4 if p > 1 else 2, max(gmap) + 1)),
         ],
     )
     return pl.pallas_call(

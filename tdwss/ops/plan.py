@@ -96,6 +96,16 @@ class Windowed27:
     res_tile: Optional[jnp.ndarray] = None
     res_hent: Optional[jnp.ndarray] = None
     res_htile: Optional[jnp.ndarray] = None
+    # Tap-chunked companion of res_hent (host_plan._tap_chunk): every
+    # _RES_HCHUNK-entry chunk holds ONE tap's entries, so the device
+    # evaluates contributions as a batched (chunk, C) @ (C, Cout) GEMM
+    # with a gathered per-chunk weight instead of the (E, K*C)
+    # one-hot-masked operand (27x the traffic).  res_tent (NC*CHUNK, 2)
+    # [src, owner]; res_ttap (NC,) tap per chunk; res_tperm (EH,) slot of
+    # each res_hent row in the tap layout (pad == NC*CHUNK).
+    res_tent: Optional[jnp.ndarray] = None
+    res_ttap: Optional[jnp.ndarray] = None
+    res_tperm: Optional[jnp.ndarray] = None
     window: int = flax.struct.field(pytree_node=False, default=512)
     # Two-level sub-windows (0 = disabled): rows are additionally split
     # into sub-tiles of ``sub`` rows whose taps read a ``subwin``-wide
@@ -146,6 +156,10 @@ class WindowedGather:
     res_tile: Optional[jnp.ndarray] = None
     res_hent: Optional[jnp.ndarray] = None
     res_htile: Optional[jnp.ndarray] = None
+    # tap-chunked companion (see Windowed27.res_tent/res_ttap/res_tperm)
+    res_tent: Optional[jnp.ndarray] = None
+    res_ttap: Optional[jnp.ndarray] = None
+    res_tperm: Optional[jnp.ndarray] = None
     window: int = flax.struct.field(pytree_node=False, default=512)
     v_src: int = flax.struct.field(pytree_node=False, default=0)
     # Two-level sub-windows, exactly as in :class:`Windowed27` (the

@@ -393,7 +393,30 @@ _RES_TILE = 512       # must match tdwss.ops.host_plan._RES_TILE
 _RES_HSPAN = 8        # must match tdwss.ops.host_plan._RES_HSPAN
 
 
-def _res_heavy_apply(feats, res_hent, res_htile, w2d, cout, v_out, t2):
+def _tap_contrib(feats, tent, ttap, w2d):
+    """Tap-chunked contributions -> (NC*CHUNK, Cout) f32 in tap order.
+
+    Every _RES_HCHUNK-entry chunk holds ONE tap's entries
+    (host_plan._tap_chunk), so the per-entry tap selection becomes a
+    batched (CHUNK, C) @ (C, Cout) GEMM against a gathered per-chunk
+    weight — no (E, K*C) one-hot operand (27x the traffic, chunked
+    lax.map loops at the big heavy caps).
+    """
+    cin = feats.shape[-1]
+    cout = w2d.shape[-1]
+    nc = ttap.shape[0]
+    f = jnp.take(feats, _oob(tent[:, 0], feats.shape[0]), axis=0,
+                 mode="fill", fill_value=0)             # (NC*CHUNK, C)
+    w3 = w2d.reshape(-1, cin, cout).astype(feats.dtype)
+    wsel = jnp.take(w3, ttap, axis=0)                   # (NC, C, Cout)
+    return jax.lax.dot_general(
+        f.reshape(nc, _RES_HCHUNK, cin), wsel,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).reshape(-1, cout)
+
+
+def _res_heavy_apply(feats, res_hent, res_htile, w2d, cout, v_out, t2,
+                     tent=None, ttap=None, tperm=None):
     """Heavy-tile spill corrections -> (v_out, Cout) f32 — scatter-free.
 
     ``res_hent`` is CHUNK-ALIGNED by the host (H2 * _RES_HCHUNK rows,
@@ -405,11 +428,20 @@ def _res_heavy_apply(feats, res_hent, res_htile, w2d, cout, v_out, t2):
     window with a batched einsum, and the windows land via an
     (H2, _RES_HSPAN) block scatter — still tens of block rows, never a
     per-owner scatter.
+
+    With the tap-chunked companion (``tent``/``ttap``/``tperm``) the
+    contributions come from :func:`_tap_contrib` + a permutation gather
+    back to the owner-chunked layout.
     """
     t_res = v_out // t2
     taps = res_hent[:, 1]
     srcs = res_hent[:, 2]
-    c2 = _entry_contrib(feats, taps, srcs, w2d).astype(feats.dtype)
+    if tent is not None and ttap is not None and tperm is not None:
+        c_tap = _tap_contrib(feats, tent, ttap, w2d)
+        c2 = jnp.take(c_tap, tperm, axis=0, mode="fill",
+                      fill_value=0).astype(feats.dtype)
+    else:
+        c2 = _entry_contrib(feats, taps, srcs, w2d).astype(feats.dtype)
     h2 = res_htile.shape[0]
     span = _RES_HSPAN * t_res
     rows = c2.reshape(h2, _RES_HCHUNK, cout)
@@ -438,10 +470,30 @@ def _res_heavy_apply(feats, res_hent, res_htile, w2d, cout, v_out, t2):
     return out.reshape(v_out, cout)
 
 
-def _res_heavy_dw(feats, res_hent, dout, k=27):
+def _res_heavy_dw(feats, res_hent, dout, k=27, tent=None, ttap=None):
     """Heavy-list dW contribution — compact, gather-based (no layout
     tricks needed: dW accumulates over entries, not owners)."""
     v = feats.shape[0]
+    if tent is not None and ttap is not None:
+        # tap-chunked: per-chunk (C, Cout) outer-product GEMMs summed
+        # into tap slots by a tiny one-hot matmul (see _tap_contrib)
+        cin = feats.shape[-1]
+        cout = dout.shape[-1]
+        nc = ttap.shape[0]
+        f = jnp.take(feats, _oob(tent[:, 0], v), axis=0,
+                     mode="fill", fill_value=0)
+        dv = jnp.take(dout, _oob(tent[:, 1], dout.shape[0]), axis=0,
+                      mode="fill", fill_value=0).astype(feats.dtype)
+        g = jax.lax.dot_general(
+            f.reshape(nc, _RES_HCHUNK, cin), dv.reshape(nc, _RES_HCHUNK,
+                                                        cout),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (NC, C, Cout)
+        oh = (jnp.arange(k, dtype=jnp.int32)[:, None]
+              == ttap[None, :]).astype(jnp.float32)      # (K, NC)
+        dw = jnp.dot(oh, g.reshape(nc, cin * cout),
+                     preferred_element_type=jnp.float32)
+        return dw.reshape(k * cin, cout)
     taps = res_hent[:, 1]
     srcs = res_hent[:, 2]
     tgts = jnp.where(srcs < v, res_hent[:, 0], dout.shape[0])
@@ -462,13 +514,16 @@ def _res_all_apply(feats, rtile, res_ovf, ovf_v, ovf_count, w2d, cout,
     if res_ovf.shape[0]:        # zero-capacity tier: statically absent
         out = _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout,
                              out_len=v)
-    res_tile, res_hent, res_htile = rtile
+    res_tile, res_hent, res_htile, tent, ttap, tperm = rtile
+    if tent is not None and not tent.shape[0]:
+        tent = ttap = tperm = None
     if res_tile is not None and res_tile.shape[0] and res_tile.shape[1]:
         out = out + _res_tile_apply(feats, res_tile, w2d, cout, v)
     if (res_hent is not None and res_htile is not None
             and res_hent.shape[0] and v % _RES_TILE == 0):
         out = out + _res_heavy_apply(feats, res_hent, res_htile, w2d,
-                                     cout, v, v // _RES_TILE)
+                                     cout, v, v // _RES_TILE,
+                                     tent, ttap, tperm)
     return out
 
 
@@ -477,11 +532,13 @@ def _res_all_dw(feats, rtile, res_ovf, dout, k=27):
     dw = jnp.zeros((k * cin, dout.shape[-1]), jnp.float32)
     if res_ovf.shape[0]:        # zero-capacity tier: statically absent
         dw = _res_ovf_dw(feats, res_ovf, dout, k)
-    res_tile, res_hent, res_htile = rtile
+    res_tile, res_hent, res_htile, tent, ttap, tperm = rtile
+    if tent is not None and not tent.shape[0]:
+        tent = ttap = None
     if res_tile is not None and res_tile.shape[0] and res_tile.shape[1]:
         dw = dw + _res_tile_dw(feats, res_tile, dout, k)
     if res_hent is not None and res_hent.shape[0]:
-        dw = dw + _res_heavy_dw(feats, res_hent, dout, k)
+        dw = dw + _res_heavy_dw(feats, res_hent, dout, k, tent, ttap)
     return dw
 
 
@@ -1218,15 +1275,22 @@ def _wg_soff(wg):
 
 
 def _pack_rtile(win):
-    """(res_tile, res_hent, res_htile) with array placeholders for Nones
-    (custom_vjp needs concrete array leaves)."""
+    """(res_tile, res_hent, res_htile, res_tent, res_ttap, res_tperm)
+    with array placeholders for Nones (custom_vjp needs concrete array
+    leaves)."""
     rt = (win.res_tile if win.res_tile is not None
           else jnp.zeros((0, 0, 3), jnp.int32))
     he = (win.res_hent if win.res_hent is not None
           else jnp.zeros((0, 3), jnp.int32))
     ht = (win.res_htile if win.res_htile is not None
           else jnp.zeros((0, 2), jnp.int32))
-    return (rt, he, ht)
+    te = (win.res_tent if getattr(win, "res_tent", None) is not None
+          else jnp.zeros((0, 2), jnp.int32))
+    tt = (win.res_ttap if getattr(win, "res_ttap", None) is not None
+          else jnp.zeros((0,), jnp.int32))
+    tp = (win.res_tperm if getattr(win, "res_tperm", None) is not None
+          else jnp.zeros((0,), jnp.int32))
+    return (rt, he, ht, te, tt, tp)
 
 
 _wg_rtile = _pack_rtile

@@ -142,6 +142,10 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
                        max((w.res_htile.shape[0]
                             for w in wins if w.res_htile is not None),
                            default=0),
+                       max((w.res_ttap.shape[0]
+                            for w in wins
+                            if getattr(w, "res_ttap", None) is not None),
+                           default=0),
                        0 if 0 in vas else max(vas))
             if len({(getattr(w, "sub", 0), getattr(w, "subwin", 0))
                     for w in wins}) > 1:
@@ -152,7 +156,7 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
     out = []
     for b in batches:
         flat, treedef = jax.tree_util.tree_flatten(b, is_leaf=is_win)
-        for i, (e_cap, h_cap, w_max, r_max, he_max, ht_max,
+        for i, (e_cap, h_cap, w_max, r_max, he_max, ht_max, tc_max,
                 va) in caps.items():
             win = flat[i]
             if getattr(win, "v_active", 0) != va and hasattr(win,
@@ -178,6 +182,15 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
                 pad[:, 0] = v              # owner sentinel == v_out
                 win = win.replace(res_hent=np.concatenate(
                     [np.asarray(win.res_hent), pad]))
+                if getattr(win, "res_tperm", None) is not None:
+                    # c2 rows == hent rows: pad the tap permutation with
+                    # out-of-bounds slots (zero-fill contributions)
+                    grow = he_max - win.res_tperm.shape[0]
+                    if grow > 0:
+                        oob = win.res_tent.shape[0]
+                        win = win.replace(res_tperm=np.concatenate(
+                            [np.asarray(win.res_tperm),
+                             np.full((grow,), oob, np.int32)]))
             if win.res_htile is not None and win.res_htile.shape[0] < ht_max:
                 from tdwss.ops.host_plan import _RES_TILE
 
@@ -186,6 +199,34 @@ def _harmonize_residual_caps(batches: Sequence[PointBatch]) -> List[PointBatch]:
                 pad[:, 0] = v // _RES_TILE  # tile sentinel == T2
                 win = win.replace(res_htile=np.concatenate(
                     [np.asarray(win.res_htile), pad]))
+            if (getattr(win, "res_ttap", None) is not None
+                    and win.res_ttap.shape[0] < tc_max):
+                from tdwss.ops.host_plan import _RES_HCHUNK
+
+                grow = tc_max - win.res_ttap.shape[0]
+                ent_pad = np.full((grow * _RES_HCHUNK, 2), src_pad,
+                                  np.int32)
+                ent_pad[:, 1] = v          # owner sentinel == v_out
+                # perm values stay valid: existing slots keep their
+                # positions and hent pad rows (added above) must point
+                # out of bounds of the GROWN tap array
+                new_len = tc_max * _RES_HCHUNK
+                perm = np.asarray(win.res_tperm)
+                old_oob = perm >= win.res_tent.shape[0]
+                perm = np.where(old_oob, new_len, perm).astype(np.int32)
+                if win.res_hent is not None:
+                    eh = win.res_hent.shape[0]
+                    if perm.shape[0] < eh:
+                        perm = np.concatenate(
+                            [perm, np.full((eh - perm.shape[0],), new_len,
+                                           np.int32)])
+                win = win.replace(
+                    res_tent=np.concatenate(
+                        [np.asarray(win.res_tent), ent_pad]),
+                    res_ttap=np.concatenate(
+                        [np.asarray(win.res_ttap),
+                         np.zeros((grow,), np.int32)]),
+                    res_tperm=perm)
             e, h = win.res_ovf.shape[0], win.ovf_v.shape[0]
             if e < e_cap:
                 pad = np.full((e_cap - e, 3), v, np.int32)
