@@ -470,9 +470,14 @@ def _res_heavy_apply(feats, res_hent, res_htile, w2d, cout, v_out, t2,
     return out.reshape(v_out, cout)
 
 
-def _res_heavy_dw(feats, res_hent, dout, k=27, tent=None, ttap=None):
+def _res_heavy_dw(feats, res_hent, dout, k=27, tent=None, ttap=None,
+                  f_tap=None):
     """Heavy-list dW contribution — compact, gather-based (no layout
-    tricks needed: dW accumulates over entries, not owners)."""
+    tricks needed: dW accumulates over entries, not owners).
+
+    ``f_tap``: the tap-ordered feats gather saved by the conv forward
+    (identical expression, CSE'd there) — passing it skips re-gathering
+    the 36-84k rows (~10-20 ns/row latency-bound) in the backward."""
     v = feats.shape[0]
     if tent is not None and ttap is not None:
         # tap-chunked: per-chunk (C, Cout) outer-product GEMMs summed
@@ -480,8 +485,8 @@ def _res_heavy_dw(feats, res_hent, dout, k=27, tent=None, ttap=None):
         cin = feats.shape[-1]
         cout = dout.shape[-1]
         nc = ttap.shape[0]
-        f = jnp.take(feats, _oob(tent[:, 0], v), axis=0,
-                     mode="fill", fill_value=0)
+        f = f_tap if f_tap is not None else jnp.take(
+            feats, _oob(tent[:, 0], v), axis=0, mode="fill", fill_value=0)
         dv = jnp.take(dout, _oob(tent[:, 1], dout.shape[0]), axis=0,
                       mode="fill", fill_value=0).astype(feats.dtype)
         g = jax.lax.dot_general(
@@ -527,18 +532,19 @@ def _res_all_apply(feats, rtile, res_ovf, ovf_v, ovf_count, w2d, cout,
     return out
 
 
-def _res_all_dw(feats, rtile, res_ovf, dout, k=27):
+def _res_all_dw(feats, rtile, res_ovf, dout, k=27, f_tap=None):
     cin = feats.shape[-1]
     dw = jnp.zeros((k * cin, dout.shape[-1]), jnp.float32)
     if res_ovf.shape[0]:        # zero-capacity tier: statically absent
         dw = _res_ovf_dw(feats, res_ovf, dout, k)
     res_tile, res_hent, res_htile, tent, ttap, tperm = rtile
     if tent is not None and not tent.shape[0]:
-        tent = ttap = None
+        tent = ttap = f_tap = None
     if res_tile is not None and res_tile.shape[0] and res_tile.shape[1]:
         dw = dw + _res_tile_dw(feats, res_tile, dout, k)
     if res_hent is not None and res_hent.shape[0]:
-        dw = dw + _res_heavy_dw(feats, res_hent, dout, k, tent, ttap)
+        dw = dw + _res_heavy_dw(feats, res_hent, dout, k, tent, ttap,
+                                f_tap)
     return dw
 
 
@@ -555,11 +561,16 @@ def _kernel_vmem_fits(nanchor: int, window: int, c3: int, cout: int,
     Counts the double-buffered window scratch, the weight / dW-accumulator
     block, and the pipelined rb/dout/out blocks.  Wide deep-level convs
     (L=384, Cout=160) overflow the 16 MB VMEM otherwise (observed compile
-    failure: 18.56M > 16M in windowed_dw).
+    failure: 18.56M > 16M in windowed_dw).  Packed-row kernels
+    (pallas_subm._pack_p) shrink the window scratch p x but grow the
+    weight block p x.
     """
+    from tdwss.ops.pallas_subm import _pack_p
+
+    p = _pack_p(c3, cout, window * 8, window)  # v_src unknown: 8*window
     l = ((c3 + 127) // 128) * 128
-    scratch = 2 * nwin * window * l * 2                # bf16 windows
-    w9 = nanchor * l * cout * 2                        # bf16 fwd weight block
+    scratch = 2 * nwin * (window // p) * l * 2         # bf16 windows
+    w9 = nanchor * l * p * cout * 2                    # bf16 fwd weight block
     acc = nanchor * l * cout * 4                       # dw f32 accumulator
     blocks = 2 * (nanchor * tile * 4 + tile * cout * 6)
     return scratch + max(w9, acc + cout * l * 2) + blocks < _VMEM_BUDGET
@@ -636,12 +647,17 @@ def _sub_vmem_fits(window: int, c: int, cout: int, dw: bool,
     20.9 MB scoped allocation at nanchor=27).  The stack pressure tracks
     nanchor x window, so the window cap scales with 27 / nanchor.
     """
-    if nanchor * window > 27 * 768:   # stack blow-up seen at 27 x 1280
-        return False
+    from tdwss.ops.pallas_subm import _pack_p
+
+    p = _pack_p(c, cout, window * 8, window)  # v_src unknown: 8*window
+    if nanchor * (window // p) > 27 * 768:  # stack blow-up at 27 x 1280
+        return False                        # (packed rows: window / p)
     l = ((c + 127) // 128) * 128
-    zbuf = nanchor * window * cout * 2
-    sbuf = nanchor * window * cout * 4 + nanchor * l * cout * 4 if dw else 0
-    win = 2 * nwin * window * l * 2
+    zbuf = nanchor * (window // p) * p * cout * 2
+    sbuf = (nanchor * (window // p) * p * cout * 4
+            + nanchor * l * cout * 4 if dw else 0)
+    # the packed fwd kernel runs a 4-deep DMA pipeline
+    win = (4 if p > 1 else 2) * nwin * (window // p) * l * 2
     # The weight block (bf16: the wrappers cast to feats dtype) and the
     # double-buffered rb/out pipeline blocks are real VMEM too (observed:
     # a fwd sub instance at l=128/cout=192/window=640 passed the
@@ -773,8 +789,16 @@ def _subm_conv_w27_fwd(window, sub, subwin, v_active, feats, starts,
     out = _subm_conv_w27(window, sub, subwin, v_active, feats, starts,
                          sub_off, rb_local, rtile, res_ovf, ovf_v,
                          ovf_count, weight)
+    # Save the tap-ordered heavy-list feats gather for the backward's dW
+    # (CSE'd with the identical gather inside the primal — free here; the
+    # backward sits behind an optimization_barrier so re-gathering there
+    # costs the full 36-84k-row latency again).
+    tent = rtile[3]
+    f_tap = (jnp.take(feats, _oob(tent[:, 0], feats.shape[0]), axis=0,
+                      mode="fill", fill_value=0)
+             if tent.shape[0] else None)
     return out, (feats, starts, sub_off, rb_local, rtile, res_ovf,
-                 ovf_v, ovf_count, weight)
+                 ovf_v, ovf_count, weight, f_tap)
 
 
 def _w27_bwd_fused(feats, dout_c, weight, rb_local, starts, sub_off,
@@ -831,9 +855,13 @@ def _w27_bwd_fused(feats, dout_c, weight, rb_local, starts, sub_off,
 
 def _subm_conv_w27_bwd(window, sub, subwin, v_active, res, dout):
     (feats, starts, sub_off, rb_local, rtile, res_ovf, ovf_v, ovf_count,
-     weight) = res
+     weight, f_tap) = res
     k, cin, cout = weight.shape
-    feats, dout = jax.lax.optimization_barrier((feats, dout))
+    if f_tap is not None:
+        feats, dout, f_tap = jax.lax.optimization_barrier(
+            (feats, dout, f_tap))
+    else:
+        feats, dout = jax.lax.optimization_barrier((feats, dout))
     dout_c = dout.astype(feats.dtype)
 
     fused = _w27_bwd_fused(feats, dout_c, weight, rb_local, starts,
@@ -852,7 +880,7 @@ def _subm_conv_w27_bwd(window, sub, subwin, v_active, res, dout):
         dfeats = _w27_matmul_any(dout_c, rb_local, starts, wt2d_, window,
                                  sub, subwin, sub_off, v_active)
 
-    dw = dw + _res_all_dw(feats, rtile, res_ovf, dout_c)
+    dw = dw + _res_all_dw(feats, rtile, res_ovf, dout_c, f_tap=f_tap)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
 
     wt2d = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
@@ -1227,23 +1255,31 @@ def _wg_conv_fwd(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b,
                    feats, f_starts, f_soff, f_rb, f_rtile, f_ovf,
                    f_ovf_v, f_ovf_cnt, b_starts, b_soff, b_rb, b_rtile,
                    b_ovf, b_ovf_v, b_ovf_cnt, weight)
+    tent = f_rtile[3]
+    f_tap = (jnp.take(feats, _oob(tent[:, 0], feats.shape[0]), axis=0,
+                      mode="fill", fill_value=0)
+             if tent.shape[0] else None)   # see _subm_conv_w27_fwd
     return out, (feats, f_starts, f_soff, f_rb, f_rtile, f_ovf, f_ovf_v,
                  f_ovf_cnt, b_starts, b_soff, b_rb, b_rtile, b_ovf,
-                 b_ovf_v, b_ovf_cnt, weight)
+                 b_ovf_v, b_ovf_cnt, weight, f_tap)
 
 
 def _wg_conv_bwd(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b, res,
                  dout):
     (feats, f_starts, f_soff, f_rb, f_rtile, f_ovf, f_ovf_v, f_ovf_cnt,
      b_starts, b_soff, b_rb, b_rtile, b_ovf, b_ovf_v, b_ovf_cnt,
-     weight) = res
+     weight, f_tap) = res
     k, cin, cout = weight.shape
-    feats, dout = jax.lax.optimization_barrier((feats, dout))
+    if f_tap is not None:
+        feats, dout, f_tap = jax.lax.optimization_barrier(
+            (feats, dout, f_tap))
+    else:
+        feats, dout = jax.lax.optimization_barrier((feats, dout))
     dout_c = dout.astype(feats.dtype)
 
     dw = _wg_dw_any(feats, f_rb, f_starts, dout_c, window_f, sub_f,
                     subwin_f, f_soff)
-    dw = dw + _res_all_dw(feats, f_rtile, f_ovf, dout_c, k)
+    dw = dw + _res_all_dw(feats, f_rtile, f_ovf, dout_c, k, f_tap=f_tap)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
 
     # dfeats via the transposed rulebook: tap index (child_offset) is the
