@@ -744,22 +744,30 @@ def _sub_dw_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
     cpad = l // pack
     cout = dout_ref.shape[-1]
     sbuf[...] = jnp.zeros_like(sbuf)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
+    # ONE block-major voxel one-hot per (sub-tile, anchor): target row
+    # blk * swk + packed_row (sentinel past the voxel span), so a single
+    # compare + dot replaces pack per-block builds; the contribution
+    # comes out block-major and RMWs each block's sub-window slice as a
+    # contiguous leading slice (no relayout).
+    iota = jax.lax.broadcasted_iota(jnp.int32, (swk * pack, sub), 0)
     for s_i in range(nsub):
         dsub = dout_ref[s_i * sub:(s_i + 1) * sub, :]
         for a in range(len(gmap)):
             off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
             rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
-            rows = rbs >> shift if pack > 1 else rbs
+            if pack > 1:
+                tgt = (rbs & (pack - 1)) * swk + (rbs >> shift)
+                tgt = jnp.where(rbs < swk * pack, tgt, swk * pack)
+            else:
+                tgt = rbs
+            oh_t = (tgt[None, :] == iota).astype(dsub.dtype)
+            contrib = jnp.dot(oh_t, dsub,
+                              preferred_element_type=jnp.float32)
+            c3v = contrib.reshape(pack, swk, cout)
             for b in range(pack):
-                rows_b = (jnp.where((rbs & (pack - 1)) == b, rows, swk)
-                          if pack > 1 else rows)
-                oh_t = (rows_b[None, :] == iota).astype(dsub.dtype)
-                contrib = jnp.dot(oh_t, dsub,
-                                  preferred_element_type=jnp.float32)
                 curs = sbuf[a, b, pl.ds(off8, swk8)].reshape(swk, cout)
                 sbuf[a, b, pl.ds(off8, swk8)] = (
-                    curs + contrib).reshape(swk8, 8, cout)
+                    curs + c3v[b]).reshape(swk8, 8, cout)
 
     for a in range(len(gmap)):
         win_a = win[cur, gmap[a]].reshape(w, l)
