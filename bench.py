@@ -19,12 +19,16 @@ transposed-rulebook VJPs 0.063 Mpts/s; windowed-MXU x-triple engine
 transitions 0.46; two-level sub-window kernels + z-parity
 grouped transition windows 0.602.
 Round 2: sub-windows on the cross-level gathers (L0 strided 31.6 ->
-12.8 ms fwd), fused dfeats+dW backward kernel for C<=64 levels, Pallas
-routing down to 8k-voxel levels (einsum fallback cost 4.5-12.5 ms/conv
-there), scatter-free two-tier residual spills, native C++ plan builder
-(host 9.6 -> ~1.3 s/batch).  Remaining levers (docs/DESIGN.md): VPU
-one-hot construction and MXU lane use at Cout=32, and 8-chip data
-parallelism.
+12.8 ms fwd), fused dfeats+dW backward kernel, Pallas routing down to
+8k-voxel levels, scatter-free two-tier residual spills, native C++
+plan builder (host 9.6 -> ~1.3 s/batch) -> 0.678; then the packed-row
+kernel layout (C<=64 sources as (V/p, 128) rows: full 128-lane DMA/MXU
+use, subm fwd 22.5 -> 13.9 ms at L0), tap-chunked heavy-spill
+contributions, MXU BatchNorm stats, bf16 branch accumulation, and
+VJP-saved heavy gathers -> **0.828** (device step ~906 ms).  Remaining
+levers (docs/DESIGN.md): the per-(sub-tile, anchor) dot chain in the
+now compute-bound kernels, the ~100 ms of latency-bound spill-row
+gathers, and 8-chip data parallelism.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpoints/s", "vs_baseline": N}

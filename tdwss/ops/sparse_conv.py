@@ -709,6 +709,7 @@ def _w27_matmul_any(feats, rb_local, starts, w2d, window, sub=0, subwin=0,
     ``v_active``: the kernel grid runs only over the active output
     prefix; trailing all-padding rows come back as zeros.
     """
+    rb_local = _rb32(rb_local)
     v = feats.shape[0]
     tile_sz = v // starts.shape[0]
     starts, sub_off, rb_local = _w27_active_slice(
@@ -742,6 +743,7 @@ def _w27_matmul_any(feats, rb_local, starts, w2d, window, sub=0, subwin=0,
 def _w27_dw_any(feats, rb_local, starts, dout, window, sub=0, subwin=0,
                 sub_off=None, v_active=0):
     """27-tap windowed dW -> (27C, Cout) f32 (raw tap order)."""
+    rb_local = _rb32(rb_local)
     v = feats.shape[0]
     tile_sz = v // starts.shape[0]
     starts, sub_off, rb_local, dout = _w27_active_slice(
@@ -1172,6 +1174,7 @@ def _wg_matmul_any(src, rb_local, starts, w2d, window, sub=0, subwin=0,
     """Windowed rulebook eval -> (V_out, Cout) f32.  starts (tiles, nwin)
     with tap -> window group = tap % nwin (z-parity grouped children).
     With ``sub``, locals are sub-window-relative (see Windowed27)."""
+    rb_local = _rb32(rb_local)
     v_src, c = src.shape
     v_out, k = rb_local.shape
     tiles = starts.shape[0]
@@ -1201,6 +1204,7 @@ def _wg_matmul_any(src, rb_local, starts, w2d, window, sub=0, subwin=0,
 def _wg_dw_any(src, rb_local, starts, dout, window, sub=0, subwin=0,
                sub_off=None):
     """Windowed rulebook dW -> (K*C, Cout) f32 (raw tap order)."""
+    rb_local = _rb32(rb_local)
     v_src, c = src.shape
     v_out, k = rb_local.shape
     tiles = starts.shape[0]
