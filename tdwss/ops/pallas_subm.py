@@ -763,11 +763,11 @@ def _sub_dw_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
             oh_t = (tgt[None, :] == iota).astype(dsub.dtype)
             contrib = jnp.dot(oh_t, dsub,
                               preferred_element_type=jnp.float32)
-            c3v = contrib.reshape(pack, swk, cout)
-            for b in range(pack):
-                curs = sbuf[a, b, pl.ds(off8, swk8)].reshape(swk, cout)
-                sbuf[a, b, pl.ds(off8, swk8)] = (
-                    curs + c3v[b]).reshape(swk8, 8, cout)
+            c4v = contrib.reshape(pack, swk8, 8, cout)
+            # one RMW across all blocks (the block axis is contiguous
+            # around the sliced sub-window rows)
+            curs = sbuf[a, :, pl.ds(off8, swk8)]
+            sbuf[a, :, pl.ds(off8, swk8)] = curs + c4v
 
     for a in range(len(gmap)):
         win_a = win[cur, gmap[a]].reshape(w, l)
