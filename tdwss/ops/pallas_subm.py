@@ -123,7 +123,10 @@ def _pack_p(c3: int, cout: int, v_src: int, *aligned_dims: int) -> int:
     source capacity.  Window starts / sub-offsets are 8*p-aligned by
     construction (host_plan.WIN_ALIGN == 32 >= 8*4).
     """
-    if not _PACK or not _oh_t(cout) or _GATHER_INNER:
+    # _OH_BF16 is incompatible (Mosaic rejects the bf16 compare shapes
+    # the packed iotas produce: "Target does not support this
+    # comparison") — the experimental knob falls back to unpacked.
+    if not _PACK or not _oh_t(cout) or _GATHER_INNER or _OH_BF16:
         return 1
     if c3 <= 32:
         p = 4
