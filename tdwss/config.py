@@ -109,6 +109,12 @@ class EngineConfig:
                                      # sticky window/cap shapes converge
                                      # before the first jit (see
                                      # tdwss.data.loader.warm_plan_shapes)
+    prewarm_epochs: List[int] = field(default_factory=lambda: [1, 2])
+                                     # epochs whose batch compositions the
+                                     # prewarm pass replays: one epoch can
+                                     # miss a window/cap rung that a later
+                                     # epoch's shuffle hits, re-specializing
+                                     # the step mid-training
     slim_train_batch: bool = True    # drop train-dead point leaves
                                      # (coords/feats/point_ids) from the
                                      # device payload when host plans attach

@@ -60,19 +60,59 @@ class Trainer:
             print("Validation examples:", len(val_scenes))
 
         self.model = build_model(cfg)
-        self.spe = steps_per_epoch(len(train_scenes), cfg.pointcloud_data.batch_size)
+        # cfg.mesh.data > 1 trains data-parallel over an ICI mesh — the
+        # reference's `options: [distributed]` stub (its 4gpu config,
+        # SURVEY.md §2.5) made real.  ``batch_size`` stays GLOBAL (the
+        # reference's 4gpu yaml scales batch 4 -> 30 and lr 4x for the
+        # whole job): each device consumes batch_size/ndev scenes per
+        # step, so the optimizer sees len/batch_size steps per epoch.
+        self.ndev = max(int(getattr(cfg.mesh, "data", 1) or 1), 1)
+        self.mesh = None
+        if self.ndev > 1:
+            import dataclasses
+
+            bs = cfg.pointcloud_data.batch_size
+            if bs % self.ndev:
+                raise ValueError(
+                    f"batch_size {bs} must divide across mesh.data="
+                    f"{self.ndev} devices")
+            self._local_cfg = dataclasses.replace(
+                cfg, pointcloud_data=dataclasses.replace(
+                    cfg.pointcloud_data, batch_size=bs // self.ndev))
+        else:
+            self._local_cfg = cfg
+        self.spe = max(
+            steps_per_epoch(len(train_scenes), cfg.pointcloud_data.batch_size),
+            1)
         self.tx = make_optimizer(cfg, self.spe)
-        self.train_step = jax.jit(make_train_step(cfg, self.model, self.tx))
+        if self.ndev > 1:
+            from tdwss.parallel.dp import make_dp_train_step, make_mesh
+
+            self.mesh = make_mesh(self.ndev)
+            self.train_step = make_dp_train_step(
+                self._local_cfg, self.model, self.tx, self.mesh)
+        else:
+            self.train_step = jax.jit(make_train_step(cfg, self.model, self.tx))
         self.eval_step = jax.jit(make_eval_step(self.model))
 
         if cfg.engine.prewarm_shapes:
             from tdwss.data.loader import warm_plan_shapes
 
-            warm_plan_shapes(train_scenes, cfg)
-        example = next(iter(train_batches(train_scenes, cfg, epoch=0, prefetch=False)))
+            warm_plan_shapes(train_scenes, self._local_cfg,
+                             epochs=cfg.engine.prewarm_epochs)
+        example = next(iter(train_batches(train_scenes, self._local_cfg,
+                                          epoch=0, prefetch=False)))
         example = jax.tree_util.tree_map(jnp.asarray, example)
         self.state = init_state(cfg, self.model, self.tx, example)
         self._example = example
+        self._example_dev = None       # first device batch seen (DP cost acct)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # replicate the training state across the mesh; pmean in the
+            # step keeps every device-varying quantity synchronized
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.mesh, P()))
         if verbose:
             print("#classifier parameters", param_count(self.state.params))
 
@@ -93,11 +133,26 @@ class Trainer:
                 print("Loaded pretrain weights from", cfg.pretrain)
         self.logger = ScalarLogger(os.path.join("exp", cfg.training_name))
 
+    def _epoch_batches(self, epoch: int, stats: CollateStats):
+        if self.mesh is None:
+            return train_batches(self.train_scenes, self.cfg, epoch, stats,
+                                 to_device=True)
+        from tdwss.parallel.dp import dp_train_batches, shard_batch
+
+        def gen():
+            for stacked in dp_train_batches(
+                    self.train_scenes, self._local_cfg, epoch, self.ndev,
+                    stats):
+                yield shard_batch(stacked, self.mesh)
+
+        return gen()
+
     def run_epoch(self, epoch: int) -> float:
         stats = CollateStats()
         losses = []
-        for batch in train_batches(self.train_scenes, self.cfg, epoch, stats,
-                                   to_device=True):
+        for batch in self._epoch_batches(epoch, stats):
+            if self._example_dev is None:
+                self._example_dev = batch
             self.state, aux = self.train_step(self.state, batch)
             # keep the loss ON DEVICE until epoch end: float() here would
             # block on every step, serializing the host loop with the
@@ -121,10 +176,17 @@ class Trainer:
             mean_loss = self.run_epoch(epoch)
             history.append(mean_loss)
             if madds is None:
-                madds = mega_mul_add(
-                    self.train_step, self.state, self._example,
-                    per=cfg.pointcloud_data.batch_size,
-                )
+                # cost-analyse the step actually being run (DP: the
+                # device-stacked batch, normalized per scene across devices)
+                example = (self._example_dev if self.mesh is not None
+                           else self._example)
+                if example is not None:
+                    madds = mega_mul_add(
+                        self.train_step, self.state, example,
+                        per=cfg.pointcloud_data.batch_size,
+                    )
+                else:
+                    madds = 0.0
             if self.verbose:
                 print(
                     epoch, "Train loss", mean_loss,
@@ -136,8 +198,14 @@ class Trainer:
                 self.ckpt.save(epoch, self.state)
 
             if (is_power2(epoch) or epoch % 32 == 0) and self.val_scenes:
+                params, bstats = self.state.params, self.state.batch_stats
+                if self.mesh is not None:
+                    # replicated mesh arrays -> host so the single-device
+                    # eval jit can place them itself
+                    params = jax.device_get(params)
+                    bstats = jax.device_get(bstats)
                 ious = validate(
-                    cfg, self.model, self.state.params, self.state.batch_stats,
+                    self._local_cfg, self.model, params, bstats,
                     self.val_scenes, verbose=self.verbose,
                 )
                 self.logger.scalar("Validation accuracy", ious[-1], epoch)

@@ -257,3 +257,60 @@ def test_dp_step_heterogeneous_plans_replicated():
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+@pytest.mark.slow
+def test_dp_trainer_end_to_end(tmp_path, monkeypatch):
+    """The Trainer consumes cfg.mesh.data: a shrunk 4chip config trains
+    2 epochs data-parallel on a 4-device virtual mesh with decreasing
+    loss, replicated state, working validation, and checkpoint resume
+    (the reference's `options: [distributed]` stub, realized)."""
+    import os
+
+    import tdwss
+    from tdwss.config import load_config
+    from tdwss.engine.train import Trainer
+    from tdwss.ops.host_plan import reset_sticky_plans
+
+    cfg_path = os.path.join(os.path.dirname(tdwss.__file__), "..",
+                            "configs",
+                            "3DUNetWithText_scannet_subcloud_uppool_4chip.yaml")
+    cfg = load_config(
+        cfg_path,
+        label="scene_level",           # synthetic scenes, no subcloud prep
+        epochs=2,
+        pointcloud_data={"scale": 10, "val_reps": 1, "batch_size": 8},
+        pointcloud_model={"name": "SparseConvFCNetDirectUpPool", "m": 4,
+                          "full_scale": 64, "block_reps": 1,
+                          "residual_blocks": False},
+        engine={"max_points": 4096, "min_level_capacity": 256},
+    )
+    assert cfg.mesh.data == 4          # from the yaml
+    reset_sticky_plans()
+    train = make_dataset(32, num_points=600, seed=21, with_text=False)
+    val = make_dataset(2, num_points=600, seed=121, with_text=False)
+    monkeypatch.chdir(tmp_path)
+
+    trainer = Trainer(cfg, train, val, use_checkpoints=True, verbose=False)
+    assert trainer.mesh is not None and len(trainer.mesh.devices) == 4
+    history = trainer.fit(epochs=2)
+    assert len(history) == 2 and np.isfinite(history).all()
+    assert history[-1] < history[0], history
+
+    # state stays replicated across the mesh after real (different-batch)
+    # DP steps
+    leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    assert len(shards) == 4
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    trainer.ckpt.close()
+
+    # checkpoint resume restores the replicated state
+    t2 = Trainer(cfg, train, val, use_checkpoints=True, verbose=False)
+    assert t2.start_epoch == 3
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t2.ckpt.close()
+    reset_sticky_plans()
