@@ -1,8 +1,10 @@
-"""Ablate the sub-window fwd kernel at bench L0 scale on the real chip.
+"""Time the dW kernels at bench L0 scale on the real chip.
 
-Decomposes windowed_matmul_sub's time into DMA / +Z / +one-hot-build /
-full (and the packed block-select) so kernel tuning targets the real
-dominator.  Run: python -m benchmarks.probe_sub_ablate [--cin 32]
+The round-3 step profile attributes 238 ms (windowed_dw_sub x30) + 30 ms
+(windowed_dw x20) of the ~916 ms device step to the dW direction — the
+single largest kernel bucket.  This probe times windowed_dw_sub /
+windowed_dw for a given channel config so scatter-layout changes can be
+measured in isolation.  Run: python -m benchmarks.probe_dw [--cin 32]
 """
 
 from __future__ import annotations
@@ -24,7 +26,8 @@ def main():
     ap.add_argument("--window", type=int, default=640)
     ap.add_argument("--nwin", type=int, default=9)
     ap.add_argument("--subwin", type=int, default=256)
-    ap.add_argument("--sub", type=int, default=128)
+    ap.add_argument("--flat", action="store_true",
+                    help="also time the flat (non-sub) dw kernel")
     args = ap.parse_args()
     cout = args.cout or args.cin
 
@@ -49,8 +52,7 @@ def main():
     c4 = np.concatenate([coords, bidx[:, None]], axis=1)[:cap]
     valid = np.ones(min(n, cap), bool)
     if n < cap:
-        c4 = np.concatenate(
-            [c4, np.zeros((cap - n, 4), np.int32)], axis=0)
+        c4 = np.concatenate([c4, np.zeros((cap - n, 4), np.int32)], axis=0)
         valid = np.concatenate([valid, np.zeros(cap - n, bool)])
     res = hp.voxelize_np(c4, None, valid, cap)
     grid = res[0]
@@ -58,32 +60,48 @@ def main():
 
     rb = hp.build_subm_rulebook_np(grid, 3)
     win = hp.build_windowed_subm27(np.asarray(rb), grid, tile=args.tile,
-                                   window=args.window, nwin=args.nwin, sub=args.sub,
-                                   subwin=args.subwin)
+                                   window=args.window, nwin=args.nwin,
+                                   sub=128, subwin=args.subwin)
     assert win is not None
 
     c = args.cin
     feats = jnp.asarray(
         rng.standard_normal((cap, c)).astype(np.float32)).astype(
             jnp.bfloat16)
-    w9 = np.zeros((27, ps._lane_pad(c), cout), np.float32)
-    w9[:, :c, :] = rng.standard_normal((27, c, cout)) * 0.1
-    w9 = jnp.asarray(w9)
+    dout = jnp.asarray(
+        rng.standard_normal((cap, cout)).astype(np.float32)).astype(
+            jnp.bfloat16)
     starts = jnp.asarray(np.asarray(win.starts).reshape(-1))
     soff = jnp.asarray(np.asarray(win.sub_off).reshape(-1))
     rbl = jnp.asarray(np.asarray(win.rb_local).astype(np.int32).T)
 
     p = ps._pack_p(c, cout, cap, args.window, args.subwin)
     print(f"pack={p}")
-    for mode in ("dma", "compute", "z", "ohbuild", "noselect", ""):
-        if p == 1 and mode == "noselect":
-            continue
-        def run(f):
-            return ps.windowed_matmul_sub(
-                f, starts, soff, rbl, w9, window=args.window,
-                tile=args.tile, sub=args.sub, subwin=args.subwin, ablate=mode)
-        sec = timed(run, feats)
-        print(f"  ablate={mode or 'full':9s} {sec * 1e3:7.2f} ms")
+
+    def run_sub(d):
+        return ps.windowed_dw_sub(
+            feats, starts, soff, rbl, d, window=args.window,
+            tile=args.tile, sub=128, subwin=args.subwin)
+
+    sec = timed(run_sub, dout)
+    print(f"  windowed_dw_sub {sec * 1e3:7.2f} ms")
+
+    if args.flat:
+        big = np.asarray(win.rb_local).astype(np.int64)
+        soff_np = np.asarray(win.sub_off)
+        nsub = args.tile // 128
+        gmap = np.arange(27) % args.nwin
+        bigoff = np.repeat(soff_np.reshape(-1, args.nwin), 128,
+                           axis=0)[:, gmap]
+        rb_big = np.where(big == args.subwin, args.window, big + bigoff)
+        rbl_big = jnp.asarray(rb_big.astype(np.int32).T)
+
+        def run_flat(d):
+            return ps.windowed_dw(feats, starts, rbl_big, d,
+                                  window=args.window, tile=args.tile)
+
+        sec = timed(run_flat, dout)
+        print(f"  windowed_dw     {sec * 1e3:7.2f} ms")
 
 
 if __name__ == "__main__":

@@ -59,6 +59,12 @@ inline Key cell_of(const float* p, float inv_dl) {
 
 extern "C" {
 
+// ABI contract probe: the python loader (tdwss/native.py) verifies this
+// matches host_plan.WIN_ALIGN at load so a stale .so built before an
+// alignment change can never feed misaligned starts to the packed Pallas
+// kernels (which would silently truncate `starts // (8*p)`).
+int32_t tdwss_win_align(void) { return kWinAlignM1 + 1; }
+
 // Voxel-grid barycenter subsampling (KPConv grid_subsampling parity):
 // pooled point = mean of member points, pooled features = mean, pooled
 // label = majority vote.  Returns the number of output points (<= n).

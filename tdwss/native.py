@@ -28,6 +28,16 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_failed = False
 
 
+def _abi_ok(lib: ctypes.CDLL) -> bool:
+    """True iff the lib's window-alignment contract matches host_plan."""
+    if not hasattr(lib, "tdwss_win_align"):
+        return False
+    lib.tdwss_win_align.restype = ctypes.c_int32
+    from tdwss.ops.host_plan import WIN_ALIGN
+
+    return int(lib.tdwss_win_align()) == WIN_ALIGN
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _lib_failed
     with _lock:
@@ -40,12 +50,19 @@ def _load() -> Optional[ctypes.CDLL]:
                     check=True, capture_output=True, timeout=120,
                 )
             lib = ctypes.CDLL(_LIB_PATH)
-            if not hasattr(lib, "downsample_plan"):  # stale build
+            if not hasattr(lib, "downsample_plan") or not _abi_ok(lib):
+                # stale build: missing symbols OR an alignment contract
+                # drift (a pre-WIN_ALIGN .so would emit 8-aligned starts
+                # that the packed Pallas kernels silently mis-divide)
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR, "clean", "all"],
                     check=True, capture_output=True, timeout=120,
                 )
                 lib = ctypes.CDLL(_LIB_PATH)
+                if not _abi_ok(lib):
+                    raise RuntimeError(
+                        "libtdwss_native.so win-align contract mismatch "
+                        "after rebuild")
             lib.grid_subsample.restype = ctypes.c_int32
             lib.region_grow.restype = ctypes.c_int32
             lib.subm_rulebook.restype = None

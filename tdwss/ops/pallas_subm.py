@@ -94,6 +94,11 @@ _GATHER_INNER = bool(__import__("os").environ.get("TDWSS_GATHER_INNER"))
 # cout; TDWSS_OH_T=1/0 forces.
 _OH_T_ENV = __import__("os").environ.get("TDWSS_OH_T", "").strip()
 
+# Force the sub kernels to transform Z per sub-window slice instead of
+# once into the shared zbuf (probe knob: trades ~1.6x more Z MXU work for
+# zero zbuf write/read traffic).
+_Z_ONDEMAND = bool(__import__("os").environ.get("TDWSS_Z_ONDEMAND"))
+
 
 def _oh_t(n_chan: int) -> bool:
     if _OH_T_ENV:
@@ -165,6 +170,26 @@ def _pack_w(w9: jnp.ndarray, p: int) -> jnp.ndarray:
     return w9p.reshape(na, 128, p * cout)
 
 
+def _group_w(w9: jnp.ndarray, nwin: int) -> jnp.ndarray:
+    """(nanchor, L, zc) per-tap weights -> (nwin, L, m*slot) group layout.
+
+    The m = nanchor/nwin taps sharing window group g (tap a -> group
+    a % nwin, _anchor_gmap) concatenate along lanes so the kernel's
+    Z-transform runs ONE (W, L) @ (L, m*slot) matmul per group instead
+    of m small ones.  Each tap's block is padded to slot = lane_pad(zc)
+    so the kernel's per-tap lane slices stay 128-tile-aligned; the MXU
+    pads N to 128-lane groups anyway, so the padding adds no MXU time.
+    """
+    na, l, zc = w9.shape
+    m = na // nwin
+    slot = _lane_pad(zc)
+    if slot != zc:
+        w9 = jnp.pad(w9, ((0, 0), (0, 0), (0, slot - zc)))
+    idx = np.arange(na).reshape(m, nwin).T.reshape(-1)   # [g*m + j] = g+j*nwin
+    return w9[idx].reshape(nwin, m, l, slot).transpose(
+        0, 2, 1, 3).reshape(nwin, l, m * slot)
+
+
 def _blk_select(res, blk, p: int, cout: int, sub: int):
     """(p*cout, sub) packed-transform columns -> (cout, sub) per-row block.
 
@@ -186,11 +211,11 @@ def _gather_rows(zs, rbs, nrows: int, width: int):
     indices.shape == operand.shape, so rbs is padded up to width).
     """
     c = zs.shape[-1]
-    idx = jnp.minimum(jnp.pad(rbs, (0, width - nrows)), width - 1)
+    idx = jnp.minimum(rbs, width - 1)
     g = jnp.take_along_axis(
-        zs, jnp.broadcast_to(idx[:, None], (width, c)), axis=0,
+        zs, jnp.broadcast_to(idx[:, None], (nrows, c)), axis=0,
         mode="promise_in_bounds")
-    return jnp.where((rbs < width)[:, None], g[:nrows], 0)
+    return jnp.where((rbs < width)[:, None], g, 0)
 
 
 def _anchor_gmap(nanchor: int, nwin: int) -> tuple:
@@ -208,14 +233,18 @@ def _anchor_gmap(nanchor: int, nwin: int) -> tuple:
     return tuple(k % nwin for k in range(nanchor))
 
 
-def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str, pack: int,
+def _win_fwd_kernel(gmap: tuple, w8: int, t: int, zcols: int, ablate: str,
+                    pack: int,
                     starts_ref, src_ref, rb_ref, w9_ref, out_ref,
                     win, sems):
-    """One tile: DMA the shared windows, Z-transform, one-hot matmul.
+    """One tile: DMA the shared windows, grouped Z-transform, one-hot
+    matmuls.
 
     ``gmap[a]`` is the shared-window slot for tap ``a`` (tap %% nwin) —
     len(set(gmap)) DMAs feed all taps; the scalar core pays ~2 us per DMA
-    descriptor, so fewer windows win even though each is wider.
+    descriptor, so fewer windows win even though each is wider.  Z runs
+    one (W, L) @ (L, m*slot) matmul per window group (w9_ref is the
+    _group_w layout — see _sub_fwd_kernel).
 
     ``ablate`` is a benchmarking aid ("" production): "dma" skips the
     matmuls, "compute" skips the DMAs (reads whatever is in scratch),
@@ -224,6 +253,7 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str, pack: int,
     step = pl.program_id(0)
     w = w8 * 8
     nwin = max(gmap) + 1
+    m = len(gmap) // nwin
 
     def get_dma(buf, tile, j):
         return pltpu.make_async_copy(
@@ -248,8 +278,8 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str, pack: int,
             get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
-    zcols = w9_ref.shape[-1]          # pack * cout (== cout unpacked)
     cout = zcols // pack
+    slot = w9_ref.shape[-1] // m
     shift = pack.bit_length() - 1
     if ablate == "dma":
         out_ref[:] = win[cur, 0, :1].reshape(8, l)[:1, :cout] * jnp.zeros(
@@ -261,37 +291,43 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, ablate: str, pack: int,
         # matmul's N dim is t (128+) instead of cout (often 32).
         iota_t = jax.lax.broadcasted_iota(jnp.int32, (w, t), 0)
         acc_t = jnp.zeros((cout, t), jnp.float32)
-        for a in range(len(gmap)):
-            win_a = win[cur, gmap[a]].reshape(w, l)
-            z = jnp.dot(win_a, w9_ref[a],
-                        preferred_element_type=jnp.float32
-                        ).astype(win_a.dtype)
-            rbs = rb_ref[a, :]
-            rows = rbs >> shift if pack > 1 else rbs
-            oh_t = _onehot(rows[None, :], iota_t, win_a.dtype, 0)
-            res = jax.lax.dot_general(
-                z, oh_t, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if pack > 1:
-                res = _blk_select(res, rbs & (pack - 1), pack, cout, t)
-            acc_t = acc_t + res
+        for g in range(nwin):
+            win_g = win[cur, g].reshape(w, l)
+            zg = jnp.dot(win_g, w9_ref[g],
+                         preferred_element_type=jnp.float32
+                         ).astype(win_g.dtype)
+            for j in range(m):
+                a = g + j * nwin
+                z = zg[:, j * slot:j * slot + zcols]
+                rbs = rb_ref[a, :]
+                rows = rbs >> shift if pack > 1 else rbs
+                oh_t = _onehot(rows[None, :], iota_t, win_g.dtype, 0)
+                res = jax.lax.dot_general(
+                    z, oh_t, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if pack > 1:
+                    res = _blk_select(res, rbs & (pack - 1), pack, cout, t)
+                acc_t = acc_t + res
         out_ref[:] = acc_t.T
         return
     acc = jnp.zeros((t, cout), jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
-    for a in range(len(gmap)):
-        win_a = win[cur, gmap[a]].reshape(w, l)
-        z = jnp.dot(win_a, w9_ref[a],
-                    preferred_element_type=jnp.float32).astype(win_a.dtype)
-        if ablate == "z":
-            acc = acc + z[:t, :cout].astype(jnp.float32)
-            continue
-        if _GATHER_INNER and t <= w:
-            acc = acc + _gather_rows(z, rb_ref[a, :], t, w).astype(
-                jnp.float32)
-            continue
-        oh = _onehot(rb_ref[a, :][:, None], iota, win_a.dtype, 1)
-        acc = acc + jnp.dot(oh, z, preferred_element_type=jnp.float32)
+    for g in range(nwin):
+        win_g = win[cur, g].reshape(w, l)
+        zg = jnp.dot(win_g, w9_ref[g],
+                     preferred_element_type=jnp.float32).astype(win_g.dtype)
+        for j in range(m):
+            a = g + j * nwin
+            z = zg[:, j * slot:j * slot + zcols]
+            if ablate == "z":
+                acc = acc + z[:t, :cout].astype(jnp.float32)
+                continue
+            if _GATHER_INNER and t <= w:
+                acc = acc + _gather_rows(z, rb_ref[a, :], t, w).astype(
+                    jnp.float32)
+                continue
+            oh = _onehot(rb_ref[a, :][:, None], iota, win_g.dtype, 1)
+            acc = acc + jnp.dot(oh, z, preferred_element_type=jnp.float32)
     out_ref[:] = acc
 
 
@@ -336,6 +372,10 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
     src = feats3.reshape(v_src // p // 8, 8, l)
     starts = starts // (8 * p)  # block index into the (V/p/8, 8, L) view
     w8p = window // (8 * p)
+    zcols = p * cout
+    m = nanchor // nwin
+    slot = _lane_pad(zcols)
+    w9g = _group_w(w9, nwin)       # (nwin, l, m*slot) group layout
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -344,8 +384,8 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),                  # src
             pl.BlockSpec((nanchor, tile), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),              # rb_local_t
-            pl.BlockSpec((nanchor, l, p * cout), lambda t, *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),              # w9
+            pl.BlockSpec((nwin, l, m * slot), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),              # w9 (grouped)
         ],
         out_specs=pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
@@ -355,14 +395,14 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
         ],
     )
     kernel = functools.partial(_win_fwd_kernel, gmap, w8p, tile,
-                               ablate, p)
+                               zcols, ablate, p)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((v_out, cout), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, src, rb_local_t, w9)
+    )(starts, src, rb_local_t, w9g)
 
 
 def _win_dw_kernel(gmap: tuple, w8: int, t: int, pack: int,
@@ -398,26 +438,25 @@ def _win_dw_kernel(gmap: tuple, w8: int, t: int, pack: int,
         get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
-    cpad = l // pack
     shift = pack.bit_length() - 1
+    cout = dout_ref.shape[-1]
     dout = dout_ref[...]
     iota = jax.lax.broadcasted_iota(jnp.int32, (w, t), 0)
     for a in range(len(gmap)):
         win_a = win[cur, gmap[a]].reshape(w, l)
         rbs = rb_ref[a, :]
         rows = rbs >> shift if pack > 1 else rbs
-        for b in range(pack):
-            rows_b = (jnp.where((rbs & (pack - 1)) == b, rows, w)
-                      if pack > 1 else rows)
-            oh_t = _onehot(rows_b[None, :], iota, dout.dtype, 0)
-            s = jnp.dot(oh_t, dout,
-                        preferred_element_type=jnp.float32).astype(
-                            dout.dtype)
-            prod = jax.lax.dot_general(
-                win_a, s, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            # keep only block b's window-lane rows (see _sub_dw_kernel)
-            acc[a, b] += prod[b * cpad:(b + 1) * cpad]
+        oh_t = _onehot(rows[None, :], iota, dout.dtype, 0)
+        # block index in the LANE dim (see _sub_dw_kernel / _blk_expand):
+        # one full-lane scatter matmul + one full-lane window GEMM per
+        # anchor replace pack per-block pairs at cout lanes each
+        dexp = (_blk_expand(dout, rbs & (pack - 1), pack, cout, t)
+                if pack > 1 else dout)
+        s = jnp.dot(oh_t, dexp,
+                    preferred_element_type=jnp.float32).astype(dout.dtype)
+        acc[a] += jax.lax.dot_general(
+            win_a, s, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(step + 1 == pl.num_programs(0))
     def _():
@@ -463,28 +502,29 @@ def windowed_dw(feats3: jnp.ndarray, starts: jnp.ndarray,
             pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),              # dout
         ],
-        out_specs=pl.BlockSpec((nanchor, p, l // p, cout),
-                               lambda t, *_: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((nanchor, l, p * cout),
+                               lambda t, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, nwin, w8p, 8, l), feats3.dtype),
-            pltpu.VMEM((nanchor, p, l // p, cout), jnp.float32),
+            pltpu.VMEM((nanchor, l, p * cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2, nwin)),
         ],
     )
     kernel = functools.partial(_win_dw_kernel, gmap, w8p, tile, p)
-    dw4 = pl.pallas_call(
+    dwf = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nanchor, p, l // p, cout),
+        out_shape=jax.ShapeDtypeStruct((nanchor, l, p * cout),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, src, rb_local_t, dout)
     if p == 1:
-        return dw4[:, 0]
-    # the kernel already sliced each block's cpad window-lane rows
-    return dw4.sum(axis=1)
+        return dwf
+    # diagonal block extraction — see windowed_dw_sub
+    dw5 = dwf.reshape(nanchor, p, l // p, p, cout)
+    return sum(dw5[:, b, :, b, :] for b in range(p))
 
 
 def pad_w9(w9: jnp.ndarray) -> jnp.ndarray:
@@ -497,10 +537,10 @@ def pad_w9(w9: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
-                    soff_base: int, pack: int, ablate: str,
+                    soff_base: int, pack: int, zcols: int, ablate: str,
                     scal_ref, src_ref, rb_ref, w9_ref, out_ref,
                     win, zbuf, sems):
-    """Two-level tile: big-window DMAs + full-width Z, sub-window one-hots.
+    """Two-level tile: big-window DMAs + grouped Z, sub-window one-hots.
 
     The one-hot construction (VPU) and its matmul scale with T x width;
     sub-tiles of ``sub`` rows read a ``swk8*8``-wide slice of the Z
@@ -511,11 +551,21 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
     ``w8``/``swk8`` count PACKED rows, rb_ref stays voxel-local (row =
     rb >> log2(pack), block = rb & (pack-1)), and the Z output carries
     pack voxel-blocks in the lane dim, resolved by _blk_select.
+
+    Z-transforms batch per WINDOW GROUP: the m = nanchor/nwin taps that
+    share window g transform in ONE (W, L) @ (L, m*zslot) matmul; w9_ref
+    carries the lane-concatenated group layout (_group_w) with slot
+    width ``zslot`` = zcols rounded up to 128 so per-tap slices stay
+    lane-tile-aligned (the MXU pads N to 128-lane groups anyway, so the
+    slot padding costs nothing).  Measured motivation: the 27 per-tap Z
+    matmuls at L0 ran ~180 ns each — small-op issue overhead, not FLOPs
+    (~6 ms of a 10 ms forward).
     """
     step = pl.program_id(0)
     w = w8 * 8
     swk = swk8 * 8
     nwin = max(gmap) + 1
+    m = len(gmap) // nwin            # taps per window group
     nsub = t // sub
     shift = pack.bit_length() - 1    # log2(pack); voxel rb -> packed row
     nbuf = win.shape[0]              # DMA pipeline depth (>= 2)
@@ -546,7 +596,6 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
             get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
-    zcols = w9_ref.shape[-1]          # pack * cout (== cout unpacked)
     cout = zcols // pack
     if ablate == "dma":
         out_ref[:] = win[cur, 0, :1].reshape(8, l)[:1, :cout] * jnp.zeros(
@@ -558,21 +607,24 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
     # a 2-5x overshoot, so transform each slice on demand instead.  The
     # subm form (tile 512, W 640) keeps the shared buffer: its slices
     # overlap enough that the full transform is cheaper.
-    z_ondemand = nsub * swk < w
+    z_ondemand = nsub * swk < w or _Z_ONDEMAND
+    gz = w9_ref.shape[-1]             # m * slot
+    slot = gz // m                    # per-tap lane slot (zcols -> 128-pad)
 
     if not z_ondemand:
-        for a in range(len(gmap)):
-            win_a = win[cur, gmap[a]].reshape(w, l)
-            z = jnp.dot(win_a, w9_ref[a], preferred_element_type=jnp.float32)
-            zbuf[a] = z.astype(win_a.dtype).reshape(w8, 8, zcols)
+        for g in range(nwin):
+            win_g = win[cur, g].reshape(w, l)
+            z = jnp.dot(win_g, w9_ref[g], preferred_element_type=jnp.float32)
+            zbuf[g] = z.astype(win_g.dtype).reshape(w8, 8, gz)
 
-    def get_zs(a, off8):
+    def get_zs_g(g, off8):
+        """(swk, m*slot) group Z slice; tap j at lanes [j*slot, +zcols)."""
         if z_ondemand:
-            sl = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(swk, l)
-            return jnp.dot(sl, w9_ref[a],
+            sl = win[cur, g, pl.ds(off8, swk8)].reshape(swk, l)
+            return jnp.dot(sl, w9_ref[g],
                            preferred_element_type=jnp.float32
                            ).astype(sl.dtype)
-        return zbuf[a, pl.ds(off8, swk8)].reshape(swk, zcols)
+        return zbuf[g, pl.ds(off8, swk8)].reshape(swk, gz)
 
     if _oh_t(cout):
         # Transposed accumulate: acc^T (cout, sub) += zs^T @ oh^T.  The
@@ -584,44 +636,52 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         iota_t = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
         for s_i in range(nsub):
             acc_t = jnp.zeros((cout, sub), jnp.float32)
-            for a in range(len(gmap)):
+            for g in range(nwin):
                 off8 = scal_ref[soff_base
-                                + (step * nsub + s_i) * nwin + gmap[a]]
-                zs = get_zs(a, off8)
-                rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
-                rows = rbs >> shift if pack > 1 else rbs
-                if ablate == "z":        # DMAs + Z-transforms only
-                    acc_t = acc_t + zs[:cout, :sub].astype(jnp.float32)
-                    continue
-                oh_t = _onehot(rows[None, :], iota_t, zs.dtype, 0)
-                if ablate == "ohbuild":  # + one-hot build, no matmul
-                    acc_t = (acc_t + oh_t[:cout].astype(jnp.float32)
-                             + zs[:cout, :sub].astype(jnp.float32))
-                    continue
-                res = jax.lax.dot_general(
-                    zs, oh_t, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                if pack > 1 and ablate != "noselect":
-                    res = _blk_select(res, rbs & (pack - 1), pack, cout, sub)
-                if pack > 1 and ablate == "noselect":
-                    res = res[:cout]
-                acc_t = acc_t + res
+                                + (step * nsub + s_i) * nwin + g]
+                zs_g = get_zs_g(g, off8)
+                for j in range(m):
+                    a = g + j * nwin
+                    zs = zs_g[:, j * slot:j * slot + zcols]
+                    rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
+                    rows = rbs >> shift if pack > 1 else rbs
+                    if ablate == "z":        # DMAs + Z-transforms only
+                        acc_t = acc_t + zs[:cout, :1].astype(jnp.float32)
+                        continue
+                    oh_t = _onehot(rows[None, :], iota_t, zs.dtype, 0)
+                    if ablate == "ohbuild":  # + one-hot build, no matmul
+                        acc_t = (acc_t + oh_t[:cout].astype(jnp.float32)
+                                 + zs[:cout, :1].astype(jnp.float32))
+                        continue
+                    res = jax.lax.dot_general(
+                        zs, oh_t, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if pack > 1 and ablate != "noselect":
+                        res = _blk_select(res, rbs & (pack - 1), pack,
+                                          cout, sub)
+                    if pack > 1 and ablate == "noselect":
+                        res = res[:cout]
+                    acc_t = acc_t + res
             out_ref[s_i * sub:(s_i + 1) * sub] = acc_t.T
         return
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (sub, swk), 1)
     for s_i in range(nsub):
         acc = jnp.zeros((sub, cout), jnp.float32)
-        for a in range(len(gmap)):
-            off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
-            zs = get_zs(a, off8)
-            rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
-            if _GATHER_INNER and sub <= swk:
-                acc = acc + _gather_rows(zs, rbs, sub, swk).astype(
-                    jnp.float32)
-                continue
-            oh = _onehot(rbs[:, None], iota, zs.dtype, 1)
-            acc = acc + jnp.dot(oh, zs, preferred_element_type=jnp.float32)
+        for g in range(nwin):
+            off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + g]
+            zs_g = get_zs_g(g, off8)
+            for j in range(m):
+                a = g + j * nwin
+                zs = zs_g[:, j * slot:j * slot + zcols]
+                rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
+                if _GATHER_INNER and sub <= swk:
+                    acc = acc + _gather_rows(zs, rbs, sub, swk).astype(
+                        jnp.float32)
+                    continue
+                oh = _onehot(rbs[:, None], iota, zs.dtype, 1)
+                acc = acc + jnp.dot(oh, zs,
+                                    preferred_element_type=jnp.float32)
         out_ref[s_i * sub:(s_i + 1) * sub] = acc
 
 
@@ -666,9 +726,14 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
     scal = jnp.concatenate([starts // (8 * p), soff // (8 * p)])
     nstarts = starts.shape[0]
     w8p, swk8p = window // (8 * p), subwin // (8 * p)
+    zcols = p * cout
+    nwin_g = max(gmap) + 1
+    m = nanchor // nwin_g
+    slot = _lane_pad(zcols)
+    w9g = _group_w(w9, nwin_g)     # (nwin, l, m*slot) group layout
 
     kernel = functools.partial(_sub_fwd_kernel, gmap, w8p, tile,
-                               sub, swk8p, nstarts, p, ablate)
+                               sub, swk8p, nstarts, p, zcols, ablate)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -677,8 +742,8 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),                  # src
             pl.BlockSpec((nanchor, tile), lambda t, *_: (0, t),
                          memory_space=pltpu.VMEM),              # rb_local_t
-            pl.BlockSpec((nanchor, l, p * cout), lambda t, *_: (0, 0, 0),
-                         memory_space=pltpu.VMEM),              # w9
+            pl.BlockSpec((nwin_g, l, m * slot), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),              # w9 (grouped)
         ],
         out_specs=pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
@@ -686,13 +751,13 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
             # packed windows are 1/p the bytes — spend the headroom on a
             # deeper DMA pipeline (the 2-buffer lookahead left the packed
             # kernel ~50% DMA-bound at ~110 GB/s)
-            pltpu.VMEM((4 if p > 1 else 2, max(gmap) + 1, w8p, 8, l),
+            pltpu.VMEM((4 if p > 1 else 2, nwin_g, w8p, 8, l),
                        feats3.dtype),
             # on-demand Z (nsub*swk < window) never touches zbuf
-            pltpu.VMEM((nanchor, w8p, 8, p * cout), feats3.dtype)
+            pltpu.VMEM((nwin_g, w8p, 8, m * slot), feats3.dtype)
             if (tile // sub) * subwin >= window
-            else pltpu.VMEM((1, 1, 8, p * cout), feats3.dtype),
-            pltpu.SemaphoreType.DMA((4 if p > 1 else 2, max(gmap) + 1)),
+            else pltpu.VMEM((1, 1, 8, m * slot), feats3.dtype),
+            pltpu.SemaphoreType.DMA((4 if p > 1 else 2, nwin_g)),
         ],
     )
     return pl.pallas_call(
@@ -701,19 +766,38 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(scal, src, rb_local_t, w9)
+    )(scal, src, rb_local_t, w9g)
+
+
+def _blk_expand(dsub, blk, pack: int, cout: int, sub: int):
+    """dout rows masked into block-column lanes: (sub, pack*cout).
+
+    dexp[j, b*cout + o] = (blk[j] == b) * dsub[j, o] — the block index
+    moves into the LANE dimension so one full-128-lane matmul per anchor
+    replaces ``pack`` per-block one-hot matmuls at cout lanes each.
+    ``cout`` need not be a power of two (iota // cout folds on constants).
+    """
+    qiota = jax.lax.broadcasted_iota(jnp.int32, (sub, pack * cout), 1)
+    bm = (blk[:, None] == qiota // cout).astype(dsub.dtype)
+    wide = pltpu.repeat(dsub, pack, axis=1)      # [dsub | dsub | ...]
+    return wide * bm
 
 
 def _sub_dw_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                    soff_base: int, pack: int,
                    scal_ref, src_ref, rb_ref, dout_ref, dw_ref,
                    win, sbuf, acc, sems):
-    """Two-level dW: per-sub scatter-accumulate oh^T @ dout into a
+    """Two-level dW: per-sub scatter-accumulate oh^T @ dexp into a
     full-width per-anchor buffer, then win^T @ sbuf per anchor.
 
-    ``pack`` > 1 (see _PACK): packed source rows; the scatter buffer and
-    the accumulator gain a per-block axis so block-b window lanes pair
-    only with block-b dout rows (caller reduces the block views)."""
+    ``pack`` > 1 (see _PACK): packed source rows.  The block index rides
+    the LANE dimension (_blk_expand): the scatter one-hot targets packed
+    ROWS only (p-x smaller compare than the old block-major row fold),
+    its matmul and the per-anchor window GEMM run at full 128 output
+    lanes, and the accumulator holds (l, pack*cout) per anchor whose
+    (b, b) diagonal blocks the caller extracts (off-diagonals pair
+    block-b feats with block-b' douts — garbage by construction).
+    Measured v5e L0 (V=640k, C=32, p=4): 22.9 -> (see probe_dw) ms."""
     step = pl.program_id(0)
     w = w8 * 8
     swk = swk8 * 8
@@ -744,46 +828,33 @@ def _sub_dw_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
         get_dma(cur, step, j).wait()
 
     l = win.shape[-1]
-    cpad = l // pack
     cout = dout_ref.shape[-1]
+    zcols = pack * cout
     sbuf[...] = jnp.zeros_like(sbuf)
-    # ONE block-major voxel one-hot per (sub-tile, anchor): target row
-    # blk * swk + packed_row (sentinel past the voxel span), so a single
-    # compare + dot replaces pack per-block builds; the contribution
-    # comes out block-major and RMWs each block's sub-window slice as a
-    # contiguous leading slice (no relayout).
-    iota = jax.lax.broadcasted_iota(jnp.int32, (swk * pack, sub), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
     for s_i in range(nsub):
         dsub = dout_ref[s_i * sub:(s_i + 1) * sub, :]
         for a in range(len(gmap)):
             off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + gmap[a]]
             rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
+            rows = rbs >> shift if pack > 1 else rbs
+            oh_t = (rows[None, :] == iota).astype(dsub.dtype)
             if pack > 1:
-                tgt = (rbs & (pack - 1)) * swk + (rbs >> shift)
-                tgt = jnp.where(rbs < swk * pack, tgt, swk * pack)
+                dexp = _blk_expand(dsub, rbs & (pack - 1), pack, cout, sub)
             else:
-                tgt = rbs
-            oh_t = (tgt[None, :] == iota).astype(dsub.dtype)
-            contrib = jnp.dot(oh_t, dsub,
+                dexp = dsub
+            contrib = jnp.dot(oh_t, dexp,
                               preferred_element_type=jnp.float32)
-            c4v = contrib.reshape(pack, swk8, 8, cout)
-            # one RMW across all blocks (the block axis is contiguous
-            # around the sliced sub-window rows)
-            curs = sbuf[a, :, pl.ds(off8, swk8)]
-            sbuf[a, :, pl.ds(off8, swk8)] = curs + c4v
+            curs = sbuf[a, pl.ds(off8, swk8)]
+            sbuf[a, pl.ds(off8, swk8)] = curs + contrib.reshape(
+                swk8, 8, zcols)
 
     for a in range(len(gmap)):
         win_a = win[cur, gmap[a]].reshape(w, l)
-        for b in range(pack):
-            s_ab = sbuf[a, b].reshape(w, cout).astype(win_a.dtype)
-            prod = jax.lax.dot_general(
-                win_a, s_ab, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            # block b's channels sit at window lanes [b*cpad, (b+1)*cpad);
-            # the other rows pair block-b' feats with block-b douts —
-            # garbage that would only be sliced away, so drop it here and
-            # keep acc at (nanchor, pack, cpad, cout).
-            acc[a, b] += prod[b * cpad:(b + 1) * cpad]
+        s_a = sbuf[a].reshape(w, zcols).astype(win_a.dtype)
+        acc[a] += jax.lax.dot_general(
+            win_a, s_a, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(step + 1 == pl.num_programs(0))
     def _():
@@ -835,28 +906,31 @@ def windowed_dw_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
             pl.BlockSpec((tile, cout), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),              # dout
         ],
-        out_specs=pl.BlockSpec((nanchor, p, l // p, cout),
-                               lambda t, *_: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((nanchor, l, p * cout),
+                               lambda t, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, max(gmap) + 1, w8p, 8, l), feats3.dtype),
-            pltpu.VMEM((nanchor, p, w8p, 8, cout), jnp.float32),
-            pltpu.VMEM((nanchor, p, l // p, cout), jnp.float32),
+            pltpu.VMEM((nanchor, w8p, 8, p * cout), jnp.float32),
+            pltpu.VMEM((nanchor, l, p * cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
         ],
     )
-    dw4 = pl.pallas_call(
+    dwf = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nanchor, p, l // p, cout),
+        out_shape=jax.ShapeDtypeStruct((nanchor, l, p * cout),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(scal, src, rb_local_t, dout)
     if p == 1:
-        return dw4[:, 0]
-    # the kernel already sliced each block's cpad window-lane rows
-    return dw4.sum(axis=1)
+        return dwf
+    # block b's true dW sits at rows [b*cpad, (b+1)*cpad) x lanes
+    # [b*cout, (b+1)*cout) — the off-diagonal blocks pair block-b feats
+    # with block-b' douts and are discarded here
+    dw5 = dwf.reshape(nanchor, p, l // p, p, cout)
+    return sum(dw5[:, b, :, b, :] for b in range(p))
 
 
 def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
