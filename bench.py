@@ -117,8 +117,22 @@ def main() -> None:
     # pure gather-GEMM-scatter with no device sorts.  Throughput below is
     # device-step-only; the host plan build overlaps via the input pipeline
     # in real training (tdwss.data.loader prefetch).
+    t0 = time.perf_counter()
     batch = attach_host_plans(batch, cfg)
+    plan_s = time.perf_counter() - t0
+    print(f"plan build: {plan_s:.2f}s/batch", file=sys.stderr)
     valid_points = int(np.asarray(batch.valid).sum())
+
+    # Parity gate (VERDICT r02 #5): every bench run re-proves the compiled
+    # Mosaic kernels bit-match the einsum twin ON HARDWARE before timing;
+    # a layout regression fails the bench loudly instead of corrupting loss.
+    if jax.default_backend() == "tpu":
+        from benchmarks.kernel_parity import run_checks
+
+        parity_failures = run_checks(
+            jax.tree_util.tree_map(jnp.asarray, batch.plans))
+        if parity_failures:
+            raise SystemExit(f"kernel parity FAILED ({parity_failures})")
     # same slimming the e2e loader applies — one executable for both loops
     batch = slim_batch_for_train(batch, cfg)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
@@ -196,7 +210,10 @@ def main() -> None:
         "value": round(mpts, 3),
         "unit": "Mpoints/s",
         "vs_baseline": round(mpts / GPU_SCN_BASELINE_MPTS, 3),
+        "device_only": round(mpts, 3),
         "end_to_end": round(e2e_mpts, 3) if e2e_mpts else None,
+        "plan_s_per_batch": round(plan_s, 3),
+        "workers": cfg.engine.collate_workers,
         "host_cores": os.cpu_count(),
     }))
 

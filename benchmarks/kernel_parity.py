@@ -21,40 +21,21 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 
 
-def main() -> None:
+RESULT_PATH = os.path.join(os.path.dirname(__file__),
+                           "kernel_parity_result.txt")
+
+
+def run_checks(plans) -> int:
+    """Run compiled-kernel-vs-einsum parity on already-built plans.
+
+    Returns the failure count and appends one timestamped line to
+    ``kernel_parity_result.txt``.  Callable in-process from bench.py so the
+    gate reuses the bench batch's plans instead of rebuilding them.
+    """
     import jax
     import jax.numpy as jnp
 
-    import bench
-    from tdwss.config import (Config, EngineConfig, LossConfig,
-                              PointcloudDataConfig, PointcloudModelConfig)
-    from tdwss.data.collate import train_collate
-    from tdwss.data.plans import attach_host_plans
-    from tdwss.data.synthetic import make_dataset
     from tdwss.ops import sparse_conv as sc
-
-    assert jax.default_backend() == "tpu", "run on the real chip"
-
-    cfg = Config(
-        training_name="parity", model_name="MultiLabel",
-        label="scene_level", has_text=False,
-        pointcloud_data=PointcloudDataConfig(scale=50,
-                                             batch_size=bench.NUM_SCENES),
-        pointcloud_model=PointcloudModelConfig(
-            name="SparseConvUNet", m=32, full_scale=4096, block_reps=2,
-            residual_blocks=True),
-        loss=LossConfig(Classification=True),
-        engine=EngineConfig(max_points=bench.MAX_POINTS,
-                            level_capacity_schedule=[2, 3, 4, 4, 4, 4],
-                            min_level_capacity=4096,
-                            compute_dtype="bfloat16"),
-    )
-    rng = np.random.default_rng(0)
-    scenes = make_dataset(bench.NUM_SCENES,
-                          num_points=bench.POINTS_PER_SCENE, seed=7,
-                          with_text=False)
-    batch = attach_host_plans(train_collate(scenes, cfg, rng), cfg)
-    plans = jax.tree_util.tree_map(jnp.asarray, batch.plans)
 
     frng = np.random.default_rng(1)
     failures = 0
@@ -122,12 +103,47 @@ def main() -> None:
             del os.environ["TDWSS_NO_PALLAS"]
             check(f"L{li} wg-strided fwd kernel", got, want, 2e-2)
 
-    out = "benchmarks/kernel_parity_result.txt"
-    with open(out, "w") as f:
+    with open(RESULT_PATH, "a") as f:
         f.write(f"{time.strftime('%Y-%m-%d %H:%M')} failures={failures}\n")
     print(f"{'PASS' if failures == 0 else 'FAIL'} ({failures} failures) "
-          f"-> {out}", flush=True)
-    sys.exit(1 if failures else 0)
+          f"-> {RESULT_PATH}", flush=True)
+    return failures
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from tdwss.config import (Config, EngineConfig, LossConfig,
+                              PointcloudDataConfig, PointcloudModelConfig)
+    from tdwss.data.collate import train_collate
+    from tdwss.data.plans import attach_host_plans
+    from tdwss.data.synthetic import make_dataset
+
+    assert jax.default_backend() == "tpu", "run on the real chip"
+
+    cfg = Config(
+        training_name="parity", model_name="MultiLabel",
+        label="scene_level", has_text=False,
+        pointcloud_data=PointcloudDataConfig(scale=50,
+                                             batch_size=bench.NUM_SCENES),
+        pointcloud_model=PointcloudModelConfig(
+            name="SparseConvUNet", m=32, full_scale=4096, block_reps=2,
+            residual_blocks=True),
+        loss=LossConfig(Classification=True),
+        engine=EngineConfig(max_points=bench.MAX_POINTS,
+                            level_capacity_schedule=[2, 3, 4, 4, 4, 4],
+                            min_level_capacity=4096,
+                            compute_dtype="bfloat16"),
+    )
+    rng = np.random.default_rng(0)
+    scenes = make_dataset(bench.NUM_SCENES,
+                          num_points=bench.POINTS_PER_SCENE, seed=7,
+                          with_text=False)
+    batch = attach_host_plans(train_collate(scenes, cfg, rng), cfg)
+    plans = jax.tree_util.tree_map(jnp.asarray, batch.plans)
+    sys.exit(1 if run_checks(plans) else 0)
 
 
 if __name__ == "__main__":

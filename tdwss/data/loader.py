@@ -136,9 +136,23 @@ def warm_plan_shapes(scenes: Sequence[Scene], cfg: Config,
     """
     if not cfg.engine.host_plans:
         return
+    from tdwss.ops.host_plan import _ECAP_REGISTRY
+
     for e in epochs:
         for _ in train_batches(scenes, cfg, epoch=e, prefetch=False):
             pass
+    # Keep warming past the requested epochs until the sticky registry
+    # reaches a fixed point: a mid-training ratchet re-specializes the
+    # whole step (minutes via a remote-compile relay), so converging here
+    # is strictly cheaper.  Bounded to 8 extra epochs — rung quantization
+    # (_window_rung) makes the registry converge in 1-2 in practice.
+    last = max(epochs, default=0)
+    for e in range(last + 1, last + 9):
+        before = dict(_ECAP_REGISTRY)
+        for _ in train_batches(scenes, cfg, epoch=e, prefetch=False):
+            pass
+        if _ECAP_REGISTRY == before:
+            break
 
 
 def val_batches(scenes: Sequence[Scene], cfg: Config,

@@ -64,6 +64,54 @@ def test_overfit_loss_decreases(scenes):
     assert history[-1] < history[0], history
 
 
+def test_overfit_train_miou_floor(scenes):
+    """Accuracy gate (VERDICT r02 #6): the model must LEARN, not just move.
+
+    Overfit FullySupervised on the 4 synthetic train scenes with full point
+    labels, then validate on those same scenes — train-set mIoU must clear
+    a fixed floor.  This is the regression tripwire for perf surgery on the
+    conv engine: a silently-corrupted kernel still shows decreasing loss
+    but cannot reach the floor.  (Reference behavior: periodic mIoU during
+    training, /root/reference/train.py:94-116.)
+    """
+    import dataclasses as dc
+
+    train, _ = scenes
+    # pseudo_labels := ground truth == the fully-supervised upper bound of
+    # the pseudo-retrain round (the only point-CE path, steps.py:63-66)
+    train = [dc.replace(s, pseudo_labels=s.labels) for s in train]
+    cfg = _cfg(model="FullySupervised", label="pseudo")
+    cfg = dc.replace(
+        cfg, lr=0.01,
+        pointcloud_model=dc.replace(cfg.pointcloud_model, m=8))
+    trainer = Trainer(cfg, train, train, use_checkpoints=False, verbose=False)
+    trainer.fit(epochs=25)
+
+    # vote like validate() does, but gate on BOTH overall point accuracy
+    # (robust to the synthetic set's 41-point tail classes) and mIoU
+    from tdwss.data.dataset import val_offsets
+    from tdwss.data.loader import val_batches
+    from tdwss.engine.steps import accumulate_votes, make_eval_step
+    from tdwss.utils import iou as iou_mod
+
+    offsets, labels = val_offsets(train)
+    store = jnp.zeros((int(offsets[-1]), 20), jnp.float32)
+    eval_step = jax.jit(make_eval_step(trainer.model))
+    for batch in val_batches(train, cfg, offsets, rep=1, prefetch=False):
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        logits = eval_step(trainer.state.params, trainer.state.batch_stats,
+                           batch)
+        store = accumulate_votes(store, logits, batch.point_ids, batch.valid)
+    preds = np.asarray(jnp.argmax(store, axis=1))
+    mask = labels >= 0
+    acc = float((preds[mask] == labels[mask]).mean())
+    miou = iou_mod.evaluate(preds, labels, verbose=False)
+    # calibration (CPU, seed 3): acc 0.77 / mIoU 0.107 at 30 epochs;
+    # a corrupted conv engine sits at acc ~0.3 (majority class) / mIoU ~0.03
+    assert acc >= 0.60, f"train-set point accuracy {acc:.3f} below floor"
+    assert miou >= 0.07, f"train-set mIoU {miou:.3f} below floor"
+
+
 def test_validate_runs_and_votes(scenes):
     train, val = scenes
     cfg = _cfg()
