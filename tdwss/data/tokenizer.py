@@ -32,9 +32,19 @@ SOT_TOKEN = 49406
 EOT_TOKEN = 49407
 VOCAB_SIZE = 49408
 
-_WORD_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+", re.IGNORECASE
-)
+try:
+    # CLIP's exact pattern needs \p{L}/\p{N} (the regex module); "café"
+    # must be ONE word, not "caf"+"é" — the ASCII fallback below diverges
+    # from clip.tokenize on non-ASCII words only.
+    import regex as _regex
+
+    _WORD_RE = _regex.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _regex.IGNORECASE)
+except ImportError:                                    # pragma: no cover
+    _WORD_RE = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+        re.IGNORECASE)
 
 
 def _basic_clean(text: str) -> str:

@@ -52,8 +52,15 @@ def _scores_fn(model):
 def threshold_sweep(cfg: Config, model, params, batch_stats, scenes,
                     thresholds: Optional[np.ndarray] = None,
                     plot_path: str = "visualization/Statistics.jpg",
-                    verbose: bool = True):
-    """Returns dict(thresholds, labelnum_prop, correct_prop)."""
+                    verbose: bool = True, train_augmented: bool = False):
+    """Returns dict(thresholds, labelnum_prop, correct_prop).
+
+    Default sweeps deterministic val-style views (full coverage of every
+    point, same operating point as generation).  ``train_augmented=True``
+    is the reference-parity mode: the sweep runs over the TRAIN-augmented
+    loader like /root/reference/statistics.py:41-56, measuring the
+    thresholds at the augmented distribution the model actually saw.
+    """
     thresholds = np.asarray(
         DEFAULT_THRESHOLDS if thresholds is None else thresholds, np.float32
     )
@@ -72,7 +79,20 @@ def threshold_sweep(cfg: Config, model, params, batch_stats, scenes,
         corr = jnp.sum(jnp.logical_and(keep, (label == gt)[None, :]), axis=1)
         return gen, corr
 
-    for batch in val_batches(scenes, cfg, offsets, rep=0):
+    if train_augmented:
+        import dataclasses
+
+        from tdwss.data.loader import train_batches
+
+        # keep coords: _scores_fn masks per point via coords[:, 3], which
+        # slim_batch_for_train drops for scene-level models
+        sweep_cfg = dataclasses.replace(
+            cfg, engine=dataclasses.replace(cfg.engine,
+                                            slim_train_batch=False))
+        batches = train_batches(scenes, sweep_cfg, epoch=0, prefetch=False)
+    else:
+        batches = val_batches(scenes, cfg, offsets, rep=0)
+    for batch in batches:
         batch = jax.tree_util.tree_map(jnp.asarray, batch)
         conf, label = scores(params, batch_stats, batch)
         gen, corr = count(conf, label, batch.point_label, batch.valid)

@@ -169,6 +169,17 @@ class FullySupervised(nn.Module):
 def build_model(cfg) -> nn.Module:
     """Instantiate the configured meta-architecture (train.py:31-32 parity)."""
     cls, _ = MODEL_REGISTRY.get(cfg.model_name)
+    if cfg.has_text and cfg.text_model.name == "CLIPTransformer" \
+            and not cfg.text_data.bpe_vocab_path:
+        # The frozen CLIP tower's embedding was trained on clip.tokenize
+        # ids (reference dataset/data.py:13,195); feeding it the local
+        # ScanNet-BPE/hash ids silently destroys the text signal.
+        raise ValueError(
+            "text_model.name=CLIPTransformer requires text_data."
+            "bpe_vocab_path to point at the real CLIP "
+            "bpe_simple_vocab_16e6.txt.gz (zero-egress images cannot "
+            "vendor it); the fallback tokenizers emit ids the frozen "
+            "embedding was never trained on.")
     if cfg.has_text and cls is MultiLabelContrastive:
         return cls(pc_config=cfg.pointcloud_model, text_config=cfg.text_model,
                    engine=cfg.engine)

@@ -27,6 +27,25 @@ def test_config_grid_covers_reference():
 @pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
 def test_config_parses_and_model_builds(path):
     cfg = load_config(path)
+    if (cfg.has_text and cfg.text_model.name == "CLIPTransformer"
+            and not cfg.text_data.bpe_vocab_path):
+        # frozen CLIP tower without the real CLIP BPE vocab must fail
+        # LOUDLY, not silently hash-tokenize (VERDICT r02 #7)
+        with pytest.raises(ValueError, match="bpe_vocab_path"):
+            build_model(cfg)
+        return
     model = build_model(cfg)
     assert model is not None
     assert cfg.epochs > 0
+
+
+def test_clip_config_builds_with_vocab_path(tmp_path):
+    """The CLIP config builds once a vocab path is configured."""
+    path = os.path.join(REPO, "configs", "3DUNetWithText_scannet_fcnet_CLIP.yaml")
+    cfg = load_config(path)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, text_data=dataclasses.replace(
+            cfg.text_data, bpe_vocab_path=str(tmp_path / "vocab.txt.gz")))
+    assert build_model(cfg) is not None
