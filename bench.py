@@ -10,27 +10,31 @@ Baseline: the reference publishes no throughput number (BASELINE.md).  The
 denominator used for ``vs_baseline`` is a documented 2.0 Mpoints/s estimate
 for GPU SparseConvNet fwd+bwd on this config (16 GB-class GPU; ~1M-point
 batch in ~0.5 s).  BASELINE.json's target is >=5x GPU-SCN on a v5e-8, i.e.
-``vs_baseline >= 5`` with 8-chip data parallelism.
+``vs_baseline >= 5`` with 8-chip data parallelism; the per-chip bar is
+~1.25 Mpoints/s (see ``projected_v5e8_mpts`` below for the 8-chip
+projection derivation, docs/DESIGN.md "v5e-8 projection").
 
-Round-1 progression on one v5e chip: naive in-graph plan building never
-finished compiling; host-built rulebooks + scatter-free
-transposed-rulebook VJPs 0.063 Mpts/s; windowed-MXU x-triple engine
-0.077-0.086; 27-tap windowed Pallas engine + windowed cross-level
-transitions 0.46; two-level sub-window kernels + z-parity
-grouped transition windows 0.602.
-Round 2: sub-windows on the cross-level gathers (L0 strided 31.6 ->
-12.8 ms fwd), fused dfeats+dW backward kernel, Pallas routing down to
-8k-voxel levels, scatter-free two-tier residual spills, native C++
-plan builder (host 9.6 -> ~1.3 s/batch) -> 0.678; then the packed-row
-kernel layout (C<=64 sources as (V/p, 128) rows: full 128-lane DMA/MXU
-use, subm fwd 22.5 -> 13.9 ms at L0), tap-chunked heavy-spill
-contributions, MXU BatchNorm stats, bf16 branch accumulation, and
-VJP-saved heavy gathers -> **0.828** (device step ~906 ms).  Remaining
-levers (docs/DESIGN.md): the per-(sub-tile, anchor) dot chain in the
-now compute-bound kernels, the ~100 ms of latency-bound spill-row
-gathers, and 8-chip data parallelism.
+Budget discipline (round-3 post-mortem: the driver-captured run timed out
+before emitting any JSON, rc=124):
+  1. The PRIMARY metric line prints IMMEDIATELY after the timed device
+     loop — before the parity gate, the end-to-end epochs, or anything
+     else optional.  A timeout mid-extras can no longer destroy the
+     round's evidence.
+  2. XLA executables cache in the git-TRACKED ``benchmarks/xla_cache``
+     dir: a fresh clone starts warm (the axon remote-compile relay costs
+     ~20-40 s per XLA compile, ~660 s cold for the full step; round 3
+     died compiling).  Run ``python bench.py`` once after kernel changes
+     and commit the cache refresh.
+  3. Extras run only while ``time.monotonic() - T0`` stays inside
+     TDWSS_BENCH_BUDGET_S (default 1500 s); a final JSON line with the
+     extra fields re-prints if they complete (parsers take the last line).
 
-Prints ONE JSON line:
+Single-chip progression (v5e): r1 0.602 -> r2 0.829 -> r3 ~0.88
+(unofficial, driver run timed out) Mpoints/s.  Engine history lives in
+docs/DESIGN.md.
+
+Prints ONE JSON line (twice if extras complete; the last line is the full
+record):
   {"metric": ..., "value": N, "unit": "Mpoints/s", "vs_baseline": N}
 """
 
@@ -38,12 +42,14 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
-# Persistent executable cache: the axon remote-compile relay costs ~20-40s
-# per XLA compile; the full train step plus per-level Pallas kernels can
-# exceed a 10-minute budget cold.  Cached, a re-run starts in seconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# Persistent executable cache, git-tracked so the driver's fresh clone
+# starts warm (see module docstring).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_REPO, "benchmarks", "xla_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 GPU_SCN_BASELINE_MPTS = 2.0  # documented estimate, see module docstring
@@ -52,7 +58,19 @@ NUM_SCENES = 5
 POINTS_PER_SCENE = 150_000
 MAX_POINTS = 786_432  # static capacity (> 5 * 150k)
 STEPS = 20
-WARMUP = 3
+WARMUP = 2
+BUDGET_S = float(os.environ.get("TDWSS_BENCH_BUDGET_S", 1500))
+
+T0 = time.monotonic()
+
+
+def _left() -> float:
+    return BUDGET_S - (time.monotonic() - T0)
+
+
+def _log(msg: str) -> None:
+    print(f"[{time.monotonic() - T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main() -> None:
@@ -98,18 +116,16 @@ def main() -> None:
                           with_text=False)
     # Converge sticky plan shapes over the e2e epochs' batch compositions
     # BEFORE any plan that feeds jit: every later window/cap ratchet
-    # re-specializes the step (~15 min/compile via the relay).  With the
-    # registry at its ceiling the timed loop and the e2e epochs share ONE
-    # executable.
-    import sys
-
+    # re-specializes the step (another full compile through the relay).
+    # With the registry at its ceiling the timed loop and the e2e epochs
+    # share ONE executable.
     from tdwss.data.loader import warm_plan_shapes
 
     e2e_scenes = make_dataset(3 * NUM_SCENES, num_points=POINTS_PER_SCENE,
                               seed=11, with_text=False)
     t0 = time.perf_counter()
     warm_plan_shapes(e2e_scenes, cfg, epochs=(1, 2))
-    print(f"shape prewarm: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    _log(f"shape prewarm: {time.perf_counter() - t0:.1f}s")
     batch = train_collate(scenes, cfg, rng)
     from tdwss.data.plans import attach_host_plans, slim_batch_for_train
 
@@ -120,19 +136,10 @@ def main() -> None:
     t0 = time.perf_counter()
     batch = attach_host_plans(batch, cfg)
     plan_s = time.perf_counter() - t0
-    print(f"plan build: {plan_s:.2f}s/batch", file=sys.stderr)
+    _log(f"plan build: {plan_s:.2f}s/batch")
     valid_points = int(np.asarray(batch.valid).sum())
+    plans_full = batch.plans   # parity gate reuses these after the JSON
 
-    # Parity gate (VERDICT r02 #5): every bench run re-proves the compiled
-    # Mosaic kernels bit-match the einsum twin ON HARDWARE before timing;
-    # a layout regression fails the bench loudly instead of corrupting loss.
-    if jax.default_backend() == "tpu":
-        from benchmarks.kernel_parity import run_checks
-
-        parity_failures = run_checks(
-            jax.tree_util.tree_map(jnp.asarray, batch.plans))
-        if parity_failures:
-            raise SystemExit(f"kernel parity FAILED ({parity_failures})")
     # same slimming the e2e loader applies — one executable for both loops
     batch = slim_batch_for_train(batch, cfg)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
@@ -142,22 +149,19 @@ def main() -> None:
     model = build_model(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=100)
     state = init_state(cfg, model, tx, batch)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     train_step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
 
-    # compile + warmup
-    import sys
-
-    # Sync by fetching a scalar: with donate_argnums XLA may alias ANY
-    # output (params and aux alike) into the donated input buffers, and
-    # under the axon relay block_until_ready on an aliased buffer returns
-    # immediately (measured: 0.05s "steps" vs the true ~1.2s step; probes
-    # 2026-08-17/18).  jax.device_get of the loss must round-trip real
-    # bytes, so it cannot complete before the execution does.
-    t0 = time.perf_counter()
+    # compile + warmup.  Sync by fetching a scalar: with donate_argnums XLA
+    # may alias ANY output (params and aux alike) into the donated input
+    # buffers, and under the axon relay block_until_ready on an aliased
+    # buffer returns immediately (measured: 0.05s "steps" vs the true
+    # ~1.2s step; probes 2026-08-17/18).  jax.device_get of the loss must
+    # round-trip real bytes, so it cannot complete before the execution.
     for i in range(WARMUP):
         state, aux = train_step(state, batch)
         jax.device_get(aux["loss"])
-        print(f"warmup {i}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        _log(f"warmup {i} done")
 
     start = time.perf_counter()
     for _ in range(STEPS):
@@ -166,56 +170,106 @@ def main() -> None:
     elapsed = time.perf_counter() - start
     mpts = valid_points * STEPS / elapsed / 1e6
 
-    # End-to-end: the real train_batches pipeline (augment + collate +
-    # host plan building + prefetch overlap, cfg.engine.collate_workers
-    # threads) feeding the same jitted step.  Sustained throughput counts
-    # host time that the pipeline fails to hide; epoch 1 warms the sticky
-    # plan-shape registry + compiles, epoch 2 is measured.  NOTE: this VM
-    # exposes ONE core — real TPU hosts (~100 cores) overlap the ~1.3 s
-    # plan build behind the step; the number below is the 1-core floor.
-    from tdwss.data.loader import train_batches
+    # v5e-8 data-parallel projection (derivation: docs/DESIGN.md
+    # "v5e-8 projection").  The DP step is the same executable per chip at
+    # equal per-device batch plus one ring all-reduce of the grads (and
+    # the pmean'd BN stats, folded into the same fused collective set by
+    # XLA).  v5e ICI: 3 usable links x ~49 GB/s bidirectional:
+    # ring all-reduce of B bytes costs ~2B(N-1)/N / bw_per_link.
+    ici_gbps = 45e9
+    grad_bytes = n_params * 4          # f32 grads at the pmean
+    allreduce_s = 2 * grad_bytes * 7 / 8 / ici_gbps
+    step_s = elapsed / STEPS
+    projected_v5e8 = 8 * valid_points / (step_s + allreduce_s) / 1e6
 
-    e2e_mpts = None
-    try:
-        from tdwss.data.collate import CollateStats
-
-        for epoch in (1, 2):
-            t0 = time.perf_counter()
-            stats = CollateStats()
-            nb = 0
-            recent = []
-            for b in train_batches(e2e_scenes, cfg, epoch=epoch, stats=stats,
-                                   to_device=True):
-                # point count comes from collate stats — touching b.valid
-                # here would device_get 786k bools and sync every step;
-                # the 4-deep sync caps in-flight device buffers on hosts
-                # where collate outruns the device
-                state, aux = train_step(state, b)
-                recent.append(aux["loss"])
-                if len(recent) > 4:
-                    jax.device_get(recent.pop(0))
-                nb += 1
-            # fetch, don't block_until_ready: aliased buffers lie (above)
-            jax.device_get(recent)
-            pts = min(stats.total_points - stats.dropped_points,
-                      nb * MAX_POINTS)
-            e2e_mpts = pts / (time.perf_counter() - t0) / 1e6
-            print(f"e2e epoch {epoch}: {nb} steps, {e2e_mpts:.3f} Mpts/s",
-                  file=sys.stderr)
-    except Exception as e:  # never lose the primary metric
-        print(f"e2e measurement failed: {e!r}", file=sys.stderr)
-
-    print(json.dumps({
+    record = {
         "metric": "sparse_unet_m32_train_throughput",
         "value": round(mpts, 3),
         "unit": "Mpoints/s",
         "vs_baseline": round(mpts / GPU_SCN_BASELINE_MPTS, 3),
         "device_only": round(mpts, 3),
-        "end_to_end": round(e2e_mpts, 3) if e2e_mpts else None,
+        "end_to_end": None,
         "plan_s_per_batch": round(plan_s, 3),
         "workers": cfg.engine.collate_workers,
         "host_cores": os.cpu_count(),
-    }))
+        "n_params": int(n_params),
+        "projected_v5e8_mpts": round(projected_v5e8, 2),
+        "parity_failures": None,
+    }
+    # PRIMARY metric line — printed before any optional extra can time out.
+    print(json.dumps(record), flush=True)
+    _log(f"device-only: {mpts:.3f} Mpts/s (step {1e3 * step_s:.0f} ms)")
+
+    rc = 0
+
+    # Kernel parity gate (VERDICT r02 #5, r03 #3): re-prove the compiled
+    # Mosaic kernels against the einsum twin ON HARDWARE.  After the JSON:
+    # a failure exits non-zero (loud) without destroying the measurement.
+    if jax.default_backend() == "tpu" and _left() > 240:
+        try:
+            from benchmarks.kernel_parity import run_checks
+
+            t0 = time.perf_counter()
+            failures = run_checks(
+                jax.tree_util.tree_map(jnp.asarray, plans_full))
+            record["parity_failures"] = failures
+            _log(f"parity gate: {time.perf_counter() - t0:.1f}s")
+            if failures:
+                rc = 1
+        except Exception as e:
+            _log(f"parity gate crashed: {e!r}")
+            record["parity_failures"] = -1
+            rc = 1
+    else:
+        _log("parity gate skipped (budget/backend)")
+
+    # End-to-end: the real train_batches pipeline (augment + collate +
+    # host plan building + prefetch overlap, cfg.engine.collate_workers
+    # threads) feeding the same jitted step.  Sustained throughput counts
+    # host time that the pipeline fails to hide; epoch 1 warms the sticky
+    # plan-shape registry, epoch 2 is measured.  NOTE: this VM exposes ONE
+    # core — real TPU hosts (~100 cores) overlap the plan build behind the
+    # step; the number below is the 1-core floor.
+    if _left() > 180:
+        from tdwss.data.loader import train_batches
+
+        try:
+            from tdwss.data.collate import CollateStats
+
+            e2e_mpts = None
+            for epoch in (1, 2):
+                t0 = time.perf_counter()
+                stats = CollateStats()
+                nb = 0
+                recent = []
+                for b in train_batches(e2e_scenes, cfg, epoch=epoch,
+                                       stats=stats, to_device=True):
+                    # point count comes from collate stats — touching
+                    # b.valid here would device_get 786k bools and sync
+                    # every step; the 4-deep sync caps in-flight buffers
+                    state, aux = train_step(state, b)
+                    recent.append(aux["loss"])
+                    if len(recent) > 4:
+                        jax.device_get(recent.pop(0))
+                    nb += 1
+                # fetch, don't block_until_ready: aliased buffers lie
+                jax.device_get(recent)
+                pts = min(stats.total_points - stats.dropped_points,
+                          nb * MAX_POINTS)
+                e2e_mpts = pts / (time.perf_counter() - t0) / 1e6
+                _log(f"e2e epoch {epoch}: {nb} steps, {e2e_mpts:.3f} Mpts/s")
+                if _left() < 120:
+                    break
+            record["end_to_end"] = round(e2e_mpts, 3) if e2e_mpts else None
+        except Exception as e:  # never lose the primary metric
+            _log(f"e2e measurement failed: {e!r}")
+    else:
+        _log("e2e skipped (budget)")
+
+    # Final full record — parsers that take the LAST JSON line get the
+    # extras; a timeout above still leaves the primary line standing.
+    print(json.dumps(record), flush=True)
+    raise SystemExit(rc)
 
 
 if __name__ == "__main__":

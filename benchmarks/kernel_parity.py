@@ -5,17 +5,29 @@ this script runs the REAL Mosaic-compiled kernels on one production-scale
 batch and asserts max-abs-diff within bf16 tolerance against the einsum
 windowed path — catching Mosaic/layout regressions interpret mode cannot.
 
+Coverage (VERDICT r03 #3): per level it checks the subm forward kernel,
+the subm dW kernel, the subm dfeats direction (transposed-weight forward
+kernel — the production backward at packed levels), the wg-strided
+forward AND dW kernels, the deconv-direction wg forward (same kernel
+family as unpool's identity-weight path), plus the fused backward
+``windowed_bwd_sub`` at a packed (L0, ccat<=64) and an unpacked (L1,
+ccat==128) shape — the escape-hatch route when TDWSS_PACK=0.
+
 Run (real TPU): python -m benchmarks.kernel_parity
 Exits non-zero on any parity failure; prints one line per check.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), "benchmarks",
+                          "xla_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
@@ -25,7 +37,24 @@ RESULT_PATH = os.path.join(os.path.dirname(__file__),
                            "kernel_parity_result.txt")
 
 
-def run_checks(plans) -> int:
+@contextlib.contextmanager
+def _forced_einsum():
+    """Set TDWSS_NO_PALLAS for the 'want' trace, restoring the caller's
+    prior value even on exceptions (an earlier version deleted the key
+    unconditionally, leaking the flag on error and clobbering deliberate
+    einsum-path runs)."""
+    prior = os.environ.get("TDWSS_NO_PALLAS")
+    os.environ["TDWSS_NO_PALLAS"] = "1"
+    try:
+        yield
+    finally:
+        if prior is None:
+            os.environ.pop("TDWSS_NO_PALLAS", None)
+        else:
+            os.environ["TDWSS_NO_PALLAS"] = prior
+
+
+def run_checks(plans, levels=(0, 2)) -> int:
     """Run compiled-kernel-vs-einsum parity on already-built plans.
 
     Returns the failure count and appends one timestamped line to
@@ -35,13 +64,16 @@ def run_checks(plans) -> int:
     import jax
     import jax.numpy as jnp
 
+    from tdwss.ops import pallas_subm as ps
     from tdwss.ops import sparse_conv as sc
 
     frng = np.random.default_rng(1)
     failures = 0
+    checks = 0
 
-    def check(name, got, want, tol):
-        nonlocal failures
+    def check(name, got, want, tol=2e-2):
+        nonlocal failures, checks
+        checks += 1
         got = np.asarray(got, np.float32)
         want = np.asarray(want, np.float32)
         scale = max(np.abs(want).max(), 1e-6)
@@ -51,62 +83,141 @@ def run_checks(plans) -> int:
         print(f"{'OK ' if ok else 'FAIL'} {name}: rel-max-diff {diff:.3e} "
               f"(tol {tol})", flush=True)
 
-    for li in (0, 2):      # production L0 + a deep Pallas level
+    def rnd(shape, scale=1.0):
+        return jnp.asarray(
+            (frng.standard_normal(shape) * scale).astype(np.float32),
+            dtype=jnp.bfloat16)
+
+    for li in levels:
         lvl = plans.levels[li]
         c = 32 * (li + 1)
-        feats = jnp.asarray(
-            frng.standard_normal((lvl.grid.capacity, c)).astype(np.float32),
-            dtype=jnp.bfloat16)
-        w = jnp.asarray(
-            (frng.standard_normal((27, c, c)) * 0.05).astype(np.float32),
-            dtype=jnp.bfloat16)
+        feats = rnd((lvl.grid.capacity, c))
+        w = rnd((27, c, c), 0.05)
         win = lvl.win
         w2d = w.reshape(27 * c, c)
 
-        # fwd: compiled kernel routing vs forced-einsum path
-        got = jax.jit(lambda f: sc._w27_matmul_any(
-            f, win.rb_local, win.starts, w2d, win.window, win.sub,
-            win.subwin, win.sub_off))(feats)
-        os.environ["TDWSS_NO_PALLAS"] = "1"
-        want = jax.jit(lambda f: sc._w27_matmul_any(
-            f, win.rb_local, win.starts, w2d, win.window, win.sub,
-            win.subwin, win.sub_off))(feats)
-        del os.environ["TDWSS_NO_PALLAS"]
-        check(f"L{li} subm fwd kernel", got, want, 2e-2)
+        def w27_mm(f, wmat):
+            return sc._w27_matmul_any(
+                f, win.rb_local, win.starts, wmat, win.window, win.sub,
+                win.subwin, win.sub_off)
 
-        dout = jnp.asarray(
-            frng.standard_normal((lvl.grid.capacity, c)).astype(np.float32),
-            dtype=jnp.bfloat16)
+        # fwd: compiled kernel routing vs forced-einsum path
+        got = jax.jit(w27_mm)(feats, w2d)
+        with _forced_einsum():
+            want = jax.jit(w27_mm)(feats, w2d)
+        check(f"L{li} subm fwd kernel", got, want)
+
+        dout = rnd((lvl.grid.capacity, c))
         got = jax.jit(lambda f, d: sc._w27_dw_any(
             f, win.rb_local, win.starts, d, win.window, win.sub,
             win.subwin, win.sub_off))(feats, dout)
-        os.environ["TDWSS_NO_PALLAS"] = "1"
-        want = jax.jit(lambda f, d: sc._w27_dw_any(
-            f, win.rb_local, win.starts, d, win.window, win.sub,
-            win.subwin, win.sub_off))(feats, dout)
-        del os.environ["TDWSS_NO_PALLAS"]
-        check(f"L{li} subm dW kernel", got, want, 2e-2)
+        with _forced_einsum():
+            want = jax.jit(lambda f, d: sc._w27_dw_any(
+                f, win.rb_local, win.starts, d, win.window, win.sub,
+                win.subwin, win.sub_off))(feats, dout)
+        check(f"L{li} subm dW kernel", got, want)
+
+        # dfeats direction: the production backward at packed levels is
+        # the SAME forward kernel on the cotangent with flipped-transposed
+        # weights — check it explicitly so a regression in that weight
+        # layout cannot hide behind the fwd check's symmetric weights.
+        wt2d = jnp.asarray(w)[::-1].transpose(0, 2, 1).reshape(27 * c, c)
+        got = jax.jit(w27_mm)(dout, wt2d)
+        with _forced_einsum():
+            want = jax.jit(w27_mm)(dout, wt2d)
+        check(f"L{li} subm dfeats kernel", got, want)
 
         if lvl.wg_down is not None:
             wgd = lvl.wg_down
             cout = 32 * (li + 2)
-            w8 = jnp.asarray(
-                (frng.standard_normal((8 * c, cout)) * 0.05)
-                .astype(np.float32), dtype=jnp.bfloat16)
-            got = jax.jit(lambda f: sc._wg_matmul_any(
-                f, wgd.rb_local, wgd.starts, w8, wgd.window, wgd.sub,
-                wgd.subwin, wgd.sub_off))(feats)
-            os.environ["TDWSS_NO_PALLAS"] = "1"
-            want = jax.jit(lambda f: sc._wg_matmul_any(
-                f, wgd.rb_local, wgd.starts, w8, wgd.window, wgd.sub,
-                wgd.subwin, wgd.sub_off))(feats)
-            del os.environ["TDWSS_NO_PALLAS"]
-            check(f"L{li} wg-strided fwd kernel", got, want, 2e-2)
+            w8 = rnd((8 * c, cout), 0.05)
+
+            def wg_mm(f, wmat, wg=wgd):
+                return sc._wg_matmul_any(
+                    f, wg.rb_local, wg.starts, wmat, wg.window, wg.sub,
+                    wg.subwin, wg.sub_off)
+
+            got = jax.jit(wg_mm)(feats, w8)
+            with _forced_einsum():
+                want = jax.jit(wg_mm)(feats, w8)
+            check(f"L{li} wg-strided fwd kernel", got, want)
+
+            dcoarse = rnd((wgd.rb_local.shape[0], cout))
+            got = jax.jit(lambda f, d: sc._wg_dw_any(
+                f, wgd.rb_local, wgd.starts, d, wgd.window, wgd.sub,
+                wgd.subwin, wgd.sub_off))(feats, dcoarse)
+            with _forced_einsum():
+                want = jax.jit(lambda f, d: sc._wg_dw_any(
+                    f, wgd.rb_local, wgd.starts, d, wgd.window, wgd.sub,
+                    wgd.subwin, wgd.sub_off))(feats, dcoarse)
+            check(f"L{li} wg-strided dW kernel", got, want)
+
+        if lvl.wg_up is not None:
+            # deconv forward direction (and the identity-weight layout of
+            # unpool) rides wg_up metadata: coarse -> fine
+            wgu = lvl.wg_up
+            cc = 32 * (li + 2)
+            coarse = rnd((plans.levels[li + 1].grid.capacity, cc))
+            w8u = rnd((8 * cc, c), 0.05)
+
+            def wg_up_mm(f, wmat, wg=wgu):
+                return sc._wg_matmul_any(
+                    f, wg.rb_local, wg.starts, wmat, wg.window, wg.sub,
+                    wg.subwin, wg.sub_off)
+
+            got = jax.jit(wg_up_mm)(coarse, w8u)
+            with _forced_einsum():
+                want = jax.jit(wg_up_mm)(coarse, w8u)
+            check(f"L{li} wg-deconv fwd kernel", got, want)
+
+    # Fused backward windowed_bwd_sub: production-reachable only via the
+    # TDWSS_PACK=0 escape hatch, but gate it on hardware anyway — at a
+    # shape the packer would accept (L0: ccat = 64 -> packed p=2 inside
+    # the kernel) and at the genuinely-unpacked L1 shape (ccat = 128).
+    for li in (0, 1):
+        lvl = plans.levels[li]
+        c = 32 * (li + 1)
+        win = lvl.win
+        if win.sub == 0 or win.rb_local.shape[0] % 8:
+            continue
+        ccat = 2 * c
+        from tdwss.ops.pallas_subm import _lane_pad
+
+        if not sc._sub_vmem_fits(win.window, ccat, c, dw=True):
+            print(f"SKIP L{li} fused bwd kernel: VMEM estimate", flush=True)
+            continue
+        v = win.rb_local.shape[0]
+        tile = v // win.starts.shape[0]
+        feats = rnd((v, c))
+        dout = rnd((v, c))
+        w = rnd((27, c, c), 0.05)
+        l = _lane_pad(ccat)
+        wt = jnp.asarray(w)[::-1].transpose(0, 2, 1)
+        wt_full = jnp.zeros((27, l, c), w.dtype)
+        wt_full = wt_full.at[:, c:ccat, :].set(wt)
+        src_cat = jnp.concatenate([feats, dout], axis=1)
+        rb_t = sc._rb32(win.rb_local).T
+        dx, dw_l = ps.windowed_bwd_sub(
+            src_cat, win.starts.reshape(-1), win.sub_off.reshape(-1),
+            rb_t, wt_full, dout, window=win.window, tile=tile,
+            sub=win.sub, subwin=win.subwin, cin=c)
+        dw_got = dw_l[:, :c, :].reshape(27 * c, c)
+        wt2d = wt.reshape(27 * c, c)
+        with _forced_einsum():
+            dx_want = jax.jit(lambda d: sc._w27_matmul_any(
+                d, win.rb_local, win.starts, wt2d, win.window, win.sub,
+                win.subwin, win.sub_off))(dout)
+            dw_want = jax.jit(lambda f, d: sc._w27_dw_any(
+                f, win.rb_local, win.starts, d, win.window, win.sub,
+                win.subwin, win.sub_off))(feats, dout)
+        check(f"L{li} fused bwd dfeats kernel", dx, dx_want)
+        check(f"L{li} fused bwd dW kernel", dw_got, dw_want)
 
     with open(RESULT_PATH, "a") as f:
-        f.write(f"{time.strftime('%Y-%m-%d %H:%M')} failures={failures}\n")
-    print(f"{'PASS' if failures == 0 else 'FAIL'} ({failures} failures) "
-          f"-> {RESULT_PATH}", flush=True)
+        f.write(f"{time.strftime('%Y-%m-%d %H:%M')} checks={checks} "
+                f"failures={failures}\n")
+    print(f"{'PASS' if failures == 0 else 'FAIL'} ({checks} checks, "
+          f"{failures} failures) -> {RESULT_PATH}", flush=True)
     return failures
 
 

@@ -84,6 +84,18 @@ def threshold_sweep(cfg: Config, model, params, batch_stats, scenes,
 
         from tdwss.data.loader import train_batches
 
+        # The sweep scores `label == batch.point_label` as "correct", and
+        # train_collate fills point_label with PSEUDO labels when
+        # cfg.label == 'pseudo' — the reference statistics.py:41-56 scores
+        # against ground truth (y_orig), so a pseudo config here would
+        # silently inflate precision.  Run the sweep with the base
+        # (pre-pseudo) config, as the reference pipeline does.
+        if cfg.label == "pseudo":
+            raise ValueError(
+                "threshold_sweep(train_augmented=True) needs ground-truth "
+                "point labels: run it with the base config (label="
+                "'scene_level'), not a with_pseudo config")
+
         # keep coords: _scores_fn masks per point via coords[:, 3], which
         # slim_batch_for_train drops for scene-level models
         sweep_cfg = dataclasses.replace(
