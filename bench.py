@@ -148,7 +148,10 @@ def main() -> None:
 
     model = build_model(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=100)
+    t0 = time.perf_counter()
     state = init_state(cfg, model, tx, batch)
+    jax.block_until_ready(state.params)
+    _log(f"init_state: {time.perf_counter() - t0:.1f}s")
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     train_step = jax.jit(make_train_step(cfg, model, tx), donate_argnums=(0,))
 

@@ -54,6 +54,7 @@ def test_is_power2_schedule():
     ]
 
 
+@pytest.mark.slow
 def test_overfit_loss_decreases(scenes):
     train, val = scenes
     cfg = _cfg()
@@ -64,6 +65,7 @@ def test_overfit_loss_decreases(scenes):
     assert history[-1] < history[0], history
 
 
+@pytest.mark.slow
 def test_overfit_train_miou_floor(scenes):
     """Accuracy gate (VERDICT r02 #6): the model must LEARN, not just move.
 
@@ -126,6 +128,7 @@ def test_validate_runs_and_votes(scenes):
     assert all(0.0 <= x <= 1.0 for x in ious)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path, scenes, monkeypatch):
     train, val = scenes
     monkeypatch.chdir(tmp_path)
@@ -143,6 +146,7 @@ def test_checkpoint_resume(tmp_path, scenes, monkeypatch):
     t2.ckpt.close()
 
 
+@pytest.mark.slow
 def test_pseudo_label_loop(tmp_path, scenes):
     train, val = scenes
     cfg = _cfg(tmp_path)
@@ -211,6 +215,7 @@ def test_profiling_helpers(tmp_path):
     assert os.path.isdir(tmp_path / "prof")
 
 
+@pytest.mark.slow
 def test_pretrain_seeds_fresh_run(tmp_path, scenes, monkeypatch):
     """--pretrain loads params/batch_stats but NOT the optimizer/epoch."""
     import dataclasses

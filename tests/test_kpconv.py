@@ -166,6 +166,7 @@ class TestPyramid:
 
 
 class TestKPFCNN:
+    @pytest.mark.slow
     def test_forward_and_loss_step(self, rng):
         cfg = _tiny_cfg()
         batch = segmentation_inputs(_make_clouds(rng, n_pts=200), cfg)

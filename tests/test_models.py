@@ -103,6 +103,7 @@ def test_meta_arch_contract(rng, model_name, encoder):
     assert point_logits.shape == (1024, NUM_CLASSES)
 
 
+@pytest.mark.slow
 def test_multilabel_contrastive_with_text(rng):
     cfg = Config(
         model_name="MultiLabelContrastive",

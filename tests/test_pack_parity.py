@@ -56,6 +56,7 @@ def test_packed_fwd_matches_unpacked(win_plan, monkeypatch, c):
     np.testing.assert_array_equal(ref, got)
 
 
+@pytest.mark.slow
 def test_packed_dw_and_fused_bwd_match_unpacked(win_plan, monkeypatch):
     v, starts, soff, rbl = win_plan
     c = cout = 32

@@ -90,6 +90,7 @@ def test_dp_step_different_batches_runs(setup):
     assert not np.allclose(np.asarray(a0), np.asarray(a1))
 
 
+@pytest.mark.slow
 def test_dp_step_with_host_plans(scenes_factory=None):
     """DP stacking + shard_map step with windowed host plans attached."""
     import jax

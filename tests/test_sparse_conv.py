@@ -7,6 +7,7 @@ Also checks autodiff (gather VJP = scatter-add) against the dense gradient.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -375,6 +376,7 @@ def test_pallas_wg_cross_domain_interpret(rng):
         rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_w27_sub_interpret(rng):
     """Two-level sub-window kernels == reconstructed einsum path."""
     from tdwss.ops.pallas_subm import (pad_w9, windowed_dw_sub,
@@ -536,6 +538,7 @@ def test_wg_sub_form_matches_plain(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pallas_fused_bwd_sub_interpret(rng):
     """Fused backward kernel (dfeats + dW in one pass over the
     [feats|dout] concat) == the two separate einsum evaluations."""
@@ -584,6 +587,7 @@ def test_pallas_fused_bwd_sub_interpret(rng):
         np.asarray(dw_ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_res_tile_grouping_matches_plain(rng):
     """Default (sticky-cap) builds now tile-group the spills; the conv
     must still equal the plain path exactly — fwd and both grads."""
@@ -689,6 +693,7 @@ def test_group_spill_tiles_layout():
     reset_sticky_plans()
 
 
+@pytest.mark.slow
 def test_w27_v_active_prefix_matches_full(rng):
     """v_active grid shrink == full-grid evaluation (fwd + grads, CPU).
 
