@@ -46,11 +46,25 @@ import sys
 import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
-# Persistent executable cache, git-tracked so the driver's fresh clone
-# starts warm (see module docstring).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(_REPO, "benchmarks", "xla_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+CACHE_DIR = os.path.join(_REPO, "benchmarks", "xla_cache")
+
+
+def enable_compile_cache() -> None:
+    """Persistent executable cache, git-tracked so the driver's fresh
+    clone starts warm (see module docstring).
+
+    MUST go through jax.config.update: this container's sitecustomize
+    imports jax at interpreter startup (axon PJRT registration), so
+    JAX_COMPILATION_CACHE_DIR set by the script is read too late and the
+    cache silently stays disabled — which is why rounds 1-3 never
+    actually cached anything (verified: 'cache is disabled/not
+    initialized' in the debug log, empty cache dir after a 28-min cold
+    bench compile).
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 GPU_SCN_BASELINE_MPTS = 2.0  # documented estimate, see module docstring
 
@@ -77,6 +91,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    enable_compile_cache()
 
     from tdwss.config import (
         Config,

@@ -24,12 +24,6 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), "benchmarks",
-                          "xla_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 import numpy as np
 
 
@@ -64,6 +58,9 @@ def run_checks(plans, levels=(0, 2)) -> int:
     import jax
     import jax.numpy as jnp
 
+    import bench
+
+    bench.enable_compile_cache()
     from tdwss.ops import pallas_subm as ps
     from tdwss.ops import sparse_conv as sc
 

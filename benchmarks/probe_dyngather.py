@@ -26,8 +26,6 @@ import functools
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/benchmarks/xla_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
@@ -36,6 +34,8 @@ def build(kind: str, sub: int, swk: int, cout: int, nanchor: int,
           nsub: int, interpret: bool = False):
     import jax
     import jax.numpy as jnp
+
+    import bench; bench.enable_compile_cache()
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

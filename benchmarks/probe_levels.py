@@ -14,8 +14,6 @@ import argparse
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/benchmarks/xla_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
@@ -38,6 +36,8 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
+
+    import bench; bench.enable_compile_cache()
 
     import bench
     from tdwss.config import (Config, EngineConfig, LossConfig,

@@ -10,8 +10,6 @@ from __future__ import annotations
 import argparse
 import os
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/benchmarks/xla_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def main():
@@ -29,6 +27,8 @@ def main():
     cout = args.cout or args.cin
 
     import jax.numpy as jnp
+
+    import bench; bench.enable_compile_cache()
     import numpy as np
 
     from benchmarks._timing import timed

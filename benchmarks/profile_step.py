@@ -19,8 +19,6 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/benchmarks/xla_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def _bucket(name: str) -> str:
@@ -109,6 +107,8 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
+
+    import bench; bench.enable_compile_cache()
     import numpy as np
 
     import bench
