@@ -64,6 +64,29 @@ def build(kind: str, sub: int, swk: int, cout: int, nanchor: int,
                         zts[a], oh_t, preferred_element_type=jnp.float32)
                 out_ref[s * sub:(s + 1) * sub] = acc_t.T
             return
+        if kind == "onehot_merged":
+            # Tap-merged: the m taps sharing a window group contract in
+            # ONE dot with K = m*swk — 3x fewer MXU issues per sub-tile,
+            # same compare volume (the per-tap one-hots stack along the
+            # contraction dim and the tap sum happens inside the matmul).
+            m = 3
+            nwin = nanchor // m
+            iota3 = jax.lax.broadcasted_iota(jnp.int32, (m, swk, sub), 1)
+            for s in range(nsub):
+                acc_t = jnp.zeros((cout, sub), jnp.float32)
+                for g in range(nwin):
+                    zcat = jnp.concatenate(
+                        [zs_ref[g + j * nwin] for j in range(m)], axis=0)
+                    rbs3 = jnp.stack(
+                        [rb_ref[g + j * nwin, s * sub:(s + 1) * sub]
+                         for j in range(m)])                 # (m, sub)
+                    oh3 = (rbs3[:, None, :] == iota3).astype(zcat.dtype)
+                    acc_t = acc_t + jax.lax.dot_general(
+                        zcat, oh3.reshape(m * swk, sub),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                out_ref[s * sub:(s + 1) * sub] = acc_t.T
+            return
         if kind == "onehot_dg":
             # the production _OH_T kernel form: normal-orientation one-hot,
             # transposed accumulate via dot_general contracting (0, 1)
@@ -188,8 +211,8 @@ def main() -> None:
     rb = jnp.asarray(rb)
 
     runs = {}
-    for kind in ("onehot", "onehot_t", "onehot_tz", "onehot_dg", "gatherL",
-                 "gather", "gather1"):
+    for kind in ("onehot", "onehot_t", "onehot_tz", "onehot_dg",
+                 "onehot_merged", "gatherL", "gather", "gather1"):
         try:
             fn = build(kind, args.sub, args.swk, args.cout, args.nanchor,
                        args.nsub, args.interpret)
@@ -202,8 +225,8 @@ def main() -> None:
             print(f"{kind:8s} {dt * 1e3:8.2f} ms")
         except Exception as e:
             print(f"{kind:8s} FAILED: {type(e).__name__}: {str(e)[:300]}")
-    for kind in ("onehot_t", "onehot_tz", "onehot_dg", "gatherL", "gather",
-                 "gather1"):
+    for kind in ("onehot_t", "onehot_tz", "onehot_dg", "onehot_merged",
+                 "gatherL", "gather", "gather1"):
         if "onehot" in runs and kind in runs:
             d = float(jnp.max(jnp.abs(runs["onehot"][1] - runs[kind][1])))
             print(f"max |onehot - {kind}| = {d:.3e}")
