@@ -308,7 +308,7 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, zcols: int, ablate: str,
                 if pack > 1:
                     res = _blk_select(res, rbs & (pack - 1), pack, cout, t)
                 acc_t = acc_t + res
-        out_ref[:] = acc_t.T
+        out_ref[:] = acc_t.T.astype(out_ref.dtype)
         return
     acc = jnp.zeros((t, cout), jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
@@ -328,7 +328,7 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, zcols: int, ablate: str,
                 continue
             oh = _onehot(rb_ref[a, :][:, None], iota, win_g.dtype, 1)
             acc = acc + jnp.dot(oh, z, preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -398,7 +398,7 @@ def windowed_matmul(feats3: jnp.ndarray, starts: jnp.ndarray,
                                zcols, ablate, p)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((v_out, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((v_out, cout), feats3.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -662,7 +662,8 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                     if pack > 1 and ablate == "noselect":
                         res = res[:cout]
                     acc_t = acc_t + res
-            out_ref[s_i * sub:(s_i + 1) * sub] = acc_t.T
+            out_ref[s_i * sub:(s_i + 1) * sub] = acc_t.T.astype(
+                out_ref.dtype)
         return
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (sub, swk), 1)
@@ -682,7 +683,7 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                 oh = _onehot(rbs[:, None], iota, zs.dtype, 1)
                 acc = acc + jnp.dot(oh, zs,
                                     preferred_element_type=jnp.float32)
-        out_ref[s_i * sub:(s_i + 1) * sub] = acc
+        out_ref[s_i * sub:(s_i + 1) * sub] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -762,7 +763,7 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((v_out, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((v_out, cout), feats3.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -987,6 +988,7 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
 
     l = win.shape[-1]
     zcols = wt_ref.shape[-1]          # pack * cin (== cin unpacked)
+    cout = dout_ref.shape[-1]
     # see _sub_fwd_kernel: transform only the read slices when that is
     # less MXU work than the full window
     z_ondemand = nsub * swk < w
@@ -1030,25 +1032,26 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
                 dx_acc_t = dx_acc_t + res
                 fslice = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(
                     swk, l)
-                cpad = l // pack
-                for b in range(pack):
-                    if pack > 1:
-                        rows_b = jnp.where(
-                            (rbs & (pack - 1)) == b, rows, swk)
-                        oh_b = _onehot(rows_b[None, :], iota_t,
-                                       dsub.dtype, 0)
-                    else:
-                        oh_b = oh_t
-                    s = jnp.dot(oh_b, dsub,
-                                preferred_element_type=jnp.float32)
-                    prod = jax.lax.dot_general(
-                        fslice, s.astype(fslice.dtype),
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    # keep only block b's window-lane rows (see
-                    # _sub_dw_kernel)
-                    acc[a, b] += prod[b * cpad:(b + 1) * cpad]
-            dx_ref[s_i * sub:(s_i + 1) * sub] = dx_acc_t.T
+                # dW via the SAME oh_t that drove dx: the block index
+                # rides the LANE dim of dout (_blk_expand) so one
+                # full-lane scatter matmul + one full-lane window
+                # contraction replace the per-block one-hot splits that
+                # made the fused form lose to the unfused pair (measured
+                # r2: 68 vs 45 ms) — the caller extracts the (b, b)
+                # diagonal blocks.
+                if pack > 1:
+                    dexp = _blk_expand(dsub, rbs & (pack - 1), pack,
+                                       cout, sub)
+                else:
+                    dexp = dsub
+                s = jnp.dot(oh_t, dexp,
+                            preferred_element_type=jnp.float32)
+                acc[a] += jax.lax.dot_general(
+                    fslice, s.astype(fslice.dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            dx_ref[s_i * sub:(s_i + 1) * sub] = dx_acc_t.T.astype(
+                dx_ref.dtype)
             continue
         dx_acc = jnp.zeros((sub, cin), jnp.float32)
         for a in range(len(gmap)):
@@ -1065,11 +1068,11 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
             oh_t = _onehot(rbs[None, :], iota_t, dsub.dtype, 0)
             s = jnp.dot(oh_t, dsub, preferred_element_type=jnp.float32)
             fslice = win[cur, gmap[a], pl.ds(off8, swk8)].reshape(swk, l)
-            acc[a, 0] += jax.lax.dot_general(
+            acc[a] += jax.lax.dot_general(
                 fslice, s.astype(fslice.dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        dx_ref[s_i * sub:(s_i + 1) * sub] = dx_acc
+        dx_ref[s_i * sub:(s_i + 1) * sub] = dx_acc.astype(dx_ref.dtype)
 
     @pl.when(step + 1 == pl.num_programs(0))
     def _():
@@ -1139,29 +1142,33 @@ def windowed_bwd_sub(src_cat: jnp.ndarray, starts: jnp.ndarray,
         out_specs=(
             pl.BlockSpec((tile, cin), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nanchor, p, l // p, cout),
-                         lambda t, *_: (0, 0, 0, 0),
+            pl.BlockSpec((nanchor, l, p * cout),
+                         lambda t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, max(gmap) + 1, w8p, 8, l), src_cat.dtype),
             pltpu.VMEM((nanchor, w8p, 8, p * cin), src_cat.dtype),
-            pltpu.VMEM((nanchor, p, l // p, cout), jnp.float32),
+            pltpu.VMEM((nanchor, l, p * cout), jnp.float32),
             pltpu.SemaphoreType.DMA((2, max(gmap) + 1)),
         ],
     )
-    dx, dw4 = pl.pallas_call(
+    dx, dwf = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((v_out, cin), jnp.float32),
-                   jax.ShapeDtypeStruct((nanchor, p, l // p, cout),
+        out_shape=(jax.ShapeDtypeStruct((v_out, cin), src_cat.dtype),
+                   jax.ShapeDtypeStruct((nanchor, l, p * cout),
                                         jnp.float32)),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(scal, src, rb_local_t, wt_full, dout)
     if p == 1:
-        return dx, dw4[:, 0]
-    # the kernel sliced each block's cpad window-lane rows ([feats | dout]
-    # per voxel); the feats channels sit at rows [0, cin) of each slice —
-    # the caller slices [:, :cin, :].
-    return dx, dw4.sum(axis=1)
+        return dx, dwf
+    # block b's true dW sits at rows [b*(l//p), +l//p) x lanes
+    # [b*cout, +cout) of the full-lane accumulator (off-diagonals pair
+    # block-b feats with block-b' douts — garbage by construction); each
+    # block's rows are its voxel's [feats | dout] lane-rows, so the feats
+    # channels sit at rows [0, cin) of the extracted slice and the caller
+    # slices [:, :cin, :].
+    dw5 = dwf.reshape(nanchor, p, l // p, p, cout)
+    return dx, sum(dw5[:, b, :, b, :] for b in range(p))
