@@ -35,8 +35,28 @@ def win_plan():
     return v, starts, soff, rbl
 
 
+def _assert_close(ref, got, tag=""):
+    """Scale-aware closeness: the packed kernels accumulate the same f32
+    terms in a different order (sbuf scatter order vs per-block), so dW
+    is equal to summation-order noise, not bit-identical (measured
+    max-abs 3e-5 at scale ~194 == 1.6e-7 relative)."""
+    ref = np.asarray(ref)
+    got = np.asarray(got)
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5 * scale,
+                               err_msg=tag)
+
+
 def _toggle(monkeypatch, on):
     monkeypatch.setattr(ps, "_PACK", on)
+    # The kernels are @jax.jit-wrapped and module globals are NOT part of
+    # the jit cache key: without clearing, the post-toggle call silently
+    # reuses the pre-toggle executable and the whole comparison is
+    # vacuous (caught in round 4 — a NameError in the packed fused
+    # branch sailed through this suite and only surfaced on hardware).
+    import jax
+
+    jax.clear_caches()
 
 
 @pytest.mark.parametrize("c", [32, 64])
@@ -70,7 +90,7 @@ def test_packed_dw_and_fused_bwd_match_unpacked(win_plan, monkeypatch):
     ref = np.asarray(ps.windowed_dw_sub(*dargs, **kw))[:, :c, :]
     _toggle(monkeypatch, True)
     got = np.asarray(ps.windowed_dw_sub(*dargs, **kw))[:, :c, :]
-    np.testing.assert_array_equal(ref, got)
+    _assert_close(ref, got, "packed dW")
 
     w = rng.standard_normal((27, c, cout)).astype(np.float32) * 0.1
     ccat = c + cout
@@ -85,6 +105,6 @@ def test_packed_dw_and_fused_bwd_match_unpacked(win_plan, monkeypatch):
     dx0, dw0 = ps.windowed_bwd_sub(*bargs, **bkw)
     _toggle(monkeypatch, True)
     dx1, dw1 = ps.windowed_bwd_sub(*bargs, **bkw)
-    np.testing.assert_array_equal(np.asarray(dx0), np.asarray(dx1))
-    np.testing.assert_array_equal(np.asarray(dw0)[:, :c, :],
-                                  np.asarray(dw1)[:, :c, :])
+    _assert_close(dx0, dx1, "fused dx")
+    _assert_close(np.asarray(dw0)[:, :c, :], np.asarray(dw1)[:, :c, :],
+                  "fused dW")
