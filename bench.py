@@ -30,7 +30,7 @@ before emitting any JSON, rc=124):
      extra fields re-prints if they complete (parsers take the last line).
 
 Single-chip progression (v5e): r1 0.602 -> r2 0.829 -> r3 ~0.88
-(unofficial, driver run timed out) -> r4 0.830 official with the full
+(unofficial, driver run timed out) -> r4 0.852 official with the full
 gate (bf16 kernel outputs; the r3 number was measured without the
 parity/e2e machinery this file now carries).  Engine history lives in
 docs/DESIGN.md.
