@@ -63,6 +63,11 @@ def enable_compile_cache() -> None:
     initialized' in the debug log, empty cache dir after a 28-min cold
     bench compile).
     """
+    sys.path.insert(0, _REPO)
+    from benchmarks.cache_pack import unpack
+
+    unpack()   # fresh clone: reassemble tracked <90MB chunks (size policy)
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
@@ -139,7 +144,9 @@ def main() -> None:
     # share ONE executable.
     from tdwss.data.loader import warm_plan_shapes
 
-    e2e_scenes = make_dataset(3 * NUM_SCENES, num_points=POINTS_PER_SCENE,
+    # >= 30 scenes -> >= 6 steps/epoch: the r4 3-step sample was
+    # noise-dominated (epoch 1 measured faster than epoch 2; VERDICT r4 #3)
+    e2e_scenes = make_dataset(6 * NUM_SCENES, num_points=POINTS_PER_SCENE,
                               seed=11, with_text=False)
     t0 = time.perf_counter()
     warm_plan_shapes(e2e_scenes, cfg, epochs=(1, 2))
@@ -215,7 +222,12 @@ def main() -> None:
         "host_cores": os.cpu_count(),
         "n_params": int(n_params),
         "projected_v5e8_mpts": round(projected_v5e8, 2),
-        "parity_failures": None,
+        # "not_run" is a distinct sentinel (ADVICE r4): the primary line
+        # can never be mistaken for a passed gate; the final line carries
+        # the real count (0 = all checks passed).
+        "parity_failures": "not_run",
+        "end_to_end_epoch1": None,
+        "dp_dilation": None,
     }
     # PRIMARY metric line — printed before any optional extra can time out.
     print(json.dumps(record), flush=True)
@@ -243,6 +255,11 @@ def main() -> None:
             rc = 1
     else:
         _log("parity gate skipped (budget/backend)")
+        if jax.default_backend() == "tpu":
+            # A TPU throughput number without hardware parity evidence
+            # must not exit clean (ADVICE r4): "not_run" stays in the
+            # record and the process reports failure.
+            rc = 1
 
     # End-to-end: the real train_batches pipeline (augment + collate +
     # host plan building + prefetch overlap, cfg.engine.collate_workers
@@ -257,7 +274,7 @@ def main() -> None:
         try:
             from tdwss.data.collate import CollateStats
 
-            e2e_mpts = None
+            by_epoch = {}
             for epoch in (1, 2):
                 t0 = time.perf_counter()
                 stats = CollateStats()
@@ -277,15 +294,50 @@ def main() -> None:
                 jax.device_get(recent)
                 pts = min(stats.total_points - stats.dropped_points,
                           nb * MAX_POINTS)
-                e2e_mpts = pts / (time.perf_counter() - t0) / 1e6
-                _log(f"e2e epoch {epoch}: {nb} steps, {e2e_mpts:.3f} Mpts/s")
+                by_epoch[epoch] = pts / (time.perf_counter() - t0) / 1e6
+                _log(f"e2e epoch {epoch}: {nb} steps, "
+                     f"{by_epoch[epoch]:.3f} Mpts/s")
                 if _left() < 120:
                     break
-            record["end_to_end"] = round(e2e_mpts, 3) if e2e_mpts else None
+            if 1 in by_epoch:
+                record["end_to_end_epoch1"] = round(by_epoch[1], 3)
+            record["end_to_end"] = (round(by_epoch[max(by_epoch)], 3)
+                                    if by_epoch else None)
         except Exception as e:  # never lose the primary metric
             _log(f"e2e measurement failed: {e!r}")
     else:
         _log("e2e skipped (budget)")
+
+    # DP dilation on the virtual 8-device CPU mesh (VERDICT r4 #7): the
+    # projection's program-structure term, re-measured per round so it
+    # tracks kernel changes.  A live run needs ~10+ min of 1-core CPU
+    # compiles (subprocess: the CPU mesh cannot share this process's TPU
+    # backend), so outside that budget the cached artifact written by the
+    # last `python -m benchmarks.dp_dilation` run is folded in instead —
+    # refresh it once per round alongside the kernel work.
+    dil_path = os.path.join(_REPO, "benchmarks", "dp_dilation_result.json")
+    if _left() > 900:
+        import subprocess
+
+        try:
+            t0 = time.perf_counter()
+            out = subprocess.run(
+                [sys.executable, "-m", "benchmarks.dp_dilation"],
+                cwd=_REPO, capture_output=True, text=True,
+                timeout=max(60, _left() - 120))
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            record["dp_dilation"] = json.loads(line)["dilation"]
+            _log(f"dp_dilation: {record['dp_dilation']} "
+                 f"({time.perf_counter() - t0:.0f}s)")
+        except Exception as e:
+            _log(f"dp_dilation live run failed: {e!r}")
+    if record["dp_dilation"] is None and os.path.exists(dil_path):
+        with open(dil_path) as f:
+            cached = json.load(f)
+        record["dp_dilation"] = cached.get("dilation")
+        record["dp_dilation_measured_at"] = cached.get("measured_at")
+        _log(f"dp_dilation from cached artifact: {record['dp_dilation']}")
 
     # Final full record — parsers that take the LAST JSON line get the
     # extras; a timeout above still leaves the primary line standing.

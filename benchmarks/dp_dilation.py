@@ -114,13 +114,21 @@ def main() -> None:
     cores = os.cpu_count() or 1
     par = min(cores, N_DEV)
     dp_per_dev = dp_s * par / N_DEV if cores < N_DEV else dp_s
-    print(json.dumps({
+    record = {
         "single_ms": round(1e3 * single_s, 1),
         "dp_wall_ms": round(1e3 * dp_s, 1),
         "host_cores": cores,
         "dp_per_device_ms": round(1e3 * dp_per_dev, 1),
         "dilation": round(dp_per_dev / single_s, 3),
-    }))
+        "measured_at": time.strftime("%Y-%m-%d %H:%M"),
+    }
+    print(json.dumps(record))
+    # Cached artifact: bench.py folds this into BENCH_r*.json when its
+    # budget cannot afford a live re-measure (a full run takes ~10+ min
+    # on this 1-core VM — the CPU compile of the DP step dominates).
+    with open(os.path.join(os.path.dirname(__file__),
+                           "dp_dilation_result.json"), "w") as f:
+        json.dump(record, f)
 
 
 if __name__ == "__main__":

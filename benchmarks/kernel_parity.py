@@ -114,6 +114,30 @@ def run_checks(plans, levels=(0, 2)) -> int:
                 win.subwin, win.sub_off))(feats, dout)
         check(f"L{li} subm dW kernel", got, want)
 
+        # FULL production VJP vs forced-einsum VJP: covers the composed
+        # backward route on hardware — at L0/L1 the symmetric gather
+        # kernel (windowed_bwd_gather) PLUS the flipped-orientation spill
+        # dW whose sum must cover every rb entry exactly once.
+        rtile = sc._pack_rtile(win)
+        sub_off = (win.sub_off if win.sub_off is not None
+                   else jnp.zeros((0, win.starts.shape[1]), jnp.int32))
+
+        def conv_loss(f, w_):
+            out = sc._subm_conv_w27(
+                win.window, win.sub, win.subwin,
+                int(getattr(win, "v_active", 0)), f, win.starts, sub_off,
+                sc._rb32(win.rb_local), rtile, win.res_ovf, win.ovf_v,
+                win.ovf_count, w_)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        grad_fn = jax.jit(jax.grad(conv_loss, argnums=(0, 1)))
+        gf_got, gw_got = grad_fn(feats, w)
+        with _forced_einsum():
+            gf_want, gw_want = jax.jit(
+                jax.grad(conv_loss, argnums=(0, 1)))(feats, w)
+        check(f"L{li} subm full-VJP dfeats", gf_got, gf_want)
+        check(f"L{li} subm full-VJP dW", gw_got, gw_want)
+
         # dfeats direction: the production backward at packed levels is
         # the SAME forward kernel on the cotangent with flipped-transposed
         # weights — check it explicitly so a regression in that weight
@@ -166,6 +190,54 @@ def run_checks(plans, levels=(0, 2)) -> int:
             with _forced_einsum():
                 want = jax.jit(wg_up_mm)(coarse, w8u)
             check(f"L{li} wg-deconv fwd kernel", got, want)
+
+            # wg-deconv dW direction on hardware (VERDICT r4 #4): the
+            # deconv backward accumulates dW over the SAME up metadata
+            dfine = rnd((wgu.rb_local.shape[0], c))
+            got = jax.jit(lambda f, d: sc._wg_dw_any(
+                f, wgu.rb_local, wgu.starts, d, wgu.window, wgu.sub,
+                wgu.subwin, wgu.sub_off))(coarse, dfine)
+            with _forced_einsum():
+                want = jax.jit(lambda f, d: sc._wg_dw_any(
+                    f, wgu.rb_local, wgu.starts, d, wgu.window, wgu.sub,
+                    wgu.subwin, wgu.sub_off))(coarse, dfine)
+            check(f"L{li} wg-deconv dW kernel", got, want)
+
+        # Heavy-spill-tier apply + dW (VERDICT r4 #4): einsum/XLA paths,
+        # ~17% of the step, previously only interpret/CI-tested.  Oracle:
+        # a direct numpy evaluation of the (owner, tap, src) entry list.
+        if (win.res_hent is not None and win.res_hent.shape[0]
+                and lvl.grid.capacity % sc._RES_TILE == 0):
+            v = lvl.grid.capacity
+            hent = np.asarray(win.res_hent)
+            htile = np.asarray(win.res_htile)
+            rtile = sc._pack_rtile(win)
+            w2d_np = np.asarray(w2d, np.float32)
+            feats_np = np.asarray(feats, np.float32)
+            dout = rnd((v, c))
+            dout_np = np.asarray(dout, np.float32)
+
+            live = hent[:, 2] < v
+            out_ref = np.zeros((v, c), np.float32)
+            dw_ref = np.zeros((27 * c, c), np.float32)
+            own, tap, src = (hent[live, 0], hent[live, 1], hent[live, 2])
+            contrib = np.einsum(
+                "ec,eco->eo", feats_np[src],
+                w2d_np.reshape(27, c, c)[tap])
+            np.add.at(out_ref, own[own < v], contrib[own < v])
+            ok = own < v
+            for t in range(27):
+                m = ok & (tap == t)
+                dw_ref[t * c:(t + 1) * c] = (
+                    feats_np[src[m]].T @ dout_np[own[m]])
+
+            got = jax.jit(lambda f: sc._res_heavy_apply(
+                f, win.res_hent, win.res_htile, w2d, c, v,
+                v // sc._RES_TILE, rtile[3], rtile[4], rtile[5]))(feats)
+            check(f"L{li} heavy-spill apply", got, out_ref)
+            got = jax.jit(lambda f, d: sc._res_heavy_dw(
+                f, win.res_hent, d, 27, rtile[3], rtile[4]))(feats, dout)
+            check(f"L{li} heavy-spill dW", got, dw_ref)
 
     # Fused backward windowed_bwd_sub: production-reachable only via the
     # TDWSS_PACK=0 escape hatch, but gate it on hardware anyway — at a

@@ -149,7 +149,7 @@ def main() -> None:
     from tdwss.data.loader import warm_plan_shapes
     from tdwss.data.plans import slim_batch_for_train
 
-    e2e_scenes = make_dataset(3 * bench.NUM_SCENES,
+    e2e_scenes = make_dataset(6 * bench.NUM_SCENES,
                               num_points=bench.POINTS_PER_SCENE, seed=11,
                               with_text=False)
     warm_plan_shapes(e2e_scenes, cfg, epochs=(1, 2))

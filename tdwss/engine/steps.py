@@ -121,7 +121,7 @@ def make_eval_step(model):
 
 def init_state(cfg: Config, model, tx, example_batch: PointBatch,
                seed: int = 0) -> TrainState:
-    import os
+    from tdwss.ops.sparse_conv import force_einsum
 
     # One jitted program instead of eager per-op dispatch: unjitted,
     # model.init issues hundreds of tiny executions (~0.4-2 s each through
@@ -129,18 +129,12 @@ def init_state(cfg: Config, model, tx, example_batch: PointBatch,
     # 28-min cold start).  The init forward's VALUES are throwaway (param
     # shapes are V-independent; BN stats init to zeros/ones), so the trace
     # also forces the einsum conv path — no Mosaic kernel compiles for a
-    # program that runs exactly once.
-    prior = os.environ.get("TDWSS_NO_PALLAS")
-    os.environ["TDWSS_NO_PALLAS"] = "1"
-    try:
+    # program that runs exactly once.  force_einsum is trace-local
+    # (contextvar): concurrent traces in loader threads keep the kernels.
+    with force_einsum():
         variables = jax.jit(
             lambda rng, b: model.init(rng, b, istrain=True)
         )(jax.random.PRNGKey(seed), example_batch)
-    finally:
-        if prior is None:
-            os.environ.pop("TDWSS_NO_PALLAS", None)
-        else:
-            os.environ["TDWSS_NO_PALLAS"] = prior
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

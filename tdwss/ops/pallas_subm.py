@@ -694,7 +694,8 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
                         w9: jnp.ndarray, window: int, tile: int, sub: int,
                         subwin: int, interpret: bool = False,
                         ablate: str = "") -> jnp.ndarray:
-    """Two-level windowed gather-GEMM -> (V_out, Cout) f32.
+    """Two-level windowed gather-GEMM -> (V_out, Cout) in feats3's dtype
+    (f32 accumulation inside the kernel; bf16 out under production).
 
     soff (tiles * (tile/sub) * nwin,) int32 8-aligned sub-window offsets
     within the big window; rb_local_t (nanchor, V_out) relative to
@@ -768,6 +769,243 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(scal, src, rb_local_t, w9g)
+
+
+def _sub_bwd_gather_kernel(gmap: tuple, w8: int, t: int, sub: int,
+                          swk8: int, soff_base: int, pack: int, cin: int,
+                          zcols: int,
+                          scal_ref, src_ref, rb_ref, w9_ref, feats_ref,
+                          dx_ref, dw_ref, win, zbuf, acc, sems):
+    """Fused backward via rulebook flip-symmetry: dfeats AND dW from ONE
+    window-DMA set over the COTANGENT source and ONE transposed one-hot
+    per (sub-tile, anchor).
+
+    The 27-tap submanifold rulebook satisfies rb[v,k] = u <=>
+    rb[u, 26-k] = v (centred kernel over one coordinate set), so the dW
+    sum over forward entries re-indexes over BACKWARD entries:
+
+        dW[26-k] = sum_v feats[v] (x) dout[rb[v, k]]
+
+    i.e. exactly the rows the dfeats evaluation already gathers — before
+    the Z-transform.  Per (sub, anchor) the kernel therefore adds to the
+    dfeats product only: one raw-window one-hot matmul (reusing the oh_t
+    already built), a pack-block select, and a batched (nanchor*cout, sub)
+    @ (sub, cin) GEMM per sub-tile against the tile's OWN feats rows
+    (plain BlockSpec input — output-domain order, no gather, no sbuf
+    scatter, no [feats | dout] concat, so p=4 packing survives, unlike
+    windowed_bwd_sub whose concat halves the pack and whose scatter
+    machinery made it lose to the unfused pair).
+
+    The spill-tier dW/dfeats corrections stay OUTSIDE (same partition of
+    rb as the forward: windowed entries here, spill entries in
+    tdwss.ops.sparse_conv._res_all_*, so every rb entry is counted
+    exactly once).
+
+    ``src``/windows carry the packed cotangent (c3 = cout); ``w9_ref`` is
+    the grouped flipped-transposed weight layout (zcols = pack * cin);
+    ``feats_ref`` the (tile, cin) primal rows; ``acc`` (nanchor*cout,
+    cin) f32, emitted at the last grid step.  The caller maps slot a ->
+    dW[26-a]^T.
+    """
+    step = pl.program_id(0)
+    w = w8 * 8
+    swk = swk8 * 8
+    nwin = max(gmap) + 1
+    m = len(gmap) // nwin
+    nsub = t // sub
+    shift = pack.bit_length() - 1
+    nbuf = win.shape[0]
+
+    def get_dma(buf, tile, j):
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(scal_ref[tile * nwin + j], w8)],
+            win.at[buf, j], sems.at[buf, j])
+
+    cur = jax.lax.rem(step, nbuf)
+
+    @pl.when(step == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        for k in range(nbuf - 1):
+            @pl.when(k < pl.num_programs(0))
+            def _():
+                for j in range(nwin):
+                    get_dma(k, k, j).start()
+
+    @pl.when(step + nbuf - 1 < pl.num_programs(0))
+    def _():
+        nxt = jax.lax.rem(step + nbuf - 1, nbuf)
+        for j in range(nwin):
+            get_dma(nxt, step + nbuf - 1, j).start()
+
+    for j in range(nwin):
+        get_dma(cur, step, j).wait()
+
+    l = win.shape[-1]
+    cpad = l // pack                 # lanes per packed voxel block
+    nanchor = len(gmap)
+    z_ondemand = nsub * swk < w
+    gz = w9_ref.shape[-1]
+    slot = gz // m
+
+    if not z_ondemand:
+        for g in range(nwin):
+            win_g = win[cur, g].reshape(w, l)
+            z = jnp.dot(win_g, w9_ref[g], preferred_element_type=jnp.float32)
+            zbuf[g] = z.astype(win_g.dtype).reshape(w8, 8, gz)
+
+    def get_zs_g(g, off8):
+        if z_ondemand:
+            sl = win[cur, g, pl.ds(off8, swk8)].reshape(swk, l)
+            return jnp.dot(sl, w9_ref[g],
+                           preferred_element_type=jnp.float32
+                           ).astype(sl.dtype)
+        return zbuf[g, pl.ds(off8, swk8)].reshape(swk, gz)
+
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (swk, sub), 0)
+    biota = jax.lax.broadcasted_iota(jnp.int32, (pack, sub), 0)
+    for s_i in range(nsub):
+        fts = feats_ref[s_i * sub:(s_i + 1) * sub, :]       # (sub, cin)
+        dx_acc_t = jnp.zeros((cin, sub), jnp.float32)
+        cout = dw_ref.shape[0] // nanchor
+        g_rows = [None] * nanchor
+        for g in range(nwin):
+            off8 = scal_ref[soff_base + (step * nsub + s_i) * nwin + g]
+            zs_g = get_zs_g(g, off8)
+            wsl = win[cur, g, pl.ds(off8, swk8)].reshape(swk, l)
+            for j in range(m):
+                a = g + j * nwin
+                zs = zs_g[:, j * slot:j * slot + zcols]
+                rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
+                rows = rbs >> shift if pack > 1 else rbs
+                oh_t = _onehot(rows[None, :], iota_t, zs.dtype, 0)
+                # dfeats product (identical to _sub_fwd_kernel's oh_t path)
+                res = jax.lax.dot_general(
+                    zs, oh_t, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if pack > 1:
+                    res = _blk_select(res, rbs & (pack - 1), pack, cin,
+                                      sub)
+                dx_acc_t = dx_acc_t + res
+                # raw cotangent rows through the SAME oh_t -> dW gather
+                graw = jax.lax.dot_general(
+                    wsl, oh_t, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (l, sub)
+                if pack > 1:
+                    g3 = graw.reshape(pack, cpad, sub)[:, :cout, :]
+                    bm = ((rbs[None, :] & (pack - 1)) == biota).astype(
+                        graw.dtype)
+                    gsel = (g3 * bm[:, None, :]).sum(axis=0)
+                else:
+                    gsel = graw[:cout]
+                # bf16 round-trip is lossless: each gsel element is one
+                # one-hot-selected bf16 cotangent value (or zero)
+                g_rows[a] = gsel.astype(fts.dtype)
+        gcat = jnp.concatenate(g_rows, axis=0)   # (nanchor*cout, sub)
+        acc[...] += jax.lax.dot_general(
+            gcat, fts, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx_ref[s_i * sub:(s_i + 1) * sub] = dx_acc_t.T.astype(dx_ref.dtype)
+
+    @pl.when(step + 1 == pl.num_programs(0))
+    def _():
+        dw_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "tile", "sub", "subwin",
+                                    "cout", "interpret"))
+def windowed_bwd_gather(dout: jnp.ndarray, feats: jnp.ndarray,
+                        starts: jnp.ndarray, soff: jnp.ndarray,
+                        rb_local_t: jnp.ndarray, wt9: jnp.ndarray,
+                        window: int, tile: int, sub: int, subwin: int,
+                        cout: int, interpret: bool = False):
+    """Fused symmetric backward -> (dfeats (V, cin) in dout's dtype,
+    dW (K, cin, cout) f32).
+
+    dout (V, cout): the cotangent — the gather source (windows/DMA).
+    feats (V, cin): the primal rows, consumed tile-aligned for dW.
+    wt9 (nanchor, Lp, cin): lane-padded flipped-transposed weights
+    (wt9[a] = W[26-a]^T in the pad rows convention of pad_w9).
+    Returns dW in RAW tap order (k, cin, cout), flip already applied.
+    """
+    v_src, c3 = dout.shape
+    cin = wt9.shape[-1]
+    v_out = rb_local_t.shape[1]
+    nanchor = rb_local_t.shape[0]
+    if (v_out % tile or window % 8 or v_src % 8 or tile % sub
+            or subwin % 8 or subwin > window):
+        raise ValueError("bad sub-window geometry")
+    tiles = v_out // tile
+    nsub = tile // sub
+    nwin = soff.shape[0] // (tiles * nsub)
+    gmap = _anchor_gmap(nanchor, nwin)
+    p = _pack_p(c3, cin, v_src, window, subwin)
+    if p > 1:
+        dout_p = _pack_src(dout, p)
+        wt9 = _pack_w(wt9, p)
+        l = 128
+    else:
+        l = _lane_pad(c3)
+        if wt9.shape[1] != l:
+            raise ValueError(f"wt9 second dim must be lane-padded to {l}")
+        dout_p = (jnp.pad(dout, ((0, 0), (0, l - c3)))
+                  if c3 != l else dout)
+    wt9 = wt9.astype(dout.dtype)
+    src = dout_p.reshape(v_src // p // 8, 8, l)
+    scal = jnp.concatenate([starts // (8 * p), soff // (8 * p)])
+    nstarts = starts.shape[0]
+    w8p, swk8p = window // (8 * p), subwin // (8 * p)
+    zcols = p * cin
+    nwin_g = max(gmap) + 1
+    m = nanchor // nwin_g
+    slot = _lane_pad(zcols)
+    w9g = _group_w(wt9, nwin_g)
+    feats = feats[:v_out].astype(dout.dtype)
+
+    kernel = functools.partial(_sub_bwd_gather_kernel, gmap, w8p, tile,
+                               sub, swk8p, nstarts, p, cin, zcols)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                  # src (dout)
+            pl.BlockSpec((nanchor, tile), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),              # rb_local_t
+            pl.BlockSpec((nwin_g, l, m * slot), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),              # wt (grouped)
+            pl.BlockSpec((tile, cin), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),              # feats tile
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, cin), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),              # dfeats
+            pl.BlockSpec((nanchor * cout, cin), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),              # dW slots
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4 if p > 1 else 2, nwin_g, w8p, 8, l),
+                       dout.dtype),
+            pltpu.VMEM((nwin_g, w8p, 8, m * slot), dout.dtype)
+            if (tile // sub) * subwin >= window
+            else pltpu.VMEM((1, 1, 8, m * slot), dout.dtype),
+            pltpu.VMEM((nanchor * cout, cin), jnp.float32),
+            pltpu.SemaphoreType.DMA((4 if p > 1 else 2, nwin_g)),
+        ],
+    )
+    dx, dwg = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((v_out, cin), dout.dtype),
+                   jax.ShapeDtypeStruct((nanchor * cout, cin),
+                                        jnp.float32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(scal, src, rb_local_t, w9g, feats)
+    # slot a accumulated dout[rb[v,a]] (x) feats[v] = dW[26-a]^T
+    dw3 = dwg.reshape(nanchor, cout, cin)
+    dw = dw3[::-1].transpose(0, 2, 1)            # (K, cin, cout) raw order
+    return dx, dw
 
 
 def _blk_expand(dsub, blk, pack: int, cout: int, sub: int):
@@ -1087,7 +1325,9 @@ def windowed_bwd_sub(src_cat: jnp.ndarray, starts: jnp.ndarray,
                      wt_full: jnp.ndarray, dout: jnp.ndarray,
                      window: int, tile: int, sub: int, subwin: int,
                      cin: int, interpret: bool = False):
-    """Fused backward: (dfeats (V, cin) f32, dW (nanchor, L, cout) f32).
+    """Fused backward: (dfeats (V, cin) in the source dtype, dW
+    (nanchor, L, cout) f32).  dfeats accumulates in f32 inside the kernel
+    and is emitted in src_cat's dtype (bf16 under the production config).
 
     src_cat (V, Ccat) = [feats | dout] channel-concat (Ccat <= 128 lanes
     after padding — the caller gates on that); wt_full (nanchor, L, cin)

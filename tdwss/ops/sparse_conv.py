@@ -43,12 +43,32 @@ filling them, so passing -1 through would silently read the last voxel.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.dtypes import float0
+
+# Trace-local Pallas kill switch: init_state forces the einsum path for
+# its one-shot trace WITHOUT mutating process-global env (a concurrent
+# trace in a loader thread would otherwise bake the einsum path into a
+# cached train/eval executable).  contextvars give per-thread scoping.
+_NO_PALLAS_CTX = contextvars.ContextVar("tdwss_no_pallas", default=False)
+
+
+@contextlib.contextmanager
+def force_einsum():
+    """Route every conv traced in this context through the XLA einsum
+    path (no Mosaic kernel compiles).  Thread-local, unlike the
+    TDWSS_NO_PALLAS env var which remains as a process-wide override."""
+    tok = _NO_PALLAS_CTX.set(True)
+    try:
+        yield
+    finally:
+        _NO_PALLAS_CTX.reset(tok)
 
 
 def _oob(rulebook: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -314,14 +334,29 @@ def _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout,
     return out.at[_oob(ovf_v, v)].add(sums, mode="drop")
 
 
-def _res_ovf_dw(feats, res_ovf, dout, k=27):
-    """Spill-list dW contribution -> (K*C, Cout) f32 (raw tap order)."""
+def _res_ovf_dw(feats, res_ovf, dout, k=27, flip=False):
+    """Spill-list dW contribution -> (K*C, Cout) f32 (raw tap order).
+
+    ``flip``: evaluate each entry in the FLIPPED orientation
+    (feats[owner] (x) dout[src] into slot K-1-tap) — required when the
+    windowed dW was computed by the symmetric gather kernel
+    (pallas_subm.windowed_bwd_gather), whose windowed set is the flip of
+    the forward partition; flipping the spill set too makes the union
+    cover rb exactly once (flip is an involution on the full entry set).
+    """
     v = feats.shape[0]
     cin = feats.shape[-1]
     cout = dout.shape[-1]
-    taps = res_ovf[:, 1]
-    srcs = res_ovf[:, 2]
-    tgts = jnp.where(srcs < v, res_ovf[:, 0], dout.shape[0])
+    if flip:
+        # sentinel taps (>= k) go negative -> zero one-hot row; sentinel
+        # owners/srcs fall out through the fill-gathers
+        taps = (k - 1) - res_ovf[:, 1]
+        srcs = res_ovf[:, 0]
+        tgts = jnp.where(res_ovf[:, 2] < v, res_ovf[:, 2], dout.shape[0])
+    else:
+        taps = res_ovf[:, 1]
+        srcs = res_ovf[:, 2]
+        tgts = jnp.where(srcs < v, res_ovf[:, 0], dout.shape[0])
     e = taps.shape[0]
     chunks = _num_chunks(e, k * cin * feats.dtype.itemsize)
     if chunks <= 1 or e % chunks != 0:
@@ -372,8 +407,11 @@ def _res_tile_apply(feats, res_tile, w2d, cout, v_out):
     return out.reshape(v_out, cout).astype(jnp.float32)
 
 
-def _res_tile_dw(feats, res_tile, dout, k=27):
-    """Tile-grouped spill dW contribution -> (K*C, Cout) f32."""
+def _res_tile_dw(feats, res_tile, dout, k=27, flip=False):
+    """Tile-grouped spill dW contribution -> (K*C, Cout) f32.
+
+    ``flip``: flipped-orientation evaluation (see :func:`_res_ovf_dw`).
+    """
     t2, r, _ = res_tile.shape
     v_out = dout.shape[0]
     t_res = v_out // t2
@@ -381,9 +419,12 @@ def _res_tile_dw(feats, res_tile, dout, k=27):
     srcs = res_tile[..., 2].reshape(-1)
     local = res_tile[..., 0].reshape(-1)
     tile_ids = jnp.repeat(jnp.arange(t2, dtype=jnp.int32), r)
-    tgts = jnp.where(local < t_res, tile_ids * t_res + local, v_out)
+    owners = jnp.where(local < t_res, tile_ids * t_res + local, v_out)
+    if flip:
+        taps = (k - 1) - taps
+        srcs, owners = owners, srcs
     z = _entry_z(feats, taps, srcs, k)
-    dv = jnp.take(dout, tgts, axis=0, mode="fill",
+    dv = jnp.take(dout, _oob(owners, dout.shape[0]), axis=0, mode="fill",
                   fill_value=0).astype(feats.dtype)
     return jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
 
@@ -471,13 +512,15 @@ def _res_heavy_apply(feats, res_hent, res_htile, w2d, cout, v_out, t2,
 
 
 def _res_heavy_dw(feats, res_hent, dout, k=27, tent=None, ttap=None,
-                  f_tap=None):
+                  f_tap=None, flip=False):
     """Heavy-list dW contribution — compact, gather-based (no layout
     tricks needed: dW accumulates over entries, not owners).
 
     ``f_tap``: the tap-ordered feats gather saved by the conv forward
     (identical expression, CSE'd there) — passing it skips re-gathering
-    the 36-84k rows (~10-20 ns/row latency-bound) in the backward."""
+    the 36-84k rows (~10-20 ns/row latency-bound) in the backward.
+    ``flip``: flipped-orientation evaluation (see :func:`_res_ovf_dw`);
+    f_tap is a src-side gather and does not apply."""
     v = feats.shape[0]
     if tent is not None and ttap is not None:
         # tap-chunked: per-chunk (C, Cout) outer-product GEMMs summed
@@ -485,9 +528,12 @@ def _res_heavy_dw(feats, res_hent, dout, k=27, tent=None, ttap=None,
         cin = feats.shape[-1]
         cout = dout.shape[-1]
         nc = ttap.shape[0]
-        f = f_tap if f_tap is not None else jnp.take(
-            feats, _oob(tent[:, 0], v), axis=0, mode="fill", fill_value=0)
-        dv = jnp.take(dout, _oob(tent[:, 1], dout.shape[0]), axis=0,
+        fcol, dcol = (1, 0) if flip else (0, 1)
+        tapv = ((k - 1) - ttap) if flip else ttap
+        f = f_tap if (f_tap is not None and not flip) else jnp.take(
+            feats, _oob(tent[:, fcol], v), axis=0, mode="fill",
+            fill_value=0)
+        dv = jnp.take(dout, _oob(tent[:, dcol], dout.shape[0]), axis=0,
                       mode="fill", fill_value=0).astype(feats.dtype)
         g = jax.lax.dot_general(
             f.reshape(nc, _RES_HCHUNK, cin), dv.reshape(nc, _RES_HCHUNK,
@@ -495,15 +541,18 @@ def _res_heavy_dw(feats, res_hent, dout, k=27, tent=None, ttap=None,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)          # (NC, C, Cout)
         oh = (jnp.arange(k, dtype=jnp.int32)[:, None]
-              == ttap[None, :]).astype(jnp.float32)      # (K, NC)
+              == tapv[None, :]).astype(jnp.float32)      # (K, NC)
         dw = jnp.dot(oh, g.reshape(nc, cin * cout),
                      preferred_element_type=jnp.float32)
         return dw.reshape(k * cin, cout)
     taps = res_hent[:, 1]
     srcs = res_hent[:, 2]
-    tgts = jnp.where(srcs < v, res_hent[:, 0], dout.shape[0])
+    owners = jnp.where(srcs < v, res_hent[:, 0], dout.shape[0])
+    if flip:
+        taps = (k - 1) - taps
+        srcs, owners = owners, srcs
     z = _entry_z(feats, taps, srcs, k)
-    dv = jnp.take(dout, tgts, axis=0, mode="fill",
+    dv = jnp.take(dout, _oob(owners, dout.shape[0]), axis=0, mode="fill",
                   fill_value=0).astype(feats.dtype)
     return jnp.dot(z.T, dv, preferred_element_type=jnp.float32)
 
@@ -532,19 +581,22 @@ def _res_all_apply(feats, rtile, res_ovf, ovf_v, ovf_count, w2d, cout,
     return out
 
 
-def _res_all_dw(feats, rtile, res_ovf, dout, k=27, f_tap=None):
+def _res_all_dw(feats, rtile, res_ovf, dout, k=27, f_tap=None,
+                flip=False):
+    """``flip``: flipped-orientation spill dW (see :func:`_res_ovf_dw`) —
+    set when the windowed dW came from the symmetric gather kernel."""
     cin = feats.shape[-1]
     dw = jnp.zeros((k * cin, dout.shape[-1]), jnp.float32)
     if res_ovf.shape[0]:        # zero-capacity tier: statically absent
-        dw = _res_ovf_dw(feats, res_ovf, dout, k)
+        dw = _res_ovf_dw(feats, res_ovf, dout, k, flip)
     res_tile, res_hent, res_htile, tent, ttap, tperm = rtile
     if tent is not None and not tent.shape[0]:
         tent = ttap = f_tap = None
     if res_tile is not None and res_tile.shape[0] and res_tile.shape[1]:
-        dw = dw + _res_tile_dw(feats, res_tile, dout, k)
+        dw = dw + _res_tile_dw(feats, res_tile, dout, k, flip)
     if res_hent is not None and res_hent.shape[0]:
         dw = dw + _res_heavy_dw(feats, res_hent, dout, k, tent, ttap,
-                                f_tap)
+                                f_tap, flip)
     return dw
 
 
@@ -598,7 +650,7 @@ def _use_pallas_kernel(v: int, tiles: int, window: int,
     """
     import os
 
-    if os.environ.get("TDWSS_NO_PALLAS"):
+    if _NO_PALLAS_CTX.get() or os.environ.get("TDWSS_NO_PALLAS"):
         return False
     if jax.default_backend() != "tpu":
         return False
@@ -654,8 +706,10 @@ def _sub_vmem_fits(window: int, c: int, cout: int, dw: bool,
         return False                        # (packed rows: window / p)
     l = ((c + 127) // 128) * 128
     zbuf = nanchor * (window // p) * p * cout * 2
+    # dw accumulators are (nanchor, l, p*cout) f32 when the kernel packs
+    # (windowed_dw_sub / windowed_bwd_sub acc) — the p factor is real VMEM
     sbuf = (nanchor * (window // p) * p * cout * 4
-            + nanchor * l * cout * 4 if dw else 0)
+            + nanchor * l * p * cout * 4 if dw else 0)
     # the packed fwd kernel runs a 4-deep DMA pipeline
     win = (4 if p > 1 else 2) * nwin * (window // p) * l * 2
     # The weight block (bf16: the wrappers cast to feats dtype) and the
@@ -699,7 +753,8 @@ def _pad_active(out, v):
 
 def _w27_matmul_any(feats, rb_local, starts, w2d, window, sub=0, subwin=0,
                     sub_off=None, v_active=0):
-    """27-tap windowed gather-GEMM -> (V, Cout) f32.
+    """27-tap windowed gather-GEMM -> (V, Cout); kernel route returns the
+    feats dtype (f32 accumulation in-kernel), einsum fallback f32.
 
     feats (V, C); rb_local (V, 27); starts (tiles, nwin) per-group shared
     windows; w2d (27C, Cout) raw-tap-order weights.  With ``sub``, locals
@@ -803,6 +858,47 @@ def _subm_conv_w27_fwd(window, sub, subwin, v_active, feats, starts,
                  ovf_v, ovf_count, weight, f_tap)
 
 
+def _w27_bwd_gather(feats, dout_c, weight, rb_local, starts, sub_off,
+                    window, sub, subwin, v_active=0):
+    """Symmetric gather-fused backward route, or None when inapplicable.
+
+    Exploits the 27-tap rulebook's flip-symmetry (rb[v,k]=u <=>
+    rb[u,26-k]=v) to evaluate dW as an OUTPUT-DOMAIN gather inside the
+    dfeats kernel (tdwss.ops.pallas_subm.windowed_bwd_gather): one window
+    DMA set + one transposed one-hot per (sub-tile, anchor) drive both
+    products, with no [feats|dout] concat (p=4 packing survives) and no
+    scatter buffer.  Applies on the packed _oh_t levels (cin, cout <= 64)
+    where the separate dW kernel was the step's largest term (~228 ms of
+    902, DESIGN.md round-4 profile).
+    """
+    import os
+
+    if os.environ.get("TDWSS_NO_GATHER_BWD"):  # bisect/ablation knob
+        return None
+    v = feats.shape[0]
+    tiles = starts.shape[0]
+    k, cin, cout = weight.shape
+    from tdwss.ops.pallas_subm import _oh_t, pad_w9
+
+    # dfeats direction sizes: source = cotangent (cout), out = cin
+    if not (sub and k == 27 and _oh_t(cin) and _oh_t(cout)
+            and _use_pallas_kernel(v, tiles, window, k, cout, cin)
+            and _sub_vmem_fits(window, cout, cin, dw=False, nanchor=k)):
+        return None
+    from tdwss.ops.pallas_subm import windowed_bwd_gather
+
+    tile_sz = v // tiles
+    rb_local = _rb32(rb_local)
+    starts, sub_off, rb_local, feats_a = _w27_active_slice(
+        v_active, v, tile_sz, starts, sub_off, rb_local, sub, feats)
+    wt9 = pad_w9(weight[::-1].transpose(0, 2, 1))       # (K, Lp, cin)
+    dfeats, dw3 = windowed_bwd_gather(
+        dout_c, feats_a, starts.reshape(-1), sub_off.reshape(-1),
+        rb_local.T, wt9, window=window, tile=tile_sz, sub=sub,
+        subwin=subwin, cout=cout)
+    return _pad_active(dfeats, v), dw3.reshape(k * cin, cout)
+
+
 def _w27_bwd_fused(feats, dout_c, weight, rb_local, starts, sub_off,
                    window, sub, subwin, v_active=0):
     """Fused backward kernel route, or None when it does not apply.
@@ -866,8 +962,19 @@ def _subm_conv_w27_bwd(window, sub, subwin, v_active, res, dout):
         feats, dout = jax.lax.optimization_barrier((feats, dout))
     dout_c = dout.astype(feats.dtype)
 
-    fused = _w27_bwd_fused(feats, dout_c, weight, rb_local, starts,
-                           sub_off, window, sub, subwin, v_active)
+    # Symmetric gather route: its windowed dW covers the FLIP of the
+    # forward windowed entry set, so the spill dW below must evaluate in
+    # flipped orientation too (flip is an involution on the full rb entry
+    # set — the union then covers every entry exactly once).
+    flip_spill = False
+    fused = _w27_bwd_gather(feats, dout_c, weight, rb_local, starts,
+                            sub_off, window, sub, subwin, v_active)
+    if fused is not None:
+        flip_spill = True
+        f_tap = None          # src-side gather — unusable when flipped
+    else:
+        fused = _w27_bwd_fused(feats, dout_c, weight, rb_local, starts,
+                               sub_off, window, sub, subwin, v_active)
     if fused is not None:
         dfeats, dw = fused
     else:
@@ -882,7 +989,8 @@ def _subm_conv_w27_bwd(window, sub, subwin, v_active, res, dout):
         dfeats = _w27_matmul_any(dout_c, rb_local, starts, wt2d_, window,
                                  sub, subwin, sub_off, v_active)
 
-    dw = dw + _res_all_dw(feats, rtile, res_ovf, dout_c, f_tap=f_tap)
+    dw = dw + _res_all_dw(feats, rtile, res_ovf, dout_c, f_tap=f_tap,
+                          flip=flip_spill)
     dw = dw.reshape(k, cin, cout).astype(weight.dtype)
 
     wt2d = weight[::-1].transpose(0, 2, 1).reshape(k * cout, cin)
@@ -1149,7 +1257,7 @@ def _use_pallas_wg(v_src, v_out, tiles, window, k, c, cout,
                    nwin=1) -> bool:
     import os
 
-    if os.environ.get("TDWSS_NO_PALLAS"):
+    if _NO_PALLAS_CTX.get() or os.environ.get("TDWSS_NO_PALLAS"):
         return False
     if jax.default_backend() != "tpu":
         return False

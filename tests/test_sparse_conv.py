@@ -743,3 +743,66 @@ def test_w27_v_active_prefix_matches_full(rng):
     np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gf[1]),
                                rtol=2e-4, atol=2e-4)
     reset_sticky_plans()
+
+
+def test_gather_fused_bwd_matches_plain(rng, monkeypatch):
+    """Symmetric gather-fused backward route (windowed_bwd_gather +
+    FLIPPED spill dW) == plain conv gradients, end-to-end through
+    subm_conv_apply's VJP on a REAL plan (the kernel's dW relies on the
+    27-tap rulebook's flip-symmetry, so a random rb cannot test it)."""
+    import functools
+
+    from tests.test_host_plan import _random_coords
+    from tdwss.ops import pallas_subm as ps
+    from tdwss.ops import sparse_conv as sc
+    from tdwss.ops.host_plan import (build_subm_rulebook_np,
+                                     build_windowed_subm27,
+                                     reset_sticky_plans, voxelize_np)
+
+    reset_sticky_plans()
+    rng2 = np.random.default_rng(11)
+    n = 1024
+    coords, feats, valid = _random_coords(rng2, n=n, size=20,
+                                          invalid_frac=0.05)
+    grid, _, _ = voxelize_np(coords, feats[:, :3], valid, n)
+    rb = build_subm_rulebook_np(grid, 3)
+    # tight window/subwin -> a real spill population exercises the
+    # flipped-orientation spill dW
+    win = build_windowed_subm27(rb, grid, tile=128, window=256,
+                                res_cap=27 * n, sub=32, subwin=64)
+    assert win.sub_off is not None
+
+    # route the conv through the kernels on CPU (interpret mode)
+    monkeypatch.setattr(
+        sc, "_use_pallas_kernel",
+        lambda v, tiles, window, nanchor=27, c3=0, cout=0, v_out=0:
+        tiles > 0 and v % tiles == 0 and window % 8 == 0 and v % 8 == 0)
+    for name in ("windowed_bwd_gather", "windowed_matmul_sub",
+                 "windowed_matmul", "windowed_dw_sub", "windowed_dw"):
+        monkeypatch.setattr(ps, name, functools.partial(
+            getattr(ps, name), interpret=True))
+
+    c = 8    # c3 <= 32 -> pack p=4 inside the kernel
+    vf = jnp.asarray(rng2.normal(size=(n, c)).astype(np.float32))
+    vf = vf * jnp.asarray(grid.valid)[:, None]
+    w = jnp.asarray(
+        (rng2.normal(size=(27, c, c)) * 0.2).astype(np.float32))
+    winj = jax.tree_util.tree_map(jnp.asarray, win)
+
+    # the gather route must actually engage (guard against silent fallback)
+    got = sc._w27_bwd_gather(
+        vf, vf, w, winj.rb_local, winj.starts, winj.sub_off,
+        win.window, win.sub, win.subwin, getattr(win, "v_active", 0))
+    assert got is not None, "gather-fused route did not engage"
+
+    gk = jax.grad(lambda f, w_: jnp.sum(
+        subm_conv_apply(f, jnp.asarray(rb), w_, winj) ** 2),
+        argnums=(0, 1))(vf, w)
+    gp = jax.grad(lambda f, w_: jnp.sum(
+        subm_conv_apply(f, jnp.asarray(rb), w_) ** 2),
+        argnums=(0, 1))(vf, w)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gp[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gp[1]),
+                               rtol=2e-4, atol=2e-4)
+    reset_sticky_plans()
