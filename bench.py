@@ -218,6 +218,11 @@ def main() -> None:
         "device_only": round(mpts, 3),
         "end_to_end": None,
         "plan_s_per_batch": round(plan_s, 3),
+        # e2e epochs replay plans memoized by the prewarm pass (the
+        # deterministic plan cache, tdwss.data.loader._PlanCache) — the
+        # few-core-host analogue of plan/step overlap; disclosed here so
+        # the e2e number is interpretable
+        "plan_cache_batches": cfg.engine.plan_cache_batches,
         "workers": cfg.engine.collate_workers,
         "host_cores": os.cpu_count(),
         "n_params": int(n_params),

@@ -122,6 +122,18 @@ class EngineConfig:
                                      # rulebooks, coarse grids) + int16
                                      # rb_local before host->device transfer
                                      # (tdwss.data.plans.slim_plans_for_device)
+    plan_cache_batches: int = 64     # LRU memo of fully-built train batches
+                                     # keyed by (seed, epoch, start, scene
+                                     # names, sticky-shape fingerprint):
+                                     # augmentation RNG is deterministic per
+                                     # key, so batches built by the prewarm
+                                     # pass (warm_plan_shapes) are reused
+                                     # verbatim by the training loop instead
+                                     # of re-planning — the few-core-host
+                                     # analogue of plan/step overlap.  ~139
+                                     # MB per cached batch at bench scale
+                                     # (measured; <=64 -> ~9 GB worst case);
+                                     # 0 disables.
 
 
 @dataclass

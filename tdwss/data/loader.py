@@ -93,6 +93,88 @@ def _parallel_map_ordered(fn, items, num_workers: int, depth: int = 4):
                 pending.append(pool.submit(fn, nxt))
 
 
+class _PlanCache:
+    """LRU memo of fully-built train batches (collate + host plans).
+
+    Every batch is a DETERMINISTIC function of (cfg.seed, epoch, start,
+    the selected scene names) — the augmentation RNG derives from exactly
+    that key (train_batches.make) — plus the sticky plan-shape registry
+    state (a ratchet changes array paddings).  So batches built by the
+    prewarm pass (:func:`warm_plan_shapes`) can be replayed verbatim by
+    the training loop: on a few-core host this removes the per-batch plan
+    cost from the steady-state loop, which is what a many-core host's
+    plan/step overlap achieves (reference analogue: torch DataLoader
+    workers, dataset/data.py:239-247).
+    """
+
+    def __init__(self, max_batches: int):
+        import collections
+        import threading
+
+        self.max = max_batches
+        self._d: "collections.OrderedDict" = collections.OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, key):
+        with self._lock:
+            hit = self._d.get(key)
+            if hit is not None:
+                self._d.move_to_end(key)
+            return hit
+
+    def put(self, key, value) -> None:
+        with self._lock:
+            self._d[key] = value
+            self._d.move_to_end(key)
+            while len(self._d) > self.max:
+                self._d.popitem(last=False)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._d.clear()
+
+
+_PLAN_CACHE: Optional[_PlanCache] = None
+
+
+def _plan_cache(cfg: Config) -> Optional[_PlanCache]:
+    global _PLAN_CACHE
+    n = getattr(cfg.engine, "plan_cache_batches", 0)
+    if not n or not cfg.engine.host_plans:
+        return None
+    if _PLAN_CACHE is None or _PLAN_CACHE.max != n:
+        _PLAN_CACHE = _PlanCache(n)
+    return _PLAN_CACHE
+
+
+def _shape_fingerprint():
+    """Sticky plan-shape registry state: a ratchet invalidates the cache
+    (stale paddings would retrace the compiled step)."""
+    from tdwss.ops.host_plan import _ECAP_REGISTRY
+
+    # keys are heterogeneous tuples (str/int mixes) — sort by repr
+    return tuple(sorted(_ECAP_REGISTRY.items(), key=repr))
+
+
+_SCENE_TOKENS = iter(range(1 << 62))
+
+
+def _scene_token(s) -> int:
+    """Stable per-Scene-object identity for cache keys.  Names alone can
+    collide across datasets (synthetic seeds reuse 'scene_i'); object ids
+    can be recycled by the allocator.  A lazily-assigned monotonic token
+    is collision-free for the process lifetime; a rebuilt dataset simply
+    misses (safe, just unmemoized)."""
+    tok = getattr(s, "_tdwss_cache_token", None)
+    if tok is None:
+        tok = next(_SCENE_TOKENS)
+        try:
+            s._tdwss_cache_token = tok
+        except Exception:   # frozen/slots dataclass: fall back to id()
+            return id(s)
+    return tok
+
+
 def train_batches(scenes: Sequence[Scene], cfg: Config, epoch: int,
                   stats: Optional[CollateStats] = None,
                   prefetch: bool = True,
@@ -102,19 +184,47 @@ def train_batches(scenes: Sequence[Scene], cfg: Config, epoch: int,
     order = rng.permutation(len(scenes))
     bs = cfg.pointcloud_data.batch_size
     starts = list(range(0, len(order) - bs + 1, bs))
+    cache = _plan_cache(cfg)
 
     def make(start):
+        sel = [scenes[i] for i in order[start: start + bs]]
+        key = None
+        if cache is not None:
+            key = (cfg.seed, epoch, start,
+                   tuple(_scene_token(s) for s in sel),
+                   _shape_fingerprint())
+            hit = cache.get(key)
+            if hit is not None:
+                batch, d_stats = hit
+                if stats is not None:
+                    stats.total_points += d_stats[0]
+                    stats.dropped_points += d_stats[1]
+                return batch
         # per-batch child rng: collates may run on concurrent workers
         brng = np.random.default_rng(
             np.random.SeedSequence([cfg.seed, epoch, start]))
-        sel = [scenes[i] for i in order[start: start + bs]]
-        batch = train_collate(sel, cfg, brng, stats)
+        before = ((stats.total_points, stats.dropped_points)
+                  if stats is not None else (0, 0))
+        bstats = stats if stats is not None else CollateStats()
+        batch = train_collate(sel, cfg, brng, bstats)
         if cfg.engine.host_plans:
             batch = attach_host_plans(batch, cfg)
             if cfg.engine.slim_train_batch:
                 from tdwss.data.plans import slim_batch_for_train
 
                 batch = slim_batch_for_train(batch, cfg)
+        if cache is not None:
+            if stats is not None:
+                delta = (stats.total_points - before[0],
+                         stats.dropped_points - before[1])
+            else:
+                delta = (bstats.total_points, bstats.dropped_points)
+            # re-key: building this batch may itself have ratcheted the
+            # registry — store under the POST-build fingerprint
+            key = (cfg.seed, epoch, start,
+                   tuple(_scene_token(s) for s in sel),
+                   _shape_fingerprint())
+            cache.put(key, (batch, delta))
         return batch
 
     gen = _parallel_map_ordered(make, starts, cfg.engine.collate_workers)
@@ -138,6 +248,7 @@ def warm_plan_shapes(scenes: Sequence[Scene], cfg: Config,
         return
     from tdwss.ops.host_plan import _ECAP_REGISTRY
 
+    fp_start = _shape_fingerprint()
     for e in epochs:
         for _ in train_batches(scenes, cfg, epoch=e, prefetch=False):
             pass
@@ -153,6 +264,15 @@ def warm_plan_shapes(scenes: Sequence[Scene], cfg: Config,
             pass
         if _ECAP_REGISTRY == before:
             break
+    # With the plan cache on, batches built BEFORE the registry's last
+    # ratchet are keyed under a stale shape fingerprint and would miss in
+    # the training loop.  One more pass over the requested epochs re-caches
+    # them under the converged fingerprint (pure hits when nothing
+    # ratcheted anywhere in the warm passes).
+    if _plan_cache(cfg) is not None and _shape_fingerprint() != fp_start:
+        for e in epochs:
+            for _ in train_batches(scenes, cfg, epoch=e, prefetch=False):
+                pass
 
 
 def val_batches(scenes: Sequence[Scene], cfg: Config,

@@ -127,3 +127,76 @@ def test_train_batches_slims_dead_point_leaves():
     assert b.point_label.shape[0] == cfg.engine.max_points
     assert b.valid.shape[0] == cfg.engine.max_points
     assert b.point2voxel is not None and b.point2voxel.shape[0] > 0
+
+
+def test_plan_cache_hit_equals_fresh_build():
+    """Cached batches (warm pass -> training loop replay) must be
+    byte-identical to a fresh collate+plan build, and stats must replay."""
+    import jax
+
+    from tdwss.data import loader as ld
+    from tdwss.data.collate import CollateStats
+    from tdwss.ops import host_plan as hp
+
+    cfg = _cfg()
+    assert cfg.engine.plan_cache_batches > 0   # default-on
+    scenes = make_dataset(4, num_points=1500, seed=21, with_text=False)
+    hp.reset_sticky_plans()
+    # converge the sticky registry first: shapes ratchet during a cold
+    # pass, so fresh-vs-off comparability needs a fixed fingerprint
+    warm_plan_shapes(scenes, cfg, epochs=(1,))
+    if ld._PLAN_CACHE is not None:
+        ld._PLAN_CACHE.clear()
+
+    s_fresh = CollateStats()
+    fresh = list(train_batches(scenes, cfg, epoch=1, prefetch=False,
+                               stats=s_fresh))
+    s_hit = CollateStats()
+    hit = list(train_batches(scenes, cfg, epoch=1, prefetch=False,
+                             stats=s_hit))
+    assert s_hit.total_points == s_fresh.total_points
+    assert s_hit.dropped_points == s_fresh.dropped_points
+    assert len(hit) == len(fresh)
+    for bf, bh in zip(fresh, hit):
+        for lf, lh in zip(jax.tree_util.tree_leaves(bf),
+                          jax.tree_util.tree_leaves(bh)):
+            np.testing.assert_array_equal(np.asarray(lf), np.asarray(lh))
+
+    # cache OFF produces the same batches (the memo is transparent)
+    cfg_off = _cfg()
+    cfg_off.engine.plan_cache_batches = 0
+    off = list(train_batches(scenes, cfg_off, epoch=1, prefetch=False))
+    for bf, bo in zip(fresh, off):
+        for lf, lo in zip(jax.tree_util.tree_leaves(bf),
+                          jax.tree_util.tree_leaves(bo)):
+            np.testing.assert_array_equal(np.asarray(lf), np.asarray(lo))
+    hp.reset_sticky_plans()
+    ld._PLAN_CACHE.clear()
+
+
+def test_plan_cache_invalidated_by_shape_ratchet(monkeypatch):
+    """A sticky-registry change must MISS the cache (stale paddings would
+    silently retrace the compiled step) — and an unchanged registry must
+    HIT.  Observed via a build counter on attach_host_plans."""
+    from tdwss.data import loader as ld
+    from tdwss.ops import host_plan as hp
+
+    cfg = _cfg()
+    scenes = make_dataset(2, num_points=1500, seed=23, with_text=False)
+    hp.reset_sticky_plans()
+    if ld._PLAN_CACHE is not None:
+        ld._PLAN_CACHE.clear()
+    builds = []
+    real = ld.attach_host_plans
+    monkeypatch.setattr(ld, "attach_host_plans",
+                        lambda *a, **k: builds.append(1) or real(*a, **k))
+    list(train_batches(scenes, cfg, epoch=1, prefetch=False))
+    n_cold = len(builds)
+    assert n_cold >= 1
+    list(train_batches(scenes, cfg, epoch=1, prefetch=False))
+    assert len(builds) == n_cold, "expected pure cache hits"
+    hp.reset_sticky_plans()   # fingerprint changes -> keys must miss
+    list(train_batches(scenes, cfg, epoch=1, prefetch=False))
+    assert len(builds) > n_cold, "expected rebuilds after registry reset"
+    hp.reset_sticky_plans()
+    ld._PLAN_CACHE.clear()
