@@ -191,6 +191,26 @@ def run_checks(plans, levels=(0, 2)) -> int:
                 want = jax.jit(wg_up_mm)(coarse, w8u)
             check(f"L{li} wg-deconv fwd kernel", got, want)
 
+            # FULL wg VJP (strided conv): the production backward now
+            # fuses dW into the b-side dfeats kernel (windowed_bwd_gather
+            # flip_taps=False) with swapped-orientation spill dW — check
+            # the composed route end-to-end on hardware.
+            wgu_ = lvl.wg_up
+            if wgu_ is not None and lvl.wg_down is not None:
+                w8_3 = rnd((8, c, cout), 0.05)
+
+                def wg_loss(f, w_):
+                    out = sc.wg_conv_apply(f, w_, wgd, wgu_)
+                    return jnp.sum(out.astype(jnp.float32) ** 2)
+
+                gf_got, gw_got = jax.jit(
+                    jax.grad(wg_loss, argnums=(0, 1)))(feats, w8_3)
+                with _forced_einsum():
+                    gf_want, gw_want = jax.jit(
+                        jax.grad(wg_loss, argnums=(0, 1)))(feats, w8_3)
+                check(f"L{li} wg full-VJP dfeats", gf_got, gf_want)
+                check(f"L{li} wg full-VJP dW", gw_got, gw_want)
+
             # wg-deconv dW direction on hardware (VERDICT r4 #4): the
             # deconv backward accumulates dW over the SAME up metadata
             dfine = rnd((wgu.rb_local.shape[0], c))

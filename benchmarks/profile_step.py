@@ -24,8 +24,8 @@ import time
 def _bucket(name: str) -> str:
     """Collapse XLA/Mosaic op names into readable cost buckets."""
     n = name.lower()
-    for key in ("windowed_matmul_sub", "windowed_dw_sub", "windowed_matmul",
-                "windowed_dw"):
+    for key in ("windowed_bwd_gather", "windowed_matmul_sub",
+                "windowed_dw_sub", "windowed_matmul", "windowed_dw"):
         if key in n:
             return key
     if "while" in n:

@@ -153,14 +153,20 @@ class MaskedBatchNorm(nn.Module):
             # the two-pass form: feats are bf16 either way and both
             # accumulate in f32; E[x^2] - mean^2 loses only when
             # |mean| >> std (not a BN input regime).
-            ones = jnp.ones((feats.shape[0],), feats.dtype)
-            s1 = jnp.dot(ones, feats, preferred_element_type=jnp.float32)
-            gram = jax.lax.dot_general(
-                feats, feats, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            # E[x], E[x^2] via ones @ x and ones @ x*x instead of
+            # diag(x^T x): the gram's dim-0/dim-0 contraction forced XLA
+            # to materialize a column-major copy of feats per BN (~14 ms
+            # of {1,0}->{0,1} layout copies across the step, r5 profile).
+            # The square runs in f32 (a bf16 square would round each
+            # product before accumulation, unlike the MXU gram) — the
+            # convert+square fuse into the dot's operand read.
+            ones = jnp.ones((feats.shape[0],), jnp.float32)
+            xf = feats.astype(jnp.float32)
+            s1 = jnp.dot(ones, xf, preferred_element_type=jnp.float32)
+            s2 = jnp.dot(ones, jnp.square(xf),
+                         preferred_element_type=jnp.float32)
             mean = s1 / count
-            var = jnp.maximum(
-                jnp.diagonal(gram) / count - jnp.square(mean), 0.0)
+            var = jnp.maximum(s2 / count - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 # torch.nn.BatchNorm1d semantics: running_var tracks the
                 # UNBIASED batch variance (n/(n-1)) while normalization uses

@@ -98,6 +98,10 @@ _OH_T_ENV = __import__("os").environ.get("TDWSS_OH_T", "").strip()
 # once into the shared zbuf (probe knob: trades ~1.6x more Z MXU work for
 # zero zbuf write/read traffic).
 _Z_ONDEMAND = bool(__import__("os").environ.get("TDWSS_Z_ONDEMAND"))
+# Force the shared zbuf even when nsub*swk < window (probe knob: the
+# on-demand Z at wide group layouts pays f32->bf16 converts + stack
+# temporaries per (sub, group) that the MXU-work heuristic ignores).
+_Z_FORCE_BUF = bool(__import__("os").environ.get("TDWSS_Z_BUF"))
 
 
 def _oh_t(n_chan: int) -> bool:
@@ -282,8 +286,9 @@ def _win_fwd_kernel(gmap: tuple, w8: int, t: int, zcols: int, ablate: str,
     slot = w9_ref.shape[-1] // m
     shift = pack.bit_length() - 1
     if ablate == "dma":
-        out_ref[:] = win[cur, 0, :1].reshape(8, l)[:1, :cout] * jnp.zeros(
-            (t, cout), jnp.float32)
+        out_ref[:] = (win[cur, 0, :1].reshape(8, l)[:1, :cout]
+                      * jnp.zeros((t, cout), jnp.float32)
+                      ).astype(out_ref.dtype)
         return
     if _oh_t(cout) and ablate == "":
         # Transposed accumulate (see _sub_fwd_kernel): the one-hot build
@@ -598,8 +603,9 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
     l = win.shape[-1]
     cout = zcols // pack
     if ablate == "dma":
-        out_ref[:] = win[cur, 0, :1].reshape(8, l)[:1, :cout] * jnp.zeros(
-            (t, cout), jnp.float32)
+        out_ref[:] = (win[cur, 0, :1].reshape(8, l)[:1, :cout]
+                      * jnp.zeros((t, cout), jnp.float32)
+                      ).astype(out_ref.dtype)
         return
     # The full-width Z-transform costs nanchor x W rows of MXU work but
     # only nsub x swk rows are ever read through the sub-window slices —
@@ -607,7 +613,7 @@ def _sub_fwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
     # a 2-5x overshoot, so transform each slice on demand instead.  The
     # subm form (tile 512, W 640) keeps the shared buffer: its slices
     # overlap enough that the full transform is cheaper.
-    z_ondemand = nsub * swk < w or _Z_ONDEMAND
+    z_ondemand = (nsub * swk < w or _Z_ONDEMAND) and not _Z_FORCE_BUF
     gz = w9_ref.shape[-1]             # m * slot
     slot = gz // m                    # per-tap lane slot (zcols -> 128-pad)
 
@@ -757,7 +763,7 @@ def windowed_matmul_sub(feats3: jnp.ndarray, starts: jnp.ndarray,
                        feats3.dtype),
             # on-demand Z (nsub*swk < window) never touches zbuf
             pltpu.VMEM((nwin_g, w8p, 8, m * slot), feats3.dtype)
-            if (tile // sub) * subwin >= window
+            if ((tile // sub) * subwin >= window or _Z_FORCE_BUF)
             else pltpu.VMEM((1, 1, 8, m * slot), feats3.dtype),
             pltpu.SemaphoreType.DMA((4 if p > 1 else 2, nwin_g)),
         ],
@@ -844,7 +850,7 @@ def _sub_bwd_gather_kernel(gmap: tuple, w8: int, t: int, sub: int,
     l = win.shape[-1]
     cpad = l // pack                 # lanes per packed voxel block
     nanchor = len(gmap)
-    z_ondemand = nsub * swk < w
+    z_ondemand = (nsub * swk < w) and not _Z_FORCE_BUF
     gz = w9_ref.shape[-1]
     slot = gz // m
 
@@ -879,18 +885,20 @@ def _sub_bwd_gather_kernel(gmap: tuple, w8: int, t: int, sub: int,
                 rbs = rb_ref[a, s_i * sub:(s_i + 1) * sub]
                 rows = rbs >> shift if pack > 1 else rbs
                 oh_t = _onehot(rows[None, :], iota_t, zs.dtype, 0)
-                # dfeats product (identical to _sub_fwd_kernel's oh_t path)
-                res = jax.lax.dot_general(
-                    zs, oh_t, (((0,), (0,)), ((), ())),
+                # ONE dot drives both products: the Z-transformed slice
+                # (dfeats) and the raw window rows (dW gather) share the
+                # contraction dim, so lane-concatenation halves the
+                # small-matmul issue count (the 27 per-tap Z matmuls at
+                # L0 measured ~180 ns each of pure issue overhead)
+                cat = jnp.concatenate([zs, wsl.astype(zs.dtype)], axis=1)
+                both = jax.lax.dot_general(
+                    cat, oh_t, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                res, graw = both[:zs.shape[1]], both[zs.shape[1]:]
                 if pack > 1:
                     res = _blk_select(res, rbs & (pack - 1), pack, cin,
                                       sub)
                 dx_acc_t = dx_acc_t + res
-                # raw cotangent rows through the SAME oh_t -> dW gather
-                graw = jax.lax.dot_general(
-                    wsl, oh_t, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)     # (l, sub)
                 if pack > 1:
                     g3 = graw.reshape(pack, cpad, sub)[:, :cout, :]
                     bm = ((rbs[None, :] & (pack - 1)) == biota).astype(
@@ -914,20 +922,26 @@ def _sub_bwd_gather_kernel(gmap: tuple, w8: int, t: int, sub: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("window", "tile", "sub", "subwin",
-                                    "cout", "interpret"))
+                                    "cout", "flip_taps", "interpret"))
 def windowed_bwd_gather(dout: jnp.ndarray, feats: jnp.ndarray,
                         starts: jnp.ndarray, soff: jnp.ndarray,
                         rb_local_t: jnp.ndarray, wt9: jnp.ndarray,
                         window: int, tile: int, sub: int, subwin: int,
-                        cout: int, interpret: bool = False):
-    """Fused symmetric backward -> (dfeats (V, cin) in dout's dtype,
+                        cout: int, flip_taps: bool = True,
+                        interpret: bool = False):
+    """Fused symmetric backward -> (dfeats (V_out, cin) in dout's dtype,
     dW (K, cin, cout) f32).
 
-    dout (V, cout): the cotangent — the gather source (windows/DMA).
-    feats (V, cin): the primal rows, consumed tile-aligned for dW.
-    wt9 (nanchor, Lp, cin): lane-padded flipped-transposed weights
-    (wt9[a] = W[26-a]^T in the pad rows convention of pad_w9).
-    Returns dW in RAW tap order (k, cin, cout), flip already applied.
+    dout (V_src, cout): the cotangent — the gather source (windows/DMA).
+    feats (V_out, cin): the primal rows, consumed tile-aligned for dW.
+    wt9 (nanchor, Lp, cin): lane-padded transposed weights feeding the
+    dfeats product (subm: wt9[a] = W[26-a]^T; wg: wt9[a] = W[a]^T).
+    ``flip_taps``: rb-slot -> dW-tap mapping.  True for the submanifold
+    form (rb[v,a] entries contribute to dW[26-a] via the centred-kernel
+    flip symmetry); False for cross-level WindowedGather backwards,
+    where the tap index (child_offset) is identical in both rulebook
+    directions (tdwss.ops.sparse_conv module docstring).
+    Returns dW in RAW tap order (k, cin, cout), mapping already applied.
     """
     v_src, c3 = dout.shape
     cin = wt9.shape[-1]
@@ -987,7 +1001,7 @@ def windowed_bwd_gather(dout: jnp.ndarray, feats: jnp.ndarray,
             pltpu.VMEM((4 if p > 1 else 2, nwin_g, w8p, 8, l),
                        dout.dtype),
             pltpu.VMEM((nwin_g, w8p, 8, m * slot), dout.dtype)
-            if (tile // sub) * subwin >= window
+            if ((tile // sub) * subwin >= window or _Z_FORCE_BUF)
             else pltpu.VMEM((1, 1, 8, m * slot), dout.dtype),
             pltpu.VMEM((nanchor * cout, cin), jnp.float32),
             pltpu.SemaphoreType.DMA((4 if p > 1 else 2, nwin_g)),
@@ -1002,10 +1016,12 @@ def windowed_bwd_gather(dout: jnp.ndarray, feats: jnp.ndarray,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(scal, src, rb_local_t, w9g, feats)
-    # slot a accumulated dout[rb[v,a]] (x) feats[v] = dW[26-a]^T
+    # slot a accumulated dout[rb[v,a]] (x) feats[v] = dW[26-a]^T (subm
+    # flip symmetry) or dW[a]^T (wg: tap == child_offset both ways)
     dw3 = dwg.reshape(nanchor, cout, cin)
-    dw = dw3[::-1].transpose(0, 2, 1)            # (K, cin, cout) raw order
-    return dx, dw
+    if flip_taps:
+        dw3 = dw3[::-1]
+    return dx, dw3.transpose(0, 2, 1)            # (K, cin, cout) raw order
 
 
 def _blk_expand(dsub, blk, pack: int, cout: int, sub: int):
@@ -1229,7 +1245,7 @@ def _sub_bwd_kernel(gmap: tuple, w8: int, t: int, sub: int, swk8: int,
     cout = dout_ref.shape[-1]
     # see _sub_fwd_kernel: transform only the read slices when that is
     # less MXU work than the full window
-    z_ondemand = nsub * swk < w
+    z_ondemand = (nsub * swk < w) and not _Z_FORCE_BUF
 
     if not z_ondemand:
         for a in range(len(gmap)):

@@ -334,7 +334,7 @@ def _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout,
     return out.at[_oob(ovf_v, v)].add(sums, mode="drop")
 
 
-def _res_ovf_dw(feats, res_ovf, dout, k=27, flip=False):
+def _res_ovf_dw(feats, res_ovf, dout, k=27, flip=False, tap_flip=True):
     """Spill-list dW contribution -> (K*C, Cout) f32 (raw tap order).
 
     ``flip``: evaluate each entry in the FLIPPED orientation
@@ -349,10 +349,13 @@ def _res_ovf_dw(feats, res_ovf, dout, k=27, flip=False):
     cout = dout.shape[-1]
     if flip:
         # sentinel taps (>= k) go negative -> zero one-hot row; sentinel
-        # owners/srcs fall out through the fill-gathers
-        taps = (k - 1) - res_ovf[:, 1]
+        # owners/srcs fall out through the fill-gathers.  tap_flip=False
+        # (cross-level wg): tap == child_offset in both rulebook
+        # directions, so only the row roles swap.
+        taps = ((k - 1) - res_ovf[:, 1]) if tap_flip else res_ovf[:, 1]
         srcs = res_ovf[:, 0]
-        tgts = jnp.where(res_ovf[:, 2] < v, res_ovf[:, 2], dout.shape[0])
+        # cross-domain safe: srcs here index the DOUT domain
+        tgts = _oob(res_ovf[:, 2], dout.shape[0])
     else:
         taps = res_ovf[:, 1]
         srcs = res_ovf[:, 2]
@@ -384,7 +387,7 @@ def _res_ovf_dw(feats, res_ovf, dout, k=27, flip=False):
 
 
 def _res_tile_apply(feats, res_tile, w2d, cout, v_out):
-    """Tile-grouped spill corrections -> (v_out, Cout) f32 — scatter-free.
+    """Tile-grouped spill corrections -> (v_out, Cout), compute dtype — scatter-free.
 
     res_tile (T2, R, 3) [local, tap, src] per 512-row output tile (host
     layout, tdwss.ops.host_plan._group_spill_tiles).  Contributions are
@@ -404,10 +407,13 @@ def _res_tile_apply(feats, res_tile, w2d, cout, v_out):
     oh = (local[:, :, None] == iota[None, None, :]).astype(feats.dtype)
     out = jnp.einsum("trf,trc->tfc", oh, c2.reshape(t2, r, cout)
                      .astype(feats.dtype))
-    return out.reshape(v_out, cout).astype(jnp.float32)
+    # stay in the compute dtype: the caller sums tiers and casts to the
+    # feats dtype anyway — the old f32 materialization of this (V, C)
+    # intermediate was ~100 MB of pure HBM waste per apply (r5 profile)
+    return out.reshape(v_out, cout)
 
 
-def _res_tile_dw(feats, res_tile, dout, k=27, flip=False):
+def _res_tile_dw(feats, res_tile, dout, k=27, flip=False, tap_flip=True):
     """Tile-grouped spill dW contribution -> (K*C, Cout) f32.
 
     ``flip``: flipped-orientation evaluation (see :func:`_res_ovf_dw`).
@@ -458,7 +464,7 @@ def _tap_contrib(feats, tent, ttap, w2d):
 
 def _res_heavy_apply(feats, res_hent, res_htile, w2d, cout, v_out, t2,
                      tent=None, ttap=None, tperm=None):
-    """Heavy-tile spill corrections -> (v_out, Cout) f32 — scatter-free.
+    """Heavy-tile spill corrections -> (v_out, Cout), compute dtype — scatter-free.
 
     ``res_hent`` is CHUNK-ALIGNED by the host (H2 * _RES_HCHUNK rows,
     chunk i's entries at offset i * _RES_HCHUNK, sentinel-padded), so the
@@ -502,17 +508,23 @@ def _res_heavy_apply(feats, res_hent, res_htile, w2d, cout, v_out, t2,
     oh_hi = jax.nn.one_hot(hi, _RES_HSPAN, dtype=rows.dtype)
     rows_hi = (oh_hi[..., None] * rows[:, :, None, :]).reshape(
         h2, _RES_HCHUNK, _RES_HSPAN * cout)
-    tmp = jnp.einsum("her,hej->hrj", oh_lo, rows_hi,
-                     preferred_element_type=jnp.float32)
-    blocks = tmp.reshape(h2, t_res, _RES_HSPAN, cout).transpose(0, 2, 1, 3)
-    out = jnp.zeros((t2, t_res, cout), jnp.float32)
-    tidx = res_htile[:, 0:1] + jnp.arange(_RES_HSPAN, dtype=jnp.int32)
-    out = out.at[tidx].add(blocks, mode="drop")
+    # bf16 end-to-end: the MXU accumulates in f32 internally either way,
+    # the caller casts the result to the feats dtype, and the old f32
+    # tmp + (h2, t_res, HSPAN, cout) transpose cost ~1.1 GB of HBM
+    # traffic per apply (r5 profile: three ~1.7 ms data-formatting ops).
+    tmp = jnp.einsum("her,hej->hrj", oh_lo, rows_hi)
+    tmp4 = tmp.reshape(h2, t_res, _RES_HSPAN, cout)
+    out = jnp.zeros((t2, t_res, cout), rows.dtype)
+    base = res_htile[:, 0]                               # (h2,)
+    # per-s lane-slice scatters avoid materializing the transposed
+    # (h2, HSPAN, t_res, cout) block tensor; _RES_HSPAN static slices
+    for s in range(_RES_HSPAN):
+        out = out.at[base + s].add(tmp4[:, :, s, :], mode="drop")
     return out.reshape(v_out, cout)
 
 
 def _res_heavy_dw(feats, res_hent, dout, k=27, tent=None, ttap=None,
-                  f_tap=None, flip=False):
+                  f_tap=None, flip=False, tap_flip=True):
     """Heavy-list dW contribution — compact, gather-based (no layout
     tricks needed: dW accumulates over entries, not owners).
 
@@ -529,7 +541,7 @@ def _res_heavy_dw(feats, res_hent, dout, k=27, tent=None, ttap=None,
         cout = dout.shape[-1]
         nc = ttap.shape[0]
         fcol, dcol = (1, 0) if flip else (0, 1)
-        tapv = ((k - 1) - ttap) if flip else ttap
+        tapv = ((k - 1) - ttap) if (flip and tap_flip) else ttap
         f = f_tap if (f_tap is not None and not flip) else jnp.take(
             feats, _oob(tent[:, fcol], v), axis=0, mode="fill",
             fill_value=0)
@@ -549,7 +561,8 @@ def _res_heavy_dw(feats, res_hent, dout, k=27, tent=None, ttap=None,
     srcs = res_hent[:, 2]
     owners = jnp.where(srcs < v, res_hent[:, 0], dout.shape[0])
     if flip:
-        taps = (k - 1) - taps
+        if tap_flip:
+            taps = (k - 1) - taps
         srcs, owners = owners, srcs
     z = _entry_z(feats, taps, srcs, k)
     dv = jnp.take(dout, _oob(owners, dout.shape[0]), axis=0, mode="fill",
@@ -564,10 +577,13 @@ def _res_all_apply(feats, rtile, res_ovf, ovf_v, ovf_count, w2d, cout,
     ``rtile`` = (res_tile, res_hent, res_htile) or Nones.
     """
     v = out_len if out_len is not None else feats.shape[0]
-    out = jnp.zeros((v, cout), jnp.float32)
+    # tier outputs and their sum stay in the compute dtype (bf16 under
+    # production): every caller casts to feats.dtype before the main add,
+    # so f32 here only materialized extra (V, C)-sized HBM intermediates
+    out = jnp.zeros((v, cout), feats.dtype)
     if res_ovf.shape[0]:        # zero-capacity tier: statically absent
         out = _res_ovf_apply(feats, res_ovf, ovf_v, ovf_count, w2d, cout,
-                             out_len=v)
+                             out_len=v).astype(feats.dtype)
     res_tile, res_hent, res_htile, tent, ttap, tperm = rtile
     if tent is not None and not tent.shape[0]:
         tent = ttap = tperm = None
@@ -582,21 +598,21 @@ def _res_all_apply(feats, rtile, res_ovf, ovf_v, ovf_count, w2d, cout,
 
 
 def _res_all_dw(feats, rtile, res_ovf, dout, k=27, f_tap=None,
-                flip=False):
+                flip=False, tap_flip=True):
     """``flip``: flipped-orientation spill dW (see :func:`_res_ovf_dw`) —
     set when the windowed dW came from the symmetric gather kernel."""
     cin = feats.shape[-1]
     dw = jnp.zeros((k * cin, dout.shape[-1]), jnp.float32)
     if res_ovf.shape[0]:        # zero-capacity tier: statically absent
-        dw = _res_ovf_dw(feats, res_ovf, dout, k, flip)
+        dw = _res_ovf_dw(feats, res_ovf, dout, k, flip, tap_flip)
     res_tile, res_hent, res_htile, tent, ttap, tperm = rtile
     if tent is not None and not tent.shape[0]:
         tent = ttap = f_tap = None
     if res_tile is not None and res_tile.shape[0] and res_tile.shape[1]:
-        dw = dw + _res_tile_dw(feats, res_tile, dout, k, flip)
+        dw = dw + _res_tile_dw(feats, res_tile, dout, k, flip, tap_flip)
     if res_hent is not None and res_hent.shape[0]:
         dw = dw + _res_heavy_dw(feats, res_hent, dout, k, tent, ttap,
-                                f_tap, flip)
+                                f_tap, flip, tap_flip)
     return dw
 
 
@@ -727,6 +743,37 @@ def _sub_vmem_fits(window: int, c: int, cout: int, dw: bool,
     # 17.88 MB scoped -> ~4 window x cout f32 buffers of stack).
     stack = 4 * window * cout * 4
     return win + max(zbuf, sbuf) + w9 + io + stack < _VMEM_BUDGET
+
+
+def _gather_vmem_fits(window: int, c3: int, cin: int, nanchor: int = 27,
+                      nwin: int = 9, sub: int = 128,
+                      tile: int = 512) -> bool:
+    """VMEM/stack estimate for the symmetric gather-backward kernel.
+
+    Beyond the fwd-kernel scratch it holds: the f32 dW slot accumulator,
+    the feats tile blocks, the per-anchor concatenated both-product f32
+    dot outputs that Mosaic keeps live across the unrolled anchor loop,
+    and the gcat staging rows.  Calibrated against observed scoped
+    allocations: L2 (c3=96, window 640) compiled at <= 16 MB, L3
+    (c3=128, window 640) blew the 16 MB limit at 18.4 MB.
+    """
+    from tdwss.ops.pallas_subm import _lane_pad, _pack_p
+
+    p = _pack_p(c3, cin, window * 8, window)
+    l = 128 if p > 1 else _lane_pad(c3)
+    zcols = p * cin
+    slot = _lane_pad(zcols)
+    m = nanchor // nwin
+    w_p = window // p
+    win = (4 if p > 1 else 2) * nwin * w_p * l * 2
+    zbuf = nwin * w_p * m * slot * 2
+    w9 = nwin * l * m * slot * 2
+    acc = nanchor * c3 * _lane_pad(cin) * 4
+    io = 2 * (nanchor * tile * 4 + 2 * tile * _lane_pad(cin) * 2)
+    stack = nanchor * (slot + l) * sub * 4
+    gcat = nanchor * c3 * sub * 2
+    return (win + zbuf + w9 + acc + io + stack + gcat
+            < 14_500_000)
 
 
 def _w27_active_slice(va, v, tile_sz, starts, sub_off, rb_local, sub,
@@ -878,12 +925,18 @@ def _w27_bwd_gather(feats, dout_c, weight, rb_local, starts, sub_off,
     v = feats.shape[0]
     tiles = starts.shape[0]
     k, cin, cout = weight.shape
-    from tdwss.ops.pallas_subm import _oh_t, pad_w9
+    from tdwss.ops.pallas_subm import pad_w9
 
-    # dfeats direction sizes: source = cotangent (cout), out = cin
-    if not (sub and k == 27 and _oh_t(cin) and _oh_t(cout)
+    # dfeats direction sizes: source = cotangent (cout), out = cin.
+    # The kernel always runs the transposed-accumulate orientation; at
+    # C=96 that costs the dfeats side ~2 ms vs the plain fwd kernel but
+    # still beats the unfused pair by ~3-4 ms (roofline r5: fused 7.1 ms
+    # vs 4.6 + ~6 unfused at L2), so the gate is channel-width only.
+    if not (sub and k == 27 and cin <= 128 and cout <= 128
             and _use_pallas_kernel(v, tiles, window, k, cout, cin)
-            and _sub_vmem_fits(window, cout, cin, dw=False, nanchor=k)):
+            and _sub_vmem_fits(window, cout, cin, dw=False, nanchor=k)
+            and _gather_vmem_fits(window, cout, cin, nanchor=k, sub=sub,
+                                  tile=v // tiles)):
         return None
     from tdwss.ops.pallas_subm import windowed_bwd_gather
 
@@ -1376,6 +1429,48 @@ def _wg_conv_fwd(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b,
                  b_ovf_v, b_ovf_cnt, weight, f_tap)
 
 
+def _wg_bwd_gather(feats, dout_c, weight, b_rb, b_starts, b_soff,
+                   window_b, sub_b, subwin_b):
+    """Fused wg backward via the transposed rulebook, or None.
+
+    The cross-level rulebook pair is a bijection per tap (filter ==
+    stride): entry (o, k, i) of the forward book is entry (i, k, o) of
+    the transposed book with the SAME tap, so the dfeats kernel's raw
+    gather of dout rows drives dW too (windowed_bwd_gather with
+    flip_taps=False) — one window DMA set + one-hot per (sub, tap)
+    replaces the separate f-side dW kernel.  The spill dW must then ride
+    the B-side spill list in swapped orientation (feats[owner] (x)
+    dout[src] into slot tap — _res_all_dw(flip=True, tap_flip=False)).
+    """
+    import os
+
+    if os.environ.get("TDWSS_NO_GATHER_BWD"):
+        return None
+    k, cin, cout = weight.shape
+    rb_local = _rb32(b_rb)
+    v_out = rb_local.shape[0]
+    v_src = dout_c.shape[0]
+    tiles = b_starts.shape[0]
+    nwin = b_starts.shape[1] if b_starts.ndim > 1 else 1
+    if not (sub_b and cin <= 128 and cout <= 128 and v_out % tiles == 0
+            and _use_pallas_wg(v_src, v_out, tiles, window_b, k, cout,
+                               cin, nwin)
+            and _sub_vmem_fits(window_b, cout, cin, dw=False, nanchor=k,
+                               nwin=nwin)
+            and _gather_vmem_fits(window_b, cout, cin, nanchor=k,
+                                  nwin=nwin, sub=sub_b,
+                                  tile=v_out // tiles)):
+        return None
+    from tdwss.ops.pallas_subm import pad_w9, windowed_bwd_gather
+
+    wt9 = pad_w9(weight.transpose(0, 2, 1))        # (k, Lp(cout), cin)
+    dfeats, dw3 = windowed_bwd_gather(
+        dout_c, feats, b_starts.reshape(-1), b_soff.reshape(-1),
+        rb_local.T, wt9, window=window_b, tile=v_out // tiles, sub=sub_b,
+        subwin=subwin_b, cout=cout, flip_taps=False)
+    return dfeats, dw3.reshape(k * cin, cout)
+
+
 def _wg_conv_bwd(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b, res,
                  dout):
     (feats, f_starts, f_soff, f_rb, f_rtile, f_ovf, f_ovf_v, f_ovf_cnt,
@@ -1389,16 +1484,24 @@ def _wg_conv_bwd(window_f, window_b, sub_f, subwin_f, sub_b, subwin_b, res,
         feats, dout = jax.lax.optimization_barrier((feats, dout))
     dout_c = dout.astype(feats.dtype)
 
-    dw = _wg_dw_any(feats, f_rb, f_starts, dout_c, window_f, sub_f,
-                    subwin_f, f_soff)
-    dw = dw + _res_all_dw(feats, f_rtile, f_ovf, dout_c, k, f_tap=f_tap)
-    dw = dw.reshape(k, cin, cout).astype(weight.dtype)
-
-    # dfeats via the transposed rulebook: tap index (child_offset) is the
-    # same on both sides, so W transposes WITHOUT the tap flip.
     wt2d = weight.transpose(0, 2, 1).reshape(k * cout, cin)
-    dfeats = _wg_matmul_any(dout_c, b_rb, b_starts, wt2d, window_b, sub_b,
-                            subwin_b, b_soff)
+    fused = _wg_bwd_gather(feats, dout_c, weight, b_rb, b_starts, b_soff,
+                           window_b, sub_b, subwin_b)
+    if fused is not None:
+        dfeats, dw = fused
+        # spill dW in the B-side partition, swapped roles, same taps
+        dw = dw + _res_all_dw(feats, b_rtile, b_ovf, dout_c, k,
+                              flip=True, tap_flip=False)
+    else:
+        dw = _wg_dw_any(feats, f_rb, f_starts, dout_c, window_f, sub_f,
+                        subwin_f, f_soff)
+        dw = dw + _res_all_dw(feats, f_rtile, f_ovf, dout_c, k,
+                              f_tap=f_tap)
+        # dfeats via the transposed rulebook: tap index (child_offset) is
+        # the same on both sides, so W transposes WITHOUT the tap flip.
+        dfeats = _wg_matmul_any(dout_c, b_rb, b_starts, wt2d, window_b,
+                                sub_b, subwin_b, b_soff)
+    dw = dw.reshape(k, cin, cout).astype(weight.dtype)
     dfeats = dfeats.astype(feats.dtype) + _res_all_apply(
         dout_c, b_rtile, b_ovf, b_ovf_v, b_ovf_cnt, wt2d, cin,
         out_len=b_rb.shape[0]).astype(feats.dtype)

@@ -806,3 +806,71 @@ def test_gather_fused_bwd_matches_plain(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(gk[1]), np.asarray(gp[1]),
                                rtol=2e-4, atol=2e-4)
     reset_sticky_plans()
+
+
+def test_wg_gather_fused_bwd_matches_plain(rng, monkeypatch):
+    """Fused wg backward (windowed_bwd_gather flip_taps=False + swapped
+    B-side spill dW) == plain strided-conv gradients, end-to-end through
+    wg_conv_apply's VJP on a REAL transposed-rulebook plan."""
+    import functools
+
+    import jax
+
+    from tdwss.ops import pallas_subm as ps
+    from tdwss.ops import sparse_conv as sc
+    from tdwss.ops.host_plan import (build_windowed_gather,
+                                     downsample_level_np, parent_rulebook,
+                                     reset_sticky_plans, voxelize_np)
+    from tdwss.ops.sparse_conv import strided_conv_apply, wg_conv_apply
+    from tests.test_host_plan import _random_coords
+
+    reset_sticky_plans()
+    rng_np = np.random.default_rng(19)
+    n, nc = 2048, 1024
+    coords, feats, valid = _random_coords(rng_np, n=n, size=32,
+                                          invalid_frac=0.05)
+    grid, _, _ = voxelize_np(coords, feats[:, :3], valid, n)
+    cg, parent, child_off, down_rb = downsample_level_np(grid, nc, 2, 2)
+    wgd = build_windowed_gather(down_rb, v_src=n, tile=256, group_mod=2,
+                                res_cap=8 * n, sub=64, subwin=128)
+    rbu = parent_rulebook(parent, child_off, nc, 8)
+    wgu = build_windowed_gather(rbu, v_src=nc, tile=256, res_cap=8 * n,
+                                sub=64, subwin=128)
+    assert wgd is not None and wgu is not None and wgu.sub == 64
+    jm = jax.tree_util.tree_map
+    wgdj, wguj = jm(jnp.asarray, wgd), jm(jnp.asarray, wgu)
+
+    # route through the kernels on CPU (interpret mode)
+    monkeypatch.setattr(
+        sc, "_use_pallas_wg",
+        lambda v_src, v_out, tiles, window, k, c, cout, nwin=1:
+        tiles > 0 and v_out % tiles == 0 and window % 8 == 0
+        and v_src % 8 == 0)
+    for name in ("windowed_bwd_gather", "windowed_matmul_sub",
+                 "windowed_matmul", "windowed_dw_sub", "windowed_dw"):
+        monkeypatch.setattr(ps, name, functools.partial(
+            getattr(ps, name), interpret=True))
+
+    fine = jnp.asarray(rng_np.normal(size=(n, 8)).astype(np.float32))
+    fine = fine * jnp.asarray(grid.valid)[:, None]
+    w = jnp.asarray((rng_np.normal(size=(8, 8, 8)) * 0.3
+                     ).astype(np.float32))
+    pj, oj, dj = (jnp.asarray(parent), jnp.asarray(child_off),
+                  jnp.asarray(down_rb))
+
+    # the fused route must engage for the strided conv's backward
+    # (b-side = wgu)
+    got = sc._wg_bwd_gather(fine, jnp.zeros((nc, 8), jnp.float32), w,
+                            wguj.rb_local, wguj.starts, sc._wg_soff(wguj),
+                            wgu.window, wgu.sub, wgu.subwin)
+    assert got is not None, "wg gather-fused route did not engage"
+
+    gp = jax.grad(lambda f, w_: jnp.sum(
+        strided_conv_apply(f, dj, w_, pj, oj) ** 2), argnums=(0, 1))(fine, w)
+    gw = jax.grad(lambda f, w_: jnp.sum(
+        wg_conv_apply(f, w_, wgdj, wguj) ** 2), argnums=(0, 1))(fine, w)
+    np.testing.assert_allclose(np.asarray(gw[0]), np.asarray(gp[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw[1]), np.asarray(gp[1]),
+                               rtol=2e-4, atol=2e-4)
+    reset_sticky_plans()
