@@ -27,14 +27,20 @@ def encoder_plan_spec(cfg: Config, n_points: int):
 
 
 def _slim_win(win):
-    """rb_local (the dominant plan leaf) travels int16: windows are <= a
-    few thousand rows so every local offset (and the == window / == subwin
-    sentinel) fits, and halving the leaf halves both the host write
-    traffic and the per-batch host->device transfer.  The apply entry
-    points (tdwss.ops.sparse_conv) cast back to int32 in-graph."""
-    if win is None or win.rb_local.dtype == np.int16:
+    """rb_local (the dominant plan leaf) travels at the narrowest dtype
+    that holds its values: sub-form locals live in [0, subwin] (sentinel
+    == subwin), so with subwin <= 255 they ship as UINT8 — 104 -> 52 MB
+    per bench batch, the decisive cut for the axon tunnel's ~77 MB/s
+    device_put which bounds measured e2e on this rig.  Flat-form locals
+    (sentinel == window, up to a few thousand) ship int16.  The apply
+    entry points (tdwss.ops.sparse_conv._rb32) cast back to int32
+    in-graph either way."""
+    if win is None:
         return win
-    return win.replace(rb_local=np.asarray(win.rb_local, np.int16))
+    want = (np.uint8 if (win.sub and win.subwin <= 255) else np.int16)
+    if win.rb_local.dtype == want:
+        return win
+    return win.replace(rb_local=np.asarray(win.rb_local, want))
 
 
 def slim_plans_for_device(plans):
@@ -70,14 +76,16 @@ def slim_plans_for_device(plans):
                                 key_lo=np.zeros((0,), np.int32),
                                 counts=np.zeros((0,), np.int32))
         elif grid.key_hi.shape[0]:
-            # L0: coords[:, 3] (scene ids) and counts feed the pooling,
-            # but the sorted keys only serve on-device rulebook lookups,
-            # which host plans replace entirely.  Coords fit int16
-            # (full_scale < 32768 and batch ids are tiny); the encoder
-            # upcasts the one column it reads.
+            # L0: only coords[:, 3] (scene ids) and counts feed the
+            # training graph's pooling — the sorted keys serve on-device
+            # rulebook lookups, which host plans replace entirely.  Ship
+            # JUST the scene-id column as int16 (the encoder reads
+            # grid.coords[:, -1]); the spatial columns were 4.7 MB of
+            # dead transfer per bench batch.
             grid = grid.replace(key_hi=np.zeros((0,), np.int32),
                                 key_lo=np.zeros((0,), np.int32),
-                                coords=np.asarray(grid.coords, np.int16))
+                                coords=np.asarray(grid.coords[:, 3:4],
+                                                  np.int16))
         new_levels.append(lvl.replace(
             grid=grid, subm_rb=subm_rb, parent=parent,
             child_offset=child_offset, down_rb=down_rb,
@@ -135,6 +143,18 @@ def slim_batch_for_train(batch: PointBatch,
         coords = np.zeros((0, batch.coords.shape[1]),
                           np.asarray(batch.coords).dtype)
         out = out.replace(coords=coords)
+    # Scene-level training never touches the point domain: the encoder
+    # pools count-weighted VOXEL features (devoxelize stays out of the
+    # train graph) and the scene loss masks via scene_mask.  The point
+    # leaves only feed the pseudo-label point CE (label: pseudo /
+    # FullySupervised) — ~8 MB/batch of dead transfer otherwise.
+    if cfg is not None and cfg.label != "pseudo" and (
+            cfg.model_name != "FullySupervised"):
+        out = out.replace(
+            point2voxel=np.zeros((0,), np.int32),
+            point_perm=np.zeros((0,), np.int32),
+            point_label=np.zeros((0,), np.asarray(out.point_label).dtype),
+            valid=np.zeros((0,), np.asarray(out.valid).dtype))
     return out
 
 

@@ -274,9 +274,10 @@ class _SparseEncoderBase(nn.Module):
             # TPU-hostile scatter — out of the training graph entirely.
             # grid.coords may ship int16 (slim_batch_for_train); the
             # segment one-hot compares want int32
+            # [:, -1]: slim may ship only the scene-id column (V, 1)
             return segment_mean_weighted(
                 h.astype(jnp.float32),
-                grid.coords[:, 3].astype(jnp.int32), grid.counts,
+                grid.coords[:, -1].astype(jnp.int32), grid.counts,
                 num_scenes, grid.valid)
         # OutputLayer: voxel -> point readback (fp32 for heads/losses).
         # With a host-provided run permutation the readback stays

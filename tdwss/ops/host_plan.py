@@ -245,7 +245,14 @@ def level_geometry(v: int, tile: int = 512):
     while t > 32 and v % t != 0:
         t //= 2
     sub = 128 if t % 128 == 0 else 0
-    return t, sub, (256 if sub else 0)
+    # subwin 224 (not 256): every sub-local offset AND the == subwin
+    # sentinel then fit uint8, halving the dominant host->device transfer
+    # leaf again (rb_local: 104 -> 52 MB/batch measured; the axon
+    # tunnel's ~77 MB/s device_put made transfer the e2e floor).  224 is
+    # 8*p-aligned for every pack factor (p <= 4).  Spill-rate cost of
+    # the narrower slice is small (r4: widening 256 -> 384 only cut
+    # ~10% of heavy spills — the tail is far outliers either way).
+    return t, sub, (224 if sub else 0)
 
 
 def build_plans_np(
@@ -326,11 +333,11 @@ def build_plans_np(
                 wg_down = build_windowed_gather(
                     down_rb, v_src=vf, tile=256, group_mod=s,
                     sticky_key=(vc, vf, f, s, "dn"),
-                    sub=128, subwin=256)
+                    sub=128, subwin=224)
                 wg_up = build_windowed_gather(
                     rb_up, v_src=vc, tile=tile,
                     sticky_key=(vf, vc, f, "up"),
-                    sub=128, subwin=256)
+                    sub=128, subwin=224)
                 if wg_down is None or wg_up is None:
                     wg_down = wg_up = None   # both or neither (paired VJP)
         else:

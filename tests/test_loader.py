@@ -117,16 +117,32 @@ def test_warm_plan_shapes_freezes_sticky_registry():
 
 
 def test_train_batches_slims_dead_point_leaves():
+    from tdwss.data import loader as ld
+    from tdwss.ops import host_plan as hp
+
     cfg = _cfg()
     scenes = make_dataset(2, num_points=1500, seed=11, with_text=False)
     b = next(iter(train_batches(scenes, cfg, epoch=1, prefetch=False)))
     assert b.plans is not None
     assert b.coords.shape[0] == 0 and b.feats.shape[0] == 0
     assert b.point_ids.shape[0] == 0
-    # model-dependent leaves survive
-    assert b.point_label.shape[0] == cfg.engine.max_points
-    assert b.valid.shape[0] == cfg.engine.max_points
-    assert b.point2voxel is not None and b.point2voxel.shape[0] > 0
+    # scene-level training never reads the point domain: dropped too
+    assert b.point_label.shape[0] == 0
+    assert b.valid.shape[0] == 0
+    assert b.point2voxel.shape[0] == 0 and b.point_perm.shape[0] == 0
+    # the pseudo round's point CE DOES read them: kept
+    hp.reset_sticky_plans()
+    if ld._PLAN_CACHE is not None:
+        ld._PLAN_CACHE.clear()
+    cfg_p = _cfg()
+    cfg_p.label = "pseudo"
+    for s in scenes:
+        s.pseudo_labels = s.labels.copy()
+    bp = next(iter(train_batches(scenes, cfg_p, epoch=1, prefetch=False)))
+    assert bp.point_label.shape[0] == cfg.engine.max_points
+    assert bp.valid.shape[0] == cfg.engine.max_points
+    assert bp.point2voxel is not None and bp.point2voxel.shape[0] > 0
+    hp.reset_sticky_plans()
 
 
 def test_plan_cache_hit_equals_fresh_build():
