@@ -31,9 +31,12 @@ before emitting any JSON, rc=124):
 
 Single-chip progression (v5e): r1 0.602 -> r2 0.829 -> r3 ~0.88
 (unofficial, driver run timed out) -> r4 0.852 official with the full
-gate (bf16 kernel outputs; the r3 number was measured without the
-parity/e2e machinery this file now carries).  Engine history lives in
-docs/DESIGN.md.
+gate -> r5 1.067 official (symmetric gather backward + spill/BN slimming
+at the subwin-224 production config; 1.096 measured at subwin 256 —
+docs/DESIGN.md "Round-5 engine notes" documents the e2e-vs-device
+tradeoff).  r5 e2e: 0.212 -> 0.435 (plan cache + 139 -> 75 MB payload
+against the measured ~77 MB/s tunnel transfer floor).  Engine history
+lives in docs/DESIGN.md.
 
 Prints ONE JSON line (twice if extras complete; the last line is the full
 record):
